@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after a
+shared session warm-up, mirroring how the driver measures."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoopwebgraph_spark.registry import all_queries
+from hadoopwebgraph_spark.session import get_spark
+
+# Headline set: one per operator family — scan+agg, joins, window,
+# dedup/similarity/text once implemented.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_join_inner",
+    "q04_join_broadcast",
+    "q09_self_join",
+    "q11_count_distinct",
+    "q14_cube",
+    "q20_window_topk_per_group",
+    "q22_window_running_sum",
+    "q36_array_fns",
+    "q37_json_fns",
+    # extension + streaming-batch + graph queries appended as implemented
+    "q50_tumbling_window",
+    "q52_session_window",
+    "q60_dedup_exact",
+    "q62_dedup_minhash",
+    "q70_sim_bruteforce_topk",
+    "q71_sim_ivf_topk",
+    "q80_text_quality",
+    "q81_lang_id",
+    "g01_adjacency",
+    "g05_two_hop",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("hwg-bench")
+    queries = all_queries()
+
+    # Warm up the JVM + parquet footers with a trivial count.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        n = q.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

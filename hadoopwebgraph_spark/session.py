@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the driver's local[32] harness while
+remaining cluster-correct (every setting below is what you would also set
+on a 1000-executor cluster, except shuffle partitions which scale with
+cluster cores)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hadoopwebgraph_spark") -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE re-plans at runtime: coalesces tiny shuffle partitions,
+        # switches SMJ->broadcast when a side turns out small, splits skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local mode: shuffle width ~ cores; a real cluster would use
+        # ~2-3x total cores or rely on AQE initialPartitionNum.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read it as raw nanos (long) and let catalog.load_events
+        # convert to a microsecond timestamp.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # Register the custom BVGraph source on every session so
+    # spark.read.format("bvgraph") works out of the box.
+    try:
+        from .bvgraph.datasource import register as _register_bvgraph
+
+        _register_bvgraph(spark)
+    except Exception:
+        pass  # source not available yet during early bootstrap
+    return spark
