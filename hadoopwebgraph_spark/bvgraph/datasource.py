@@ -1,0 +1,251 @@
+"""Spark 4 Python DataSource for BVGraph: ``spark.read.format("bvgraph")``.
+
+The Spark-native re-expression of the reference's Hadoop InputFormat
+(WebGraphInputFormat.java:16-19): one row per node, schema
+``src INT, adj ARRAY<INT>``, with options ``basename`` and ``numSplits``
+(default 100, WebGraphInputFormat.java:19,134-156).
+
+Plan-time (driver), mirroring getSplits (WebGraphInputFormat.java:83-127)
+with one deliberate improvement: partitions are **byte-balanced** using the
+offsets index instead of equal node counts, so decode work per task is
+even under skewed outdegrees (SURVEY.md §4.3.4). Each InputPartition
+carries ``(from, upTo, start_bit)`` plus the tiny offsets slice needed to
+seed the decode window mid-graph — executors never reload the offsets
+file (fixing the per-task reload flaw noted in SURVEY.md §3.1).
+
+Executor-side ``read`` decodes its node range sequentially and yields
+Arrow record batches (columnar end-to-end; the reference is row-at-a-time).
+
+Filter pruning: ``src`` range predicates prune partitions at plan time.
+We conservatively report every filter as unsupported so Spark re-applies
+them post-scan (exactly-once semantics preserved); pruning only drops
+partitions that provably contain no matching node.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+from .codec import NodeIterator, load_offsets
+from .properties import BVGraphProperties, parse_properties
+
+DEFAULT_SPLITS = 100  # WebGraphInputFormat.java:19
+
+SCHEMA = StructType(
+    [
+        StructField("src", IntegerType(), nullable=False),
+        StructField("adj", ArrayType(IntegerType(), containsNull=False), nullable=False),
+    ]
+)
+
+
+class _OffsetSlice:
+    """Absolute-indexed view over a shipped offsets sub-array."""
+
+    __slots__ = ("base", "arr")
+
+    def __init__(self, base: int, arr: list[int]):
+        self.base = base
+        self.arr = arr
+
+    def __getitem__(self, i: int) -> int:
+        return self.arr[i - self.base]
+
+
+@dataclass
+class BVGraphPartition(InputPartition):
+    graph_path: str
+    props_text: str
+    from_node: int
+    up_to: int
+    # offsets for nodes [seed_base, from_node] inclusive — covers window
+    # seeding plus reference-chain recursion during seeding
+    seed_base: int = 0
+    seed_offsets: list[int] = field(default_factory=list)
+
+
+class BVGraphReader(DataSourceReader):
+    def __init__(self, options: dict):
+        basename = options.get("basename")
+        if not basename:
+            raise ValueError("bvgraph source requires .option('basename', ...)")
+        self.basename = basename
+        self.num_splits = int(options.get("numsplits", DEFAULT_SPLITS))
+        if self.num_splits < 1:
+            raise ValueError(f"numSplits must be >= 1, got {self.num_splits}")
+        self.batch_rows = int(options.get("batchrows", 8192))
+        # manual pruning knobs (also driven by pushFilters)
+        self.from_node = int(options.get("fromnode", 0))
+        self.to_node_excl: int | None = (
+            int(options["tonode"]) if "tonode" in options else None
+        )
+
+    # -- filter pushdown (partition pruning only; Spark re-applies filters) --
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            lo, hi = _src_bounds(f)
+            if lo is not None:
+                self.from_node = max(self.from_node, lo)
+            if hi is not None:
+                self.to_node_excl = (
+                    hi if self.to_node_excl is None else min(self.to_node_excl, hi)
+                )
+        # report everything unsupported -> Spark evaluates filters post-scan
+        return filters
+
+    def partitions(self):
+        with open(self.basename + ".properties") as f:
+            props_text = f.read()
+        p = parse_properties(props_text)
+        with open(self.basename + ".offsets", "rb") as f:
+            offsets = load_offsets(f.read(), p)
+
+        n = p.nodes
+        lo = max(0, self.from_node)
+        hi = n if self.to_node_excl is None else min(n, self.to_node_excl)
+        if n == 0 or lo >= hi:
+            return []
+
+        graph_path = self.basename + ".graph"
+        total_bits = int(offsets[hi]) - int(offsets[lo])
+        num_splits = min(self.num_splits, hi - lo)
+        target = math.ceil(total_bits / num_splits) if total_bits else 1
+
+        # backreach for window seeding: seeds need nodes down to
+        # from - window, and their reference chains recurse at most
+        # max_ref_count levels, each stepping back <= window nodes.
+        backreach = p.window_size * (p.max_ref_count + 2)
+
+        parts: list[BVGraphPartition] = []
+        start = lo
+        while start < hi:
+            if len(parts) == num_splits - 1:
+                end = hi
+            else:
+                # byte-balanced boundary: first node whose offset passes target
+                goal = int(offsets[start]) + target
+                end = int(offsets.searchsorted(goal, side="left"))
+                end = max(start + 1, min(end, hi))
+            seed_base = max(0, start - backreach)
+            parts.append(
+                BVGraphPartition(
+                    graph_path=graph_path,
+                    props_text=props_text,
+                    from_node=start,
+                    up_to=end,
+                    seed_base=seed_base,
+                    seed_offsets=[int(x) for x in offsets[seed_base : start + 1]],
+                )
+            )
+            start = end
+        return parts
+
+    def read(self, partition: BVGraphPartition):
+        import pyarrow as pa
+
+        p = parse_properties(partition.props_text)
+        with open(partition.graph_path, "rb") as f:
+            graph_bytes = f.read()
+
+        offsets = _OffsetSlice(partition.seed_base, partition.seed_offsets)
+        it = NodeIterator(
+            graph_bytes,
+            p,
+            from_node=partition.from_node,
+            upper_bound=partition.up_to,
+            offsets=offsets if partition.from_node > 0 else None,
+        )
+
+        srcs: list[int] = []
+        adj_offsets: list[int] = [0]
+        adj_values: list[int] = []
+        for x, lst in it:
+            srcs.append(x)
+            adj_values.extend(lst)
+            adj_offsets.append(len(adj_values))
+            if len(srcs) >= self.batch_rows:
+                yield _to_batch(pa, srcs, adj_offsets, adj_values)
+                srcs, adj_offsets, adj_values = [], [0], []
+        if srcs:
+            yield _to_batch(pa, srcs, adj_offsets, adj_values)
+
+
+def _to_batch(pa, srcs, adj_offsets, adj_values):
+    src_arr = pa.array(srcs, type=pa.int32())
+    adj_arr = pa.ListArray.from_arrays(
+        pa.array(adj_offsets, type=pa.int32()),
+        pa.array(adj_values, type=pa.int32()),
+    )
+    return pa.RecordBatch.from_arrays([src_arr, adj_arr], names=["src", "adj"])
+
+
+def _src_bounds(f: Filter) -> tuple[int | None, int | None]:
+    """(lo_inclusive, hi_exclusive) bounds a filter implies on src."""
+    col = getattr(f, "attribute", None)
+    if col != ("src",):
+        return None, None
+    v = getattr(f, "value", None)
+    if not isinstance(v, int):
+        return None, None
+    if isinstance(f, EqualTo):
+        return v, v + 1
+    if isinstance(f, GreaterThan):
+        return v + 1, None
+    if isinstance(f, GreaterThanOrEqual):
+        return v, None
+    if isinstance(f, LessThan):
+        return None, v
+    if isinstance(f, LessThanOrEqual):
+        return None, v + 1
+    return None, None
+
+
+class BVGraphDataSource(DataSource):
+    """``spark.read.format("bvgraph").option("basename", path)`` ->
+    ``DataFrame[src INT, adj ARRAY<INT>]``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bvgraph"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return BVGraphReader(self.options)
+
+
+def register(spark) -> None:
+    try:
+        # required for pushFilters; runtime-settable
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(BVGraphDataSource)
+
+
+def read_bvgraph(spark, basename: str, num_splits: int = DEFAULT_SPLITS):
+    """Convenience loader mirroring the reference conf surface
+    (setBasename / setNumberOfSplits, WebGraphInputFormat.java:134-156)."""
+    register(spark)
+    return (
+        spark.read.format("bvgraph")
+        .option("basename", basename)
+        .option("numSplits", num_splits)
+        .load()
+    )

@@ -1,1 +1,223 @@
+"""Graph operator surface over the BVGraph source — SURVEY.md §2 Tier B
+(the algebra the reference demonstrates in its README) plus the derived
+graph operators it enables (degree distributions, k-hop joins, motifs).
 
+Every Spark-side query here reads through ``spark.read.format("bvgraph")``
+— the custom source IS the system under test — while the DuckDB oracle
+reads the same adjacency from a committed parquet twin, so the driver's
+hash compare certifies the whole decode pipeline end-to-end.
+
+Scale: the adjacency DataFrame is columnar Arrow out of the reader;
+explode() is codegen'd; degree aggregations are partial-agg'd map-side;
+2-hop self-joins shuffle on the join key (at 100 TB: bucket the edge table
+by src/dst to co-locate; AQE handles the power-law skew via skew-join
+splitting).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..bvgraph.datasource import read_bvgraph
+from ..registry import register
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SMALL_BASENAME = os.path.join(_REPO, "fixtures", "bvgraph", "small")
+BENCH_BASENAME = os.path.join(_REPO, "fixtures", "bvgraph", "bench")
+SMALL_PARQUET = os.path.join(_REPO, "fixtures", "small_adj.parquet")
+
+# DuckDB-side twin of the small fixture (committed parquet)
+_T = f"read_parquet('{SMALL_PARQUET}')"
+
+
+def graph_df(spark: SparkSession, basename: str | None = None) -> DataFrame:
+    """Adjacency DataFrame from the BVGraph source (env override for
+    benchmarking against the larger committed fixture)."""
+    basename = basename or os.environ.get("SPARK_GRAFT_GRAPH_BASENAME", SMALL_BASENAME)
+    return read_bvgraph(spark, basename)
+
+
+def edges_df(spark: SparkSession, basename: str | None = None) -> DataFrame:
+    """Edge-list projection — reference README.md:39's flatMap equivalent."""
+    g = graph_df(spark, basename)
+    return g.select("src", F.explode("adj").alias("dst"))
+
+
+@register(
+    "g01_adjacency",
+    oracle=f"""
+    SELECT src,
+           CAST(len(adj) AS INTEGER)  AS outdeg,
+           array_to_string(adj, ',')  AS adj_str
+    FROM {_T}
+    """,
+    doc="Full adjacency scan through the BVGraph source (Tier A1/B1): "
+    "certifies the decode kernel against the parquet twin, node by node.",
+)
+def g01_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = graph_df(spark)
+    return g.select(
+        "src",
+        F.size("adj").alias("outdeg"),
+        F.concat_ws(",", F.col("adj")).alias("adj_str"),
+    )
+
+
+@register(
+    "g02_degree_distribution",
+    oracle=f"""
+    SELECT CAST(len(adj) AS INTEGER) AS outdeg, count(*) AS n_nodes
+    FROM {_T}
+    GROUP BY 1
+    """,
+    doc="Outdegree distribution (reference README.md:29 equivalent, B2+B3).",
+)
+def g02_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = graph_df(spark)
+    return g.groupBy(F.size("adj").alias("outdeg")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@register(
+    "g03_edges",
+    oracle=f"SELECT src, unnest(adj) AS dst FROM {_T}",
+    doc="Edge-list explode (B4: the flatMap to (src,dst) tuples).",
+)
+def g03_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edges_df(spark)
+
+
+@register(
+    "g04_indegree_topk",
+    oracle=f"""
+    SELECT dst, count(*) AS indeg
+    FROM (SELECT unnest(adj) AS dst FROM {_T})
+    GROUP BY dst
+    ORDER BY indeg DESC, dst
+    LIMIT 20
+    """,
+    doc="In-degree via explode + groupBy + top-k (derived operator).",
+)
+def g04_indegree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    return (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .orderBy(F.col("indeg").desc(), F.col("dst"))
+        .limit(20)
+    )
+
+
+@register(
+    "g05_two_hop",
+    oracle=f"""
+    WITH e AS (SELECT src, unnest(adj) AS dst FROM {_T})
+    SELECT count(*) AS n_paths,
+           count(DISTINCT (e1.src, e2.dst)) AS n_pairs
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src
+    """,
+    doc="2-hop neighborhood via edge self-join (README.md:32-48's GraphX "
+    "handoff re-expressed as a DataFrame self-join).",
+)
+def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    joined = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct(F.col("e1.src"), F.col("e2.dst")).alias("n_pairs"),
+    )
+
+
+@register(
+    "g06_triangle_motif",
+    oracle=f"""
+    WITH e AS (SELECT src, unnest(adj) AS dst FROM {_T})
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.src
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    doc="Feed-forward triangle motif count (three-way edge self-join).",
+)
+def g06_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
+    "g07_graph_counts",
+    oracle=f"""
+    WITH e AS (SELECT src, unnest(adj) AS dst FROM {_T})
+    SELECT (SELECT count(*) FROM {_T})                       AS n_nodes,
+           (SELECT count(*) FROM e)                          AS n_edges,
+           (SELECT count(*) FROM (
+               SELECT src FROM e UNION SELECT dst FROM e))   AS n_touched
+    """,
+    doc="numVertices/numEdges (B6/B7): node count, edge count (== arcs "
+    "property), and count of non-isolated vertices.",
+)
+def g07_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = graph_df(spark)
+    e = edges_df(spark)
+    n_nodes = g.count()
+    touched = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    n_edges = e.count()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, touched)], "n_nodes bigint, n_edges bigint, n_touched bigint"
+    )
+
+
+@register(
+    "g08_symmetrize",
+    oracle=f"""
+    WITH e AS (SELECT src, unnest(adj) AS dst FROM {_T})
+    SELECT count(*) AS n_sym_edges FROM (
+        SELECT src, dst FROM e
+        UNION
+        SELECT dst AS src, src AS dst FROM e
+    )
+    """,
+    doc="Edge-set algebra: symmetrize via union+distinct (set ops on the "
+    "graph, SURVEY §2 set-ops row applied to edges).",
+)
+def g08_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e.union(rev).distinct().agg(F.count(F.lit(1)).alias("n_sym_edges"))
+
+
+@register(
+    "g09_src_range_scan",
+    oracle=f"""
+    SELECT src, CAST(len(adj) AS INTEGER) AS outdeg
+    FROM {_T}
+    WHERE src BETWEEN 100 AND 299
+    """,
+    doc="Point/range lookup on src (Tier A6 random access re-expressed): "
+    "pushFilters prunes non-covering partitions at plan time.",
+)
+def g09_src_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = graph_df(spark)
+    return (
+        g.filter((F.col("src") >= 100) & (F.col("src") <= 299))
+        .select("src", F.size("adj").alias("outdeg"))
+    )

@@ -32,6 +32,8 @@ def get_spark(app_name: str = "hadoopwebgraph_spark") -> SparkSession:
         # rejects; read it as raw nanos (long) and let catalog.load_events
         # convert to a microsecond timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # enable src-range partition pruning in the bvgraph Python DataSource
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

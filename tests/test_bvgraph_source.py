@@ -1,0 +1,89 @@
+"""BVGraph DataSource integration tests (SURVEY.md §5.2.4): partition
+invariance, filter pruning, and parity with the committed parquet twin —
+all on a VANILLA SparkSession path where practical."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from hadoopwebgraph_spark.bvgraph.datasource import (
+    BVGraphReader,
+    read_bvgraph,
+)
+from hadoopwebgraph_spark.queries.graph import SMALL_BASENAME, SMALL_PARQUET
+
+
+@pytest.fixture(scope="module")
+def twin():
+    t = pq.read_table(SMALL_PARQUET)
+    return {int(s): a for s, a in zip(t["src"].to_pylist(), t["adj"].to_pylist())}
+
+
+@pytest.mark.parametrize("num_splits", [1, 7, 100])
+def test_partition_invariance(spark, twin, num_splits):
+    df = read_bvgraph(spark, SMALL_BASENAME, num_splits=num_splits)
+    rows = {r.src: list(r.adj) for r in df.collect()}
+    assert rows == twin
+
+
+def test_actual_splits_le_requested(spark):
+    df = read_bvgraph(spark, SMALL_BASENAME, num_splits=100000)
+    # can't exceed node count (mirrors actualSplits <= requested,
+    # WebGraphInputFormat.java:100-122)
+    assert df.rdd.getNumPartitions() <= 2000
+    assert df.count() == 2000
+
+
+def test_filter_pruning_plan_and_result(spark, twin):
+    df = read_bvgraph(spark, SMALL_BASENAME, num_splits=50)
+    out = df.filter((df.src >= 100) & (df.src <= 120)).collect()
+    assert {r.src: list(r.adj) for r in out} == {
+        k: v for k, v in twin.items() if 100 <= k <= 120
+    }
+    # pruning actually reduces planned partitions
+    reader = BVGraphReader({"basename": SMALL_BASENAME, "numsplits": "50"})
+    full = len(reader.partitions())
+    reader2 = BVGraphReader({"basename": SMALL_BASENAME, "numsplits": "50"})
+    reader2.from_node, reader2.to_node_excl = 100, 121
+    pruned = len(reader2.partitions())
+    assert pruned < full
+
+
+def test_manual_range_options(spark, twin):
+    df = (
+        spark.read.format("bvgraph")
+        .option("basename", SMALL_BASENAME)
+        .option("numSplits", 10)
+        .option("fromNode", 500)
+        .option("toNode", 600)
+        .load()
+    )
+    rows = {r.src: list(r.adj) for r in df.collect()}
+    assert rows == {k: v for k, v in twin.items() if 500 <= k < 600}
+
+
+def test_byte_balanced_partitions():
+    reader = BVGraphReader({"basename": SMALL_BASENAME, "numsplits": "8"})
+    parts = reader.partitions()
+    assert sum(p.up_to - p.from_node for p in parts) == 2000
+    assert [p.from_node for p in parts[1:]] == [p.up_to for p in parts[:-1]]
+    # byte extents should be roughly even (within 3x of each other)
+    import numpy as np
+
+    from hadoopwebgraph_spark.bvgraph.codec import load_offsets
+    from hadoopwebgraph_spark.bvgraph.properties import parse_properties
+
+    with open(SMALL_BASENAME + ".properties") as f:
+        p = parse_properties(f.read())
+    with open(SMALL_BASENAME + ".offsets", "rb") as f:
+        offsets = load_offsets(f.read(), p)
+    extents = [int(offsets[q.up_to] - offsets[q.from_node]) for q in parts]
+    assert max(extents) < 3 * min(extents)
+
+
+def test_bad_options(spark):
+    with pytest.raises(Exception):
+        spark.read.format("bvgraph").load().collect()  # missing basename
+    with pytest.raises(Exception):
+        read_bvgraph(spark, SMALL_BASENAME, num_splits=0).collect()
