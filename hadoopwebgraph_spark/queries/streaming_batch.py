@@ -1,1 +1,164 @@
+"""Event-time window semantics on the events table — SURVEY.md §2 Tier B′
+"streaming" row, expressed batch-equivalently so the DuckDB oracle can
+certify values. The same operators run as true Structured Streaming in
+``hadoopwebgraph_spark.streaming.streams`` (tested with a memory sink);
+the batch forms here define the exact semantics (window alignment,
+session gap merging, watermark late-data policy) both paths share.
 
+Alignment note: Spark's ``window()`` aligns to the epoch; DuckDB's
+``time_bucket`` to 2000-01-01. Both are hour/minute aligned, so for the
+divisor durations used here the buckets coincide exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import ORACLE_EVENT_TS, load
+from ..registry import register
+
+_EV = f"(SELECT {ORACLE_EVENT_TS} AS ts, user_id, event_type, value FROM events)"
+
+
+@register(
+    "q50_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM {_EV}
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time window per event type.",
+)
+def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q51_sliding_window",
+    oracle=f"""
+    WITH cand AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM {_EV}
+    ),
+    expanded AS (
+        SELECT b - INTERVAL '30 minutes' AS window_start, value FROM cand
+        UNION ALL
+        SELECT b AS window_start, value FROM cand
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    """,
+    doc="Sliding window (1 hour, 30-minute slide): each event lands in two "
+    "overlapping windows; the oracle expands the two slide phases explicitly.",
+)
+def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "q52_session_window",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {_EV}
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*)                       AS n_events,
+           round(sum(value), 2)           AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-minute gap) per user via F.session_window; the "
+    "oracle is the classic lag/gap/cumsum sessionization (session_end = "
+    "last event + gap, matching Spark's definition).",
+)
+def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q53_watermark_late_drop",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV}),
+    wm AS (SELECT max(ts) - INTERVAL '24 hours' AS cutoff FROM ev)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM ev, wm
+    WHERE ts > wm.cutoff
+    GROUP BY 1
+    """,
+    doc="Watermark late-data policy, batch-equivalent: events older than "
+    "max(event_time) - 24h are dropped before windowing — exactly what "
+    "withWatermark('ts','24 hours') admits once the stream has advanced.",
+)
+def q53_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cutoff")
+    )
+    kept = e.join(F.broadcast(cutoff)).filter(F.col("ts") > F.col("cutoff"))
+    return (
+        kept.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "q54_stream_dedup",
+    oracle=f"""
+    SELECT DISTINCT user_id, event_type FROM {_EV}
+    """,
+    doc="Stateful stream dedup batch form: first occurrence per "
+    "(user_id, event_type) — dropDuplicatesWithinWatermark's batch "
+    "equivalent on the key projection.",
+)
+def q54_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()

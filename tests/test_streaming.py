@@ -1,0 +1,84 @@
+"""Structured Streaming integration: the incremental plans must agree with
+their batch-defined semantics (queries/streaming_batch.py) when the whole
+fixture is replayed through the stream."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from hadoopwebgraph_spark.catalog import load
+from hadoopwebgraph_spark.queries.streaming_batch import q50_tumbling_window
+from hadoopwebgraph_spark.streaming import streams
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_small, events_dir):
+    ev = streams.stream_events(spark, events_dir)
+    q = streams.run_to_memory(streams.tumbling_counts(ev), "t_tumble", "complete")
+    try:
+        got = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM t_tumble").collect()
+        }
+        want = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in q50_tumbling_window(spark, sf_small).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_session_stream_runs(spark, events_dir):
+    ev = streams.stream_events(spark, events_dir)
+    q = streams.run_to_memory(streams.session_counts(ev), "t_sess", "complete")
+    try:
+        rows = spark.sql("SELECT * FROM t_sess").collect()
+        assert len(rows) > 0
+        assert all(r.n_events >= 1 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_dedup(spark, sf_small, events_dir):
+    ev = streams.stream_events(spark, events_dir)
+    q = streams.run_to_memory(streams.stream_dedup(ev), "t_dedup", "append")
+    try:
+        got = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n
+        want = (
+            load(spark, sf_small, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .count()
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark, sf_small, events_dir):
+    ev = streams.stream_events(spark, events_dir)
+    q = streams.run_to_memory(streams.running_user_totals(ev), "t_state", "update")
+    try:
+        rows = spark.sql("SELECT * FROM t_state").collect()
+        assert len(rows) > 0
+        batch = (
+            load(spark, sf_small, "events")
+            .groupBy("user_id")
+            .count()
+            .collect()
+        )
+        want = {r.user_id: r["count"] for r in batch}
+        got = {r.user_id: r.n_events for r in rows}
+        # final state for each user must match the batch count
+        assert got == want
+    finally:
+        q.stop()
