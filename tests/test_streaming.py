@@ -15,8 +15,10 @@ from hadoopwebgraph_spark.streaming import streams
 
 @pytest.fixture(scope="module")
 def events_dir(tmp_path_factory):
+    from .conftest import SF_SMALL
+
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "part-0.parquet")
     return str(d)
 
 
