@@ -46,11 +46,12 @@ def nat2int(x: int) -> int:
 class BitReader:
     """MSB-first bit reader over a bytes-like buffer."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "readers_cache")
 
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.data = data
         self.pos = pos_bits
+        self.readers_cache = None  # decode-kernel per-reader dispatch cache
 
     def position(self, pos_bits: int) -> None:
         self.pos = pos_bits

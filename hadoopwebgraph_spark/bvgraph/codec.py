@@ -19,7 +19,7 @@ bit writer, and keeps the cheapest, honoring max_ref_count chains.
 
 from __future__ import annotations
 
-import heapq
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -210,14 +210,17 @@ class _Decoder:
         self.offsets = offsets
 
     def _readers(self, r: BitReader):
-        p = self.p
-        return (
-            r.make_reader(p.outdegree_code, p.zeta_k),
-            r.make_reader(p.reference_code, p.zeta_k),
-            r.make_reader(p.block_count_code, p.zeta_k),
-            r.make_reader(p.block_code, p.zeta_k),
-            r.make_reader(p.residual_code, p.zeta_k),
-        )
+        cached = r.readers_cache
+        if cached is None:
+            p = self.p
+            cached = r.readers_cache = (
+                r.make_reader(p.outdegree_code, p.zeta_k),
+                r.make_reader(p.reference_code, p.zeta_k),
+                r.make_reader(p.block_count_code, p.zeta_k),
+                r.make_reader(p.block_code, p.zeta_k),
+                r.make_reader(p.residual_code, p.zeta_k),
+            )
+        return cached
 
     def decode_node_random(self, x: int) -> list[int]:
         """Random-access decode of node x (offsets required); recurses into
@@ -294,8 +297,9 @@ class _Decoder:
 
         if not copied and not intervals:
             return residuals
-        # merge three already-sorted streams (mirrors MergedIntIterator)
-        return list(heapq.merge(copied, intervals, residuals))
+        # merge three already-sorted streams (mirrors MergedIntIterator);
+        # Timsort's run detection makes concat+sort the fastest merge here
+        return sorted(copied + intervals + residuals)
 
 
 class NodeIterator:

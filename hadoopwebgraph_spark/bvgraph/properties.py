@@ -9,6 +9,7 @@ HdfsBVGraph.java:325-340).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 from .bitio import CODE_NAMES, DELTA, GAMMA, NIBBLE, UNARY, ZETA
@@ -41,7 +42,8 @@ class BVGraphProperties:
     compressionflags: str = ""
 
     # per-field code ids (bitio constants), resolved from compressionflags
-    @property
+    # (cached — this is consulted in the per-node decode hot path)
+    @functools.cached_property
     def codes(self) -> tuple[int, int, int, int, int, int]:
         codes = list(_DEFAULT_CODES)
         for token in filter(None, (t.strip() for t in self.compressionflags.split("|"))):

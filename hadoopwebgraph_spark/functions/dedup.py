@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import register
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """The synthetic documents table arrives as one parquet file = one
+    input partition; the shingle/token explosions below are CPU-bound, so
+    spread rows across the cluster first (at 100 TB the input is already
+    thousands of files and this repartition disappears behind AQE)."""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -79,7 +88,12 @@ SHINGLE_K = 5
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig): md5-based min-hash per seed, concatenated into
-    band signatures. explode -> partial-agg'd groupBy; no UDFs."""
+    band signatures.
+
+    One shingle explode, then ALL N_HASHES min-hashes as parallel aggregates
+    of a single groupBy (map-side combined) — no seed explosion, so the
+    shuffle carries one row per (doc, shingle) instead of N_HASHES of them.
+    Bands unpivot via stack() (no second shuffle)."""
     w = F.split("text", " ")
     shingles = F.array_distinct(
         F.transform(
@@ -87,27 +101,28 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
         )
     )
-    sh = docs.filter(F.size(w) >= SHINGLE_K).select(
+    sh = _spread(docs.filter(F.size(w) >= SHINGLE_K)).select(
         "doc_id", F.explode(shingles).alias("s")
     )
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
-        "s",
+    # one md5 per shingle; the per-seed orderings are hex rotations of the
+    # digest (cheap codegen'd substr+concat instead of N_HASHES md5 calls;
+    # slight inter-seed correlation is an accepted LSH trade-off)
+    h = F.md5("s")
+    def rot(seed: int):
+        if seed == 0:
+            return h
+        return F.concat(F.substring(h, 4 * seed + 1, 32 - 4 * seed), F.substring(h, 1, 4 * seed))
+
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(rot(seed)).alias(f"mh{seed}") for seed in range(N_HASHES)]
     )
-    mh = seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("s")))).alias("mh")
+    n_bands = N_HASHES // BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'mh{b * BAND_SIZE + j}' for j in range(BAND_SIZE))})"
+        for b in range(n_bands)
     )
-    return mh.groupBy(
-        "doc_id", (F.col("seed") / BAND_SIZE).cast("int").alias("band")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda x: x["mh"],
-            ),
-            "|",
-        ).alias("sig")
+    return mins.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
     )
 
 
@@ -122,8 +137,12 @@ _MINHASH_CTE = f"""
               FROM docs)
     ),
     mh AS (
-        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
-        FROM sh CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed) seeds
+        SELECT doc_id, seed,
+               min(CASE WHEN seed = 0 THEN h
+                        ELSE substring(h, 4 * seed + 1, 32 - 4 * seed)
+                             || substring(h, 1, 4 * seed) END) AS mh
+        FROM (SELECT doc_id, md5(s) AS h FROM sh)
+        CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed) seeds
         GROUP BY doc_id, seed
     ),
     bands AS (
@@ -201,7 +220,7 @@ def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = q62_dedup_minhash(spark, sf_dir)
 
     w = F.split("text", " ")
-    grams = d.filter(F.size(w) >= 3).select(
+    grams = _spread(d.filter(F.size(w) >= 3)).select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -270,7 +289,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """16-bit SimHash per document: per-bit +/-1 votes from the p-th hex
     digit of each token's md5 (digit >= '8' => 1), then sign. Pure
     built-ins, portable to the oracle."""
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    toks = _spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     votes = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),

@@ -133,7 +133,7 @@ def q70_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY {_cos_sql('qv', 'cvec')} DESC, label) AS INTEGER) AS cr
         FROM q CROSS JOIN cent
     ),
-    cells AS (SELECT query_id, label FROM probe WHERE cr <= 2),
+    cells AS (SELECT query_id, label FROM probe WHERE cr <= 4),
     cand AS (
         SELECT c.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS cv
         FROM cells c
@@ -151,8 +151,11 @@ def q70_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= {TOP_K}
     """,
     doc="IVF approximate top-k: per-cell centroids (computed from the "
-    "corpus's label cells), nprobe=2 cell probing, exact rerank within the "
-    "probed cells. The corpus is only scanned where the index points.",
+    "corpus's label cells), nprobe=4 cell probing, exact rerank within the "
+    "probed cells — the corpus is only scanned where the index points. "
+    "NOTE: the fixture's vectors are near-uniform (labels are not cosine "
+    "clusters), so recall ~= scanned fraction here; on genuinely clustered "
+    "embeddings the same plan gives high recall at small nprobe/ncells.",
 )
 def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -191,7 +194,7 @@ def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ccos"),
         )
         .withColumn("cr", F.row_number().over(probe_w))
-        .filter(F.col("cr") <= 2)
+        .filter(F.col("cr") <= 4)
         .select("query_id", "qv", "label")
     )
 

@@ -1,0 +1,65 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100x scale-up must be visible in the plan, not assumed — filter pushdown
+into the parquet scan, column pruning, broadcast joins for dims, top-k
+without a global sort, partial aggregation, whole-stage codegen."""
+
+from __future__ import annotations
+
+from hadoopwebgraph_spark.queries.relational import (
+    q01_pricing_summary,
+    q04_join_broadcast,
+    q16_topk_global,
+)
+from hadoopwebgraph_spark.queries.windows import q20_window_topk_per_group
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_small):
+    plan = _plan(q01_pricing_summary(spark, sf_small))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: none of the unused columns appear in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_broadcast_join_for_dims(spark, sf_small):
+    plan = _plan(q04_join_broadcast(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_small):
+    plan = _plan(q16_topk_global(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation(spark, sf_small):
+    plan = _plan(q01_pricing_summary(spark, sf_small))
+    # two HashAggregate nodes: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen(spark, sf_small):
+    df = q01_pricing_summary(spark, sf_small)
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+def test_window_single_shuffle(spark, sf_small):
+    import re
+
+    plan = _plan(q20_window_topk_per_group(spark, sf_small))
+    exchanges = [
+        line for line in plan.splitlines() if re.match(r"^\(\d+\) Exchange", line)
+    ]
+    # one hash exchange for the window partitioning and nothing else
+    assert len(exchanges) == 1
