@@ -1,0 +1,161 @@
+"""Iterative graph algorithms over the BVGraph source — the GraphX
+hand-off the reference documents (README.md:32-48) re-expressed as
+checkpointed DataFrame join loops (no GraphX/GraphFrames dependency).
+
+Scale notes: each iteration is one shuffle-join of ranks/labels against
+the (static) edge table. The edge side should be loaded once and
+persisted partitioned by the join key so every iteration reuses the same
+partitioning; localCheckpoint truncates the growing lineage so plan
+compilation stays O(1) per iteration. Convergence loops are driver-side
+WHILE over distributed steps — no per-row driver work.
+
+Registered as rows-only checks (iterative fixpoints aren't expressible as
+one oracle SQL statement); exactness is certified by tests against
+hand-computed fixtures (tests/test_graph_algos.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .graph import edges_df
+
+
+def pagerank(
+    edges: DataFrame,
+    n_nodes: int | None = None,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank with dangling-mass redistribution.
+
+    edges: DataFrame[src, dst]. Returns DataFrame[node, rank] with
+    sum(rank) == n (the conventional n-normalized form).
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = n_nodes if n_nodes is not None else nodes.count()
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # static join side: contribution edges with 1/outdeg weight
+    contrib_edges = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    ).persist()
+
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # dangling nodes (no out-edges) leak rank; redistribute uniformly
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # truncate lineage each iteration
+        )
+    nodes.unpersist()
+    contrib_edges.unpersist()
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Weakly-connected components by iterative min-label propagation
+    (large-star-lite): each node adopts the smallest label in its closed
+    undirected neighborhood until fixpoint.
+
+    Returns DataFrame[node, component] (component = min node id in it).
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+@register(
+    "g11_pagerank",
+    oracle=None,  # iterative fixpoint; certified by unit tests instead
+    doc="PageRank (10 iterations, damping 0.85, dangling redistribution) "
+    "as a checkpointed DataFrame join loop; top-20 nodes by rank.",
+)
+def g11_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    pr = pagerank(e, iterations=10)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+@register(
+    "g12_connected_components",
+    oracle=None,  # iterative fixpoint; certified by unit tests instead
+    doc="Weakly-connected components via min-label propagation; component "
+    "size histogram.",
+)
+def g12_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    cc = connected_components(e)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )

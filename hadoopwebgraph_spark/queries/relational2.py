@@ -1,0 +1,232 @@
+"""Second tranche of relational coverage — the SURVEY §2 Tier B′ rows not
+exercised by queries/relational.py: right/full/cross joins, exact
+percentiles, map/JSON object functions, unpivot, in-memory scans, and a
+point lookup on the BVGraph source (A6 random access)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "q18_join_right",
+    oracle="""
+    SELECT n_name, count(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Right outer join preserving nations with zero suppliers.",
+)
+def q18_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "q19_join_full",
+    oracle="""
+    SELECT coalesce(a.k, b.k)  AS k,
+           count(a.n_1995)     AS in_1995,
+           count(b.n_1996)     AS in_1996
+    FROM (SELECT o_custkey AS k, count(*) AS n_1995 FROM orders
+          WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+    FULL JOIN (SELECT o_custkey AS k, count(*) AS n_1996 FROM orders
+               WHERE year(o_orderdate) = 1996 GROUP BY 1) b
+      ON a.k = b.k
+    GROUP BY 1
+    """,
+    doc="Full outer join: customer activity union across two years, "
+    "preserving either-side-only keys.",
+)
+def q19_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def year_counts(y: int, out: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = year_counts(1995, "n_1995")
+    b = year_counts(1996, "n_1996")
+    return (
+        a.join(b, a.k == b.k, "full")
+        .select(
+            F.coalesce(a.k, b.k).alias("k"),
+            a.n_1995.alias("n_1995"),
+            b.n_1996.alias("n_1996"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count("n_1995").alias("in_1995"),
+            F.count("n_1996").alias("in_1996"),
+        )
+    )
+
+
+@register(
+    "q43_join_cross",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+    doc="Explicit cross join (bounded: dims only — never on facts).",
+)
+def q43_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    r1 = r.alias("r1")
+    r2 = r.alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("r1.r_regionkey") < F.col("r2.r_regionkey"))
+        .select(
+            F.col("r1.r_name").alias("region_a"), F.col("r2.r_name").alias("region_b")
+        )
+    )
+
+
+@register(
+    "q44_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 2)  AS p50,
+           round(quantile_cont(l_quantity, 0.95), 2) AS p95,
+           round(quantile_cont(l_quantity, 0.99), 2) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentiles (median/p95/p99) per group over the "
+    "integer-valued quantity measure (interpolation is binary-exact, so "
+    "both engines agree bit-for-bit); approx_percentile is the scale path "
+    "(q45).",
+)
+def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 2).alias("p95"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "q45_approx_percentiles",
+    oracle=None,  # sketch values are engine-specific
+    doc="approx_percentile (KLL-style sketch): single-pass, mergeable — "
+    "the 100 TB percentile path. Rows-only check (sketch estimates are "
+    "engine-specific).",
+)
+def q45_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).alias(
+            "p50_approx"
+        )
+    )
+
+
+@register(
+    "q46_map_fns",
+    oracle="""
+    SELECT event_type,
+           count(*)                                   AS n,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k
+    FROM events
+    WHERE len(json_keys(props)) = 1
+    GROUP BY event_type
+    """,
+    doc="Map/JSON object surface: parse props into a map, inspect keys "
+    "(from_json + map_keys on the Spark side, json_keys in the oracle).",
+)
+def q46_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.withColumn("m", m)
+        .filter(F.size(F.map_keys(F.col("m"))) == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("m").getItem("k")).alias("min_k"),
+        )
+    )
+
+
+@register(
+    "q47_unpivot",
+    oracle="""
+    SELECT l_returnflag, metric, round(val, 2) AS val
+    FROM (
+        SELECT l_returnflag,
+               sum(l_quantity)      AS total_qty,
+               sum(l_extendedprice) AS total_price
+        FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (val FOR metric IN (total_qty, total_price))
+    """,
+    doc="Unpivot (wide -> long) via stack().",
+)
+def q47_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum("l_extendedprice").alias("total_price"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'total_qty', total_qty, 'total_price', total_price) AS (metric, v)",
+    ).select("l_returnflag", "metric", F.round("v", 2).alias("val"))
+
+
+@register(
+    "q48_inmemory_scan",
+    oracle="""
+    SELECT t.tier, count(*) AS n_nations
+    FROM nation
+    JOIN (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'),
+                 (4, 'epsilon')) AS t(r_key, tier)
+      ON n_regionkey = t.r_key
+    GROUP BY t.tier
+    """,
+    doc="In-memory createDataFrame source (driver-local literal table) "
+    "broadcast-joined against a parquet table.",
+)
+def q48_inmemory_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    tiers = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, "epsilon")],
+        "r_key int, tier string",
+    )
+    return (
+        n.join(F.broadcast(tiers), n.n_regionkey == tiers.r_key)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "g10_point_lookup",
+    oracle="SELECT src, CAST(len(adj) AS INTEGER) AS outdeg, adj[1] AS first_succ "
+    "FROM read_parquet('/root/repo/fixtures/small_adj.parquet') WHERE src = 1234",
+    doc="Point lookup src = k on the BVGraph source (Tier A6 random-access "
+    "outdegree): pushFilters prunes to the single covering partition.",
+)
+def g10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import graph_df
+
+    g = graph_df(spark)
+    return g.filter(F.col("src") == 1234).select(
+        "src",
+        F.size("adj").alias("outdeg"),
+        F.col("adj").getItem(0).alias("first_succ"),
+    )

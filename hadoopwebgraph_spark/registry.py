@@ -44,10 +44,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from .queries import relational  # noqa: F401
+    from .queries import relational2  # noqa: F401
     from .queries import windows  # noqa: F401
     from .queries import setops_scalar  # noqa: F401
     from .queries import streaming_batch  # noqa: F401
     from .queries import graph  # noqa: F401
+    from .queries import graph_algos  # noqa: F401
     from .functions import dedup  # noqa: F401
     from .functions import similarity  # noqa: F401
     from .functions import text  # noqa: F401
