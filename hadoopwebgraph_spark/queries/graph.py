@@ -173,17 +173,17 @@ def g06_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g07_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = graph_df(spark)
     e = edges_df(spark)
-    n_nodes = g.count()
-    touched = (
+    n_nodes = g.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_touched = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
-        .count()
+        .agg(F.count(F.lit(1)).alias("n_touched"))
     )
-    n_edges = e.count()
-    return spark.createDataFrame(
-        [(n_nodes, n_edges, touched)], "n_nodes bigint, n_edges bigint, n_touched bigint"
-    )
+    # three scalar aggregates cross-joined into one row — fully
+    # distributed, no driver-side collect
+    return n_nodes.crossJoin(n_edges).crossJoin(n_touched)
 
 
 @register(
