@@ -43,13 +43,27 @@ def nat2int(x: int) -> int:
     return x >> 1 if (x & 1) == 0 else -((x >> 1) + 1)
 
 
+_PAD = b"\x00" * 16  # window guard: codes may peek up to 96 bits ahead
+
+
+def pad(data: bytes) -> bytes:
+    """Pre-pad a buffer once for use with ``BitReader(..., prepadded=True)``."""
+    return data + _PAD
+
+
 class BitReader:
-    """MSB-first bit reader over a bytes-like buffer."""
+    """MSB-first bit reader over a bytes-like buffer.
+
+    The gamma/delta/zeta hot paths decode from a single 64-bit window
+    fetched with one ``int.from_bytes`` (the buffer is zero-padded at
+    construction so the peek never over-runs)."""
 
     __slots__ = ("data", "pos", "readers_cache")
 
-    def __init__(self, data: bytes, pos_bits: int = 0):
-        self.data = data
+    def __init__(self, data: bytes, pos_bits: int = 0, prepadded: bool = False):
+        # pass prepadded=True (with data ending in bitio.pad()) to share one
+        # padded buffer across many readers instead of copying per reader
+        self.data = data if prepadded else data + _PAD
         self.pos = pos_bits
         self.readers_cache = None  # decode-kernel per-reader dispatch cache
 
@@ -74,7 +88,8 @@ class BitReader:
         return (chunk >> (((last + 1) << 3) - end)) & ((1 << k) - 1)
 
     def read_unary(self) -> int:
-        """Count 0-bits until the terminating 1-bit."""
+        """Count 0-bits until the terminating 1-bit (byte loop beats the
+        64-bit window fetch here: typical unary values are 0-2 bits)."""
         data = self.data
         p = self.pos
         n = 0
@@ -94,11 +109,23 @@ class BitReader:
             self.pos = p
             return n
 
+    def _window64(self) -> int:
+        """64 bits starting at the cursor (zero-padded past the end)."""
+        p = self.pos
+        i = p >> 3
+        chunk = int.from_bytes(self.data[i : i + 9], "big")  # 72 bits
+        return (chunk >> (8 - (p & 7))) & 0xFFFFFFFFFFFFFFFF
+
     def read_gamma(self) -> int:
-        msb = self.read_unary()
-        if msb == 0:
-            return 0
-        return ((1 << msb) | self.read_int(msb)) - 1
+        # gamma(x) = msb zeros, 1, then the msb low bits of x+1: the top
+        # 2*msb+1 bits of the window ARE x+1
+        w = self._window64()
+        if w == 0:  # long unary run (> 32 zeros); fall back
+            msb = self.read_unary()
+            return ((1 << msb) | self.read_int(msb)) - 1
+        lz = 64 - w.bit_length()
+        self.pos += 2 * lz + 1
+        return (w >> (63 - 2 * lz)) - 1
 
     def read_delta(self) -> int:
         msb = self.read_gamma()
@@ -107,9 +134,30 @@ class BitReader:
         return ((1 << msb) | self.read_int(msb)) - 1
 
     def read_zeta(self, k: int) -> int:
-        h = self.read_unary()
-        left = 1 << (h * k)
-        m = self.read_int(h * k + k - 1)
+        w = self._window64()
+        if w == 0:
+            h = self.read_unary()
+            left = 1 << (h * k)
+            m = self.read_int(h * k + k - 1)
+            if m < left:
+                return m + left - 1
+            return (m << 1) + self.read_bit() - 1
+        h = 64 - w.bit_length()
+        hk = h * k
+        need = h + 1 + hk + k - 1
+        if need <= 64:
+            left = 1 << hk
+            m = (w >> (64 - need)) & ((1 << (hk + k - 1)) - 1)
+            if m < left:
+                self.pos += need
+                return m + left - 1
+            extra = (w >> (63 - need)) & 1
+            self.pos += need + 1
+            return (m << 1) + extra - 1
+        # rare huge value: slow path
+        self.pos += h + 1
+        left = 1 << hk
+        m = self.read_int(hk + k - 1)
         if m < left:
             return m + left - 1
         return (m << 1) + self.read_bit() - 1

@@ -205,7 +205,9 @@ class _Decoder:
     """Shared decode state over one .graph buffer."""
 
     def __init__(self, graph_bytes: bytes, p: BVGraphProperties, offsets: np.ndarray | None = None):
-        self.data = graph_bytes
+        from .bitio import pad
+
+        self.data = pad(graph_bytes)  # padded ONCE; readers share it
         self.p = p
         self.offsets = offsets
 
@@ -227,7 +229,7 @@ class _Decoder:
         the reference chain like HdfsBVGraph.successors with window=None
         (HdfsBVGraph.java:189)."""
         assert self.offsets is not None, "random access requires offsets"
-        r = BitReader(self.data, int(self.offsets[x]))
+        r = BitReader(self.data, int(self.offsets[x]), prepadded=True)
         return self._decode_at(r, x, window=None, outd=None)
 
     def _decode_at(
@@ -323,7 +325,7 @@ class NodeIterator:
         cyclic = p.window_size + 1
         self.window: list[list[int]] = [[] for _ in range(cyclic)]
         self.outd = [0] * cyclic
-        self.reader = BitReader(graph_bytes)
+        self.reader = BitReader(self.dec.data, prepadded=True)
         if from_node > 0:
             if offsets is None:
                 raise ValueError("mid-graph start requires offsets")
