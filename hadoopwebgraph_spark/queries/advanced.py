@@ -1,0 +1,208 @@
+"""Advanced operator coverage: as-of join (an operator Spark lacks
+natively, built scalably from union+window), classic multi-join analytics
+(TPC-H Q3/Q5 shapes), and a pure non-equi join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import ORACLE_EVENT_TS, load
+from ..registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    right.ts <= left.ts within the same ``on`` key.
+
+    Spark has no native ASOF JOIN; a naive range join explodes. This is
+    the scalable formulation: union both sides tagged, one window per key
+    ordered by (ts, side) carrying last non-null right values forward,
+    then keep left rows. One shuffle on the key, no range explosion —
+    at 100 TB this is the difference between a sort within partitions and
+    an O(n*m) BNLJ.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    unioned = lt.select(rt.columns).union(rt)
+    # right rows sort before left rows at equal ts => "<=" semantics
+    w = (
+        W.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side", *right_cols)
+
+
+@register(
+    "q55_asof_join",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, {ORACLE_EVENT_TS} AS ts,
+                       event_type, value FROM events),
+    purchases AS (SELECT event_id, user_id, ts FROM ev
+                  WHERE event_type = 'purchase'),
+    views AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'view')
+    SELECT p.event_id,
+           p.user_id,
+           v.ts            AS last_view_ts,
+           round(v.value, 4) AS last_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="As-of join: each purchase event joined to the user's most recent "
+    "prior (or simultaneous) view. Spark side is the scalable union+window "
+    "formulation; the oracle is DuckDB's native ASOF JOIN.",
+)
+def q55_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", ts="ts", right_cols=["ts", "view_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("last_view_ts"),
+        F.round("asof_view_value", 4).alias("last_view_value"),
+    )
+
+
+@register(
+    "q56_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) + 0.5) AS BIGINT)
+               AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way fact join, filtered, grouped, top-10 by "
+    "revenue (classic shipping-priority query).",
+)
+def q56_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            # whole-unit rounding: join-reordered float sums can differ by
+            # ~1e-9 between engines; 4-decimal-quantized sums sit on .xx5
+            # round-to-cents boundaries ~1% of the time, whole units don't
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 0.5
+            )
+            .cast("bigint")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "q57_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join (two facts + four dims, broadcast "
+    "where small) with the local-supplier co-nation condition.",
+)
+def q57_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1996, 1997)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("bigint")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q58_pure_theta",
+    oracle="""
+    SELECT r_name, count(*) AS n_other_nations
+    FROM region JOIN nation ON r_regionkey <> n_regionkey
+    GROUP BY r_name
+    """,
+    doc="Pure non-equi join (no equi component -> broadcast nested loop): "
+    "legitimate only between small/dim inputs; facts always get an equi "
+    "key or a band bucket (see q08, SCALE.md).",
+)
+def q58_pure_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey != n.n_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_other_nations"))
+    )

@@ -37,8 +37,10 @@ from ..registry import register
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) + 0.5) AS BIGINT)
+               AS sum_disc_price,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 0.5) AS BIGINT)
+               AS sum_charge,
            round(avg(l_quantity), 2)                                        AS avg_qty,
            round(avg(l_extendedprice), 2)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -58,8 +60,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # whole-unit rounding for 4/6-decimal-quantized product sums:
+            # their cent-rounding boundaries are hit ~1% of groups, whole
+            # units are 1e-9-robust across engines
+            F.floor(F.sum(disc_price) + 0.5).cast("bigint").alias("sum_disc_price"),
+            F.floor(F.sum(disc_price * (1 + F.col("l_tax"))) + 0.5)
+            .cast("bigint")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),

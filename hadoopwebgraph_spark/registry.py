@@ -45,6 +45,7 @@ def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from .queries import relational  # noqa: F401
     from .queries import relational2  # noqa: F401
+    from .queries import advanced  # noqa: F401
     from .queries import windows  # noqa: F401
     from .queries import setops_scalar  # noqa: F401
     from .queries import streaming_batch  # noqa: F401
