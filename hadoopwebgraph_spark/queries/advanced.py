@@ -138,7 +138,12 @@ def q56_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .select(
+            "l_orderkey",
+            "revenue",
+            # normalize NTZ parquet timestamp to session-TZ timestamp (UTC)
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
         .limit(10)
     )
 

@@ -42,19 +42,50 @@ def _normalize(rows, cols):
     return sorted(out, key=repr)
 
 
+_TYPE_CLASS = {
+    # spark simpleString / duckdb type id -> comparable class
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "int", "hugeint": "int",
+    "float": "float", "double": "float", "real": "float",
+    "string": "str", "varchar": "str",
+    "boolean": "bool",
+    "timestamp": "ts", "timestamp_ns": "ts", "timestamp_ntz": "ts",
+    "timestamp with time zone": "ts",
+    "date": "date",
+}
+
+
+def _type_class(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "float"
+    return _TYPE_CLASS.get(t, t)
+
+
 def compare(spark, sf_dir: str, name: str, query_fn, sql: str) -> None:
     sdf = query_fn(spark, sf_dir)
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = [c.lower() for c in sdf.columns]
+    s_types = {
+        c.lower(): _type_class(f.dataType.simpleString()) for c, f in
+        zip(sdf.columns, sdf.schema.fields)
+    }
 
     con = duck_con(sf_dir)
     d_res = con.sql(sql)
     d_cols = [c.lower() for c in d_res.columns]
+    d_types = {
+        c.lower(): _type_class(str(t)) for c, t in zip(d_res.columns, d_res.types)
+    }
     d_rows = d_res.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    type_mismatch = {
+        c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]
+    }
+    assert not type_mismatch, f"{name}: dtype class mismatch {type_mismatch}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
     )
