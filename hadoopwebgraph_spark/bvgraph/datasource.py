@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -198,6 +199,11 @@ def _src_bounds(f: Filter) -> tuple[int | None, int | None]:
     """(lo_inclusive, hi_exclusive) bounds a filter implies on src."""
     col = getattr(f, "attribute", None)
     if col != ("src",):
+        return None, None
+    if isinstance(f, In):
+        vals = [v for v in f.value if isinstance(v, int)]
+        if vals and len(vals) == len(f.value):
+            return min(vals), max(vals) + 1
         return None, None
     v = getattr(f, "value", None)
     if not isinstance(v, int):
