@@ -32,6 +32,9 @@ HEADLINE = [
     "q22_window_running_sum",
     "q36_array_fns",
     "q37_json_fns",
+    "q55_asof_join",
+    "q56_shipping_priority",
+    "q57_local_supplier_volume",
     # extension + streaming-batch + graph queries appended as implemented
     "q50_tumbling_window",
     "q52_session_window",

@@ -120,7 +120,15 @@ class BVGraphReader(DataSourceReader):
         lo = max(0, self.from_node)
         hi = n if self.to_node_excl is None else min(n, self.to_node_excl)
         if n == 0 or lo >= hi:
-            return []
+            # the API requires >=1 partition; emit one empty range
+            return [
+                BVGraphPartition(
+                    graph_path=self.basename + ".graph",
+                    props_text=props_text,
+                    from_node=0,
+                    up_to=0,
+                )
+            ]
 
         graph_path = self.basename + ".graph"
         total_bits = int(offsets[hi]) - int(offsets[lo])

@@ -57,20 +57,24 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        # dangling nodes (no out-edges) leak rank; redistribute uniformly
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .collect()[0]["d"]
+        # dangling nodes (no out-edges) leak rank; redistribute uniformly —
+        # the dangling mass stays a broadcast 1-row aggregate inside the
+        # plan (no driver-side collect in the loop)
+        dangling = ranks.join(outdeg, ranks.node == outdeg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
-        base = (1.0 - damping) + damping * dangling / n
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.col("_dangling") / F.lit(float(n))
+                        + F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()  # truncate lineage each iteration
