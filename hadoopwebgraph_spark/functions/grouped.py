@@ -1,0 +1,64 @@
+"""Grouped-map Pandas UDF coverage (``applyInPandas``) — the per-group
+custom-compute surface. The demo operator fits a per-customer linear
+trend of order value over time; the oracle is DuckDB's ``regr_slope`` /
+``regr_intercept`` (the UDF computes the identical closed form)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    x = pdf["x"].to_numpy(dtype="float64")
+    y = pdf["o_totalprice"].to_numpy(dtype="float64")
+    n = len(x)
+    mx, my = x.mean(), y.mean()
+    varx = ((x - mx) ** 2).sum()
+    if varx == 0.0:
+        slope = None
+        intercept = None
+    else:
+        slope = float(((x - mx) * (y - my)).sum() / varx)
+        intercept = float(my - slope * mx)
+    return pd.DataFrame(
+        {
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [n],
+            "slope": [None if slope is None else round(slope, 4)],
+            "intercept": [None if intercept is None else round(intercept, 2)],
+        }
+    )
+
+
+@register(
+    "q91_grouped_map_regression",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(regr_slope(o_totalprice, epoch(o_orderdate) / 86400.0), 4)
+               AS slope,
+           round(regr_intercept(o_totalprice, epoch(o_orderdate) / 86400.0), 2)
+               AS intercept
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 2
+    """,
+    doc="Grouped-map applyInPandas: per-customer OLS trend of order value "
+    "over time (Arrow-batched, one pandas frame per group), matching "
+    "DuckDB's regr_slope/regr_intercept closed form.",
+)
+def q91_grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.unix_timestamp("o_orderdate") / 86400.0).alias("x"),
+    )
+    fitted = o.groupBy("o_custkey").applyInPandas(
+        _fit, "o_custkey long, n_orders long, slope double, intercept double"
+    )
+    return fitted.filter(F.col("n_orders") >= 2)

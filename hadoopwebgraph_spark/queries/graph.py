@@ -124,7 +124,10 @@ def g04_indegree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "handoff re-expressed as a DataFrame self-join).",
 )
 def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = edges_df(spark)
+    # localCheckpoint: decode the graph ONCE and reuse the materialized
+    # edge table on both sides of the self-join (Spark would otherwise
+    # re-run the scan per alias — no exchange reuse across a Python DS)
+    e = edges_df(spark).localCheckpoint()
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     joined = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -146,7 +149,7 @@ def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Feed-forward triangle motif count (three-way edge self-join).",
 )
 def g06_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = edges_df(spark)
+    e = edges_df(spark).localCheckpoint()  # one decode for all three sides
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
     from .functions import similarity  # noqa: F401
     from .functions import text  # noqa: F401
     from .functions import multimodal  # noqa: F401
+    from .functions import grouped  # noqa: F401
 
 
 def all_queries() -> dict[str, Query]:
