@@ -1,0 +1,72 @@
+"""Source/sink breadth: CSV and JSON round-trips with explicit schemas
+(never inferSchema in production paths), and an exactly-once-style
+foreachBatch streaming sink."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from hadoopwebgraph_spark.catalog import load
+
+
+def test_csv_roundtrip(spark, sf_small, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    n = load(spark, sf_small, "nation")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(out)
+    )
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in n.collect()
+    )
+
+
+def test_json_roundtrip(spark, sf_small, tmp_path):
+    out = str(tmp_path / "region_json")
+    r = load(spark, sf_small, "region")
+    r.write.mode("overwrite").json(out)
+    back = spark.read.schema("r_regionkey int, r_name string").json(out)
+    assert {x.r_name for x in back.collect()} == {x.r_name for x in r.collect()}
+
+
+def test_foreachbatch_parquet_sink(spark, sf_small, tmp_path):
+    """Streaming -> foreachBatch -> partitioned parquet: the exactly-once
+    pattern for arbitrary sinks (batch id available for idempotence)."""
+    from hadoopwebgraph_spark.streaming import streams
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", src / "p0.parquet")
+    out = str(tmp_path / "out")
+
+    ev = streams.stream_events(spark, str(src))
+    agg = (
+        ev.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    result = spark.read.parquet(out)
+    batch = (
+        load(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    assert result.count() == batch
