@@ -162,6 +162,60 @@ class BitReader:
             return m + left - 1
         return (m << 1) + self.read_bit() - 1
 
+    def read_zeta_run(self, n: int, k: int) -> list[int]:
+        """Decode n consecutive zeta-k codes with all state in locals —
+        the residual-stream hot loop (values < 2^32 always fit one
+        64-bit window: h <= 31/k, so h+1 + h*k+k <= 64)."""
+        data = self.data
+        p = self.pos
+        out = []
+        append = out.append
+        for _ in range(n):
+            i = p >> 3
+            w = (
+                int.from_bytes(data[i : i + 9], "big") >> (8 - (p & 7))
+            ) & 0xFFFFFFFFFFFFFFFF
+            if w == 0:  # degenerate long-zero run; defer to slow path
+                self.pos = p
+                append(self.read_zeta(k))
+                p = self.pos
+                continue
+            h = 64 - w.bit_length()
+            hk = h * k
+            need = h + hk + k  # h+1 + hk+k-1
+            left = 1 << hk
+            m = (w >> (64 - need)) & ((1 << (hk + k - 1)) - 1)
+            if m < left:
+                p += need
+                append(m + left - 1)
+            else:
+                append((m << 1) + ((w >> (63 - need)) & 1) - 1)
+                p += need + 1
+        self.pos = p
+        return out
+
+    def read_gamma_run(self, n: int) -> list[int]:
+        """Decode n consecutive gamma codes with state in locals."""
+        data = self.data
+        p = self.pos
+        out = []
+        append = out.append
+        for _ in range(n):
+            i = p >> 3
+            w = (
+                int.from_bytes(data[i : i + 9], "big") >> (8 - (p & 7))
+            ) & 0xFFFFFFFFFFFFFFFF
+            if w == 0:
+                self.pos = p
+                append(self.read_gamma())
+                p = self.pos
+                continue
+            lz = 64 - w.bit_length()
+            p += 2 * lz + 1
+            append((w >> (63 - 2 * lz)) - 1)
+        self.pos = p
+        return out
+
     def read_nibble(self) -> int:
         x = 0
         while True:

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .bitio import BitReader, BitWriter, int2nat, nat2int
+from .bitio import GAMMA, ZETA, BitReader, BitWriter, int2nat, nat2int
 from .properties import BVGraphProperties
 
 
@@ -291,10 +291,17 @@ class _Decoder:
 
         residuals: list[int] = []
         if extra_count > 0:
-            v = x + nat2int(rd_res())
+            code = p.residual_code
+            if code == ZETA:
+                raw = r.read_zeta_run(extra_count, p.zeta_k)
+            elif code == GAMMA:
+                raw = r.read_gamma_run(extra_count)
+            else:
+                raw = [rd_res() for _ in range(extra_count)]
+            v = x + nat2int(raw[0])
             residuals.append(v)
-            for _ in range(extra_count - 1):
-                v += rd_res() + 1
+            for g in raw[1:]:
+                v += g + 1
                 residuals.append(v)
 
         if not copied and not intervals:

@@ -213,3 +213,49 @@ def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
     )
+
+
+@register(
+    "q72_dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 4) AS cos
+    FROM pairs WHERE cos >= 0.9
+    """,
+    doc="Embedding-cosine near-dup dedup: candidate pairs blocked by the "
+    "label cell (IVF-style blocking — same-cell pairs only, never the "
+    "O(n^2) cross join), exact cosine >= 0.9 within the block. At 100 TB "
+    "the cell id is the shuffle/bucket key; cross-cell near-dups are "
+    "bounded by the quantizer quality, the standard ANN-dedup trade.",
+)
+def q72_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+            6,
+        ).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= 0.9).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos")
+    )
