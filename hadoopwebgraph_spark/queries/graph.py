@@ -35,9 +35,18 @@ _T = f"read_parquet('{SMALL_PARQUET}')"
 
 def graph_df(spark: SparkSession, basename: str | None = None) -> DataFrame:
     """Adjacency DataFrame from the BVGraph source (env override for
-    benchmarking against the larger committed fixture)."""
+    benchmarking against the larger committed fixture).
+
+    numSplits defaults to the cluster's core count rather than the
+    reference's fixed 100 (WebGraphInputFormat.java:19): per-task Python
+    worker round-trips dominate when tasks decode only a few KB."""
     basename = basename or os.environ.get("SPARK_GRAFT_GRAPH_BASENAME", SMALL_BASENAME)
-    return read_bvgraph(spark, basename)
+    num_splits = int(
+        os.environ.get(
+            "SPARK_GRAFT_GRAPH_SPLITS", spark.sparkContext.defaultParallelism
+        )
+    )
+    return read_bvgraph(spark, basename, num_splits=num_splits)
 
 
 def edges_df(spark: SparkSession, basename: str | None = None) -> DataFrame:
