@@ -230,3 +230,30 @@ def g10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("adj").alias("outdeg"),
         F.col("adj").getItem(0).alias("first_succ"),
     )
+
+
+@register(
+    "q49_collect_agg",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           CAST(count(DISTINCT s_name) AS INTEGER) AS n_uniq
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Collection aggregates: collect_list -> sorted join (string_agg "
+    "oracle) and collect_set cardinality.",
+)
+def q49_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.size(F.collect_set("s_name")).alias("n_uniq"),
+        )
+    )
