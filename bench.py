@@ -64,6 +64,16 @@ def main() -> None:
     # bvgraph source and pandas UDFs run in python workers whose first
     # spawn costs seconds; that's pool startup, not query time).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+
+    # warm whole-stage-codegen + scan machinery on the fact table (first
+    # query in a fresh JVM otherwise pays ~1s of compile)
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_linestatus")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+        .collect()
+    )
     from hadoopwebgraph_spark.queries.graph import graph_df
 
     graph_df(spark).count()
