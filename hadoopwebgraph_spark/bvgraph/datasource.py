@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
 from .codec import NodeIterator, load_offsets
+from .io import read_bytes, read_text
 from .properties import BVGraphProperties, parse_properties
 
 DEFAULT_SPLITS = 100  # WebGraphInputFormat.java:19
@@ -110,11 +111,9 @@ class BVGraphReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        with open(self.basename + ".properties") as f:
-            props_text = f.read()
+        props_text = read_text(self.basename + ".properties")
         p = parse_properties(props_text)
-        with open(self.basename + ".offsets", "rb") as f:
-            offsets = load_offsets(f.read(), p)
+        offsets = load_offsets(read_bytes(self.basename + ".offsets"), p)
 
         n = p.nodes
         lo = max(0, self.from_node)
@@ -168,8 +167,7 @@ class BVGraphReader(DataSourceReader):
         import pyarrow as pa
 
         p = parse_properties(partition.props_text)
-        with open(partition.graph_path, "rb") as f:
-            graph_bytes = f.read()
+        graph_bytes = read_bytes(partition.graph_path)
 
         offsets = _OffsetSlice(partition.seed_base, partition.seed_offsets)
         it = NodeIterator(

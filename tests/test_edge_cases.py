@@ -33,3 +33,11 @@ def test_single_node_self_loop(spark, tmp_path):
     base = _write(tmp_path, "one", [[0]])
     rows = read_bvgraph(spark, base, num_splits=5).collect()
     assert len(rows) == 1 and rows[0].src == 0 and list(rows[0].adj) == [0]
+
+
+def test_file_uri_access(spark, tmp_path):
+    """URI-based access path (pyarrow.fs): same source code serves
+    file:// locally and s3://, gs://, hdfs:// in production."""
+    base = _write(tmp_path, "uri", [[1], [0], []])
+    rows = read_bvgraph(spark, "file://" + base, num_splits=2).orderBy("src").collect()
+    assert [(r.src, list(r.adj)) for r in rows] == [(0, [1]), (1, [0]), (2, [])]
