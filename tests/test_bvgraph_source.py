@@ -87,3 +87,26 @@ def test_bad_options(spark):
         spark.read.format("bvgraph").load().collect()  # missing basename
     with pytest.raises(Exception):
         read_bvgraph(spark, SMALL_BASENAME, num_splits=0).collect()
+
+
+def test_bench_fixture_partition_invariance(spark):
+    """100k-node fixture: byte-balanced boundaries land mid-window
+    everywhere; checksums must be split-invariant."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.queries.graph import BENCH_BASENAME
+
+    def checksum(num_splits):
+        df = read_bvgraph(spark, BENCH_BASENAME, num_splits=num_splits)
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("adj")).alias("m"),
+            F.sum(F.col("src") * F.size("adj")).alias("w"),
+            F.sum(F.expr("aggregate(adj, 0L, (a, x) -> a + x)")).alias("s"),
+        ).collect()[0]
+        return (row.n, row.m, row.w, row.s)
+
+    base = checksum(1)
+    assert base[0] == 100000
+    for k in (13, 64):
+        assert checksum(k) == base
