@@ -27,6 +27,11 @@ def get_spark(app_name: str = "hadoopwebgraph_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table demos (saveAsTable/bucketBy) write here
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/hwg_warehouse"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
         # rejects; read it as raw nanos (long) and let catalog.load_events
