@@ -392,3 +392,50 @@ def q65_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= 2)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
+
+
+_CLUSTER_ORACLE = _MINHASH_CTE + """
+    , sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    members AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+    SELECT cluster_id   AS keep_doc_id,
+           count(*)     AS n_members
+    FROM members
+    GROUP BY cluster_id
+"""
+
+
+@register(
+    "q66_dedup_clusters",
+    oracle="WITH RECURSIVE " + _CLUSTER_ORACLE.lstrip().removeprefix("WITH"),
+    doc="Near-dup cluster resolution: connected components over the "
+    "MinHash candidate-pair graph (iterative min-label propagation on "
+    "Spark), keep-first representative + cluster size per component. The "
+    "oracle computes the same fixpoint as a DuckDB recursive-CTE "
+    "transitive closure — certifying the iterative DataFrame loop "
+    "value-for-value.",
+)
+def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph_algos import connected_components
+
+    cand = q62_dedup_minhash(spark, sf_dir)
+    edges = cand.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    cc = connected_components(edges)
+    return (
+        cc.groupBy(F.col("component").alias("keep_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
