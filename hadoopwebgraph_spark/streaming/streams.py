@@ -104,6 +104,42 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_after_views(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user views
+    that happened within the preceding hour. Both sides watermarked, and
+    the join condition bounds event-time distance, so state for each side
+    is evicted once the watermark passes — the canonical bounded-state
+    stream join."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            """
+            p_user = v_user AND
+            v_ts <= p_ts AND
+            v_ts >= p_ts - INTERVAL 1 HOUR
+            """
+        ),
+    ).select("purchase_id", "view_id", "p_user", "p_ts", "v_ts")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming plan to completion into a memory sink (tests)."""
     q = (

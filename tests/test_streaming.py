@@ -84,3 +84,32 @@ def test_stateful_running_totals(spark, sf_small, events_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, sf_small, events_dir):
+    """Watermarked stream-stream join must match the equivalent batch
+    interval join over the full replay."""
+    from pyspark.sql import functions as F
+
+    ev = streams.stream_events(spark, events_dir)
+    q = streams.run_to_memory(
+        streams.purchases_after_views(ev), "t_ssjoin", "append"
+    )
+    try:
+        got = spark.sql("SELECT count(*) AS n FROM t_ssjoin").collect()[0].n
+        e = load(spark, sf_small, "events")
+        v = e.filter("event_type = 'view'").select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+        )
+        p = e.filter("event_type = 'purchase'").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        want = p.join(
+            v,
+            F.expr(
+                "p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"
+            ),
+        ).count()
+        assert got == want
+    finally:
+        q.stop()
