@@ -13,8 +13,12 @@ carries ``(from, upTo, start_bit)`` plus the tiny offsets slice needed to
 seed the decode window mid-graph — executors never reload the offsets
 file (fixing the per-task reload flaw noted in SURVEY.md §3.1).
 
-Executor-side ``read`` decodes its node range sequentially and yields
-Arrow record batches (columnar end-to-end; the reference is row-at-a-time).
+Executor-side ``read`` issues ONE ranged byte request covering exactly
+its partition's extent ``[offsets[seed_base]>>3, ceil(offsets[up_to]/8))``
+(bit positions rebased to the buffer), decodes the node range
+sequentially, and yields Arrow record batches (columnar end-to-end; the
+reference is row-at-a-time). Total bytes moved per scan ≈ file size
+regardless of partition count — no read amplification.
 
 Filter pruning: ``src`` range predicates prune partitions at plan time.
 We conservatively report every filter as unsupported so Spark re-applies
@@ -43,10 +47,31 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
 from .codec import NodeIterator, load_offsets
-from .io import read_bytes, read_text
+from .io import file_stat, read_bytes, read_bytes_range, read_text
 from .properties import BVGraphProperties, parse_properties
 
 DEFAULT_SPLITS = 100  # WebGraphInputFormat.java:19
+
+# Driver-side plan cache: parsing .properties and folding the delta-coded
+# .offsets stream is O(n) — do it once per (basename, file identity), not
+# once per action (the reference reloads offsets per TASK, its worst flaw;
+# SURVEY.md §3.1 step 4).
+_PLAN_CACHE: dict[tuple, tuple] = {}
+
+
+def _plan_state(basename: str):
+    """(props_text, props, offsets ndarray) for a basename, cached on the
+    offsets file's (size, mtime) identity."""
+    key = (basename, *file_stat(basename + ".offsets"))
+    hit = _PLAN_CACHE.get(key)
+    if hit is None:
+        props_text = read_text(basename + ".properties")
+        p = parse_properties(props_text)
+        offsets = load_offsets(read_bytes(basename + ".offsets"), p)
+        if len(_PLAN_CACHE) > 8:  # bound driver memory across basenames
+            _PLAN_CACHE.clear()
+        hit = _PLAN_CACHE[key] = (props_text, p, offsets)
+    return hit
 
 SCHEMA = StructType(
     [
@@ -57,16 +82,27 @@ SCHEMA = StructType(
 
 
 class _OffsetSlice:
-    """Absolute-indexed view over a shipped offsets sub-array."""
+    """Absolute-indexed view over a shipped offsets sub-array, rebased to
+    the partition's ranged byte window: entry ``i`` is the bit position of
+    node ``i`` *within the buffer read by this task* (absolute bit minus
+    ``bit_base``). Out-of-slice access fails loudly — a reference chain
+    deeper than the planned backreach is a bug, not a wraparound."""
 
-    __slots__ = ("base", "arr")
+    __slots__ = ("base", "arr", "bit_base")
 
-    def __init__(self, base: int, arr: list[int]):
+    def __init__(self, base: int, arr: list[int], bit_base: int = 0):
         self.base = base
         self.arr = arr
+        self.bit_base = bit_base
 
     def __getitem__(self, i: int) -> int:
-        return self.arr[i - self.base]
+        j = i - self.base
+        if j < 0 or j >= len(self.arr):
+            raise IndexError(
+                f"node {i} outside shipped offsets slice "
+                f"[{self.base}, {self.base + len(self.arr)})"
+            )
+        return self.arr[j] - self.bit_base
 
 
 @dataclass
@@ -79,6 +115,10 @@ class BVGraphPartition(InputPartition):
     # seeding plus reference-chain recursion during seeding
     seed_base: int = 0
     seed_offsets: list[int] = field(default_factory=list)
+    # byte extent of this task's single ranged read:
+    # [offsets[seed_base] >> 3, ceil(offsets[up_to] / 8))
+    start_byte: int = 0
+    end_byte: int = 0
 
 
 class BVGraphReader(DataSourceReader):
@@ -111,9 +151,7 @@ class BVGraphReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        props_text = read_text(self.basename + ".properties")
-        p = parse_properties(props_text)
-        offsets = load_offsets(read_bytes(self.basename + ".offsets"), p)
+        props_text, p, offsets = _plan_state(self.basename)
 
         n = p.nodes
         lo = max(0, self.from_node)
@@ -158,6 +196,8 @@ class BVGraphReader(DataSourceReader):
                     up_to=end,
                     seed_base=seed_base,
                     seed_offsets=[int(x) for x in offsets[seed_base : start + 1]],
+                    start_byte=int(offsets[seed_base]) >> 3,
+                    end_byte=(int(offsets[end]) + 7) >> 3,
                 )
             )
             start = end
@@ -167,9 +207,22 @@ class BVGraphReader(DataSourceReader):
         import pyarrow as pa
 
         p = parse_properties(partition.props_text)
-        graph_bytes = read_bytes(partition.graph_path)
+        # ONE ranged request for exactly this task's byte extent — never the
+        # whole file (≙ the reference's per-split seekable stream,
+        # WebGraphInputFormat.java:108, HdfsRepositionableStream.java:17-29).
+        graph_bytes = read_bytes_range(
+            partition.graph_path,
+            partition.start_byte,
+            partition.end_byte - partition.start_byte,
+        )
 
-        offsets = _OffsetSlice(partition.seed_base, partition.seed_offsets)
+        # bit positions in the shipped offsets are absolute; rebase them to
+        # the ranged buffer, which starts at start_byte*8
+        offsets = _OffsetSlice(
+            partition.seed_base,
+            partition.seed_offsets,
+            bit_base=partition.start_byte << 3,
+        )
         it = NodeIterator(
             graph_bytes,
             p,

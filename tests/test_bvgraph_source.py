@@ -110,3 +110,55 @@ def test_bench_fixture_partition_invariance(spark):
     assert base[0] == 100000
     for k in (13, 64):
         assert checksum(k) == base
+
+
+def test_ranged_reads_only_partition_extent(monkeypatch):
+    """Each task must request exactly its partition's byte extent — the sum
+    over tasks stays ~file size for any split count (no amplification)."""
+    import os
+
+    from hadoopwebgraph_spark.bvgraph import datasource as ds
+    from hadoopwebgraph_spark.bvgraph.properties import parse_properties
+
+    file_size = os.path.getsize(SMALL_BASENAME + ".graph")
+    reader = BVGraphReader({"basename": SMALL_BASENAME, "numsplits": "16"})
+    parts = reader.partitions()
+    assert len(parts) == 16
+
+    requests: list[tuple[int, int]] = []
+    real_range = ds.read_bytes_range
+
+    def spy(path, start, length):
+        requests.append((start, length))
+        return real_range(path, start, length)
+
+    monkeypatch.setattr(ds, "read_bytes_range", spy)
+    total_rows = 0
+    for part in parts:
+        total_rows += sum(b.num_rows for b in reader.read(part))
+    assert total_rows == 2000
+
+    # every request stays within the file and matches the planned extent
+    for (start, length), part in zip(requests, parts):
+        assert start == part.start_byte
+        assert start + length <= file_size
+        assert length == part.end_byte - part.start_byte
+        assert length < file_size  # strictly partial reads with 16 splits
+    # coverage: exactly the file, plus only the small seeding backreach
+    covered = sum(length for _, length in requests)
+    p = parse_properties(open(SMALL_BASENAME + ".properties").read())
+    backreach_bound = 16 * (p.window_size * (p.max_ref_count + 2) + 2) * file_size // 2000
+    assert file_size <= covered <= file_size + backreach_bound
+
+
+def test_offset_slice_out_of_range_fails_loudly():
+    from hadoopwebgraph_spark.bvgraph.datasource import _OffsetSlice
+
+    s = _OffsetSlice(10, [80, 90, 100], bit_base=80)
+    assert s[10] == 0 and s[12] == 20
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        s[9]
+    with _pytest.raises(IndexError):
+        s[13]
