@@ -7,11 +7,18 @@ The BVGraph format is a single sequential gap-coded bit stream, so the
 final assembly is inherently order-dependent: partitions are encoded
 INDEPENDENTLY in parallel as window-isolated segments (the first
 ``window_size`` nodes of each segment encode with refs limited to the
-segment), then the driver concatenates segment bit-streams and rebases
-offsets. Window isolation at segment boundaries costs a little
+segment), then the driver streams the segments into the output file in
+src order. Window isolation at segment boundaries costs a little
 compression but keeps the encode embarrassingly parallel — the same
 trade the reference's *read* side makes by seeding windows at split
 starts (HdfsBVGraph.java:221-229).
+
+Scale design: segments arrive via ``toLocalIterator`` (one partition in
+driver memory at a time, not ``collect``), bodies are re-phased to the
+output bit cursor with one vectorized NumPy shift per segment (no
+per-byte Python loop), and bytes are flushed to the file as they
+complete — peak driver memory is O(largest segment), independent of
+total graph size.
 """
 
 from __future__ import annotations
@@ -20,7 +27,62 @@ from pyspark.sql import DataFrame
 
 from .bitio import BitWriter
 from .codec import BVGraphFiles, _encode_node, encode_graph
-from .properties import BVGraphProperties
+from .properties import BVGraphProperties, format_properties
+
+
+class _BitStreamOut:
+    """Append bit-streams of arbitrary length to a file handle, tracking a
+    sub-byte cursor. Byte bodies are re-phased with a vectorized shift."""
+
+    __slots__ = ("fh", "cur", "fill", "nbits")
+
+    def __init__(self, fh):
+        self.fh = fh
+        self.cur = 0  # low `fill` bits = next bits of the stream
+        self.fill = 0
+        self.nbits = 0
+
+    def append_body(self, body: bytes) -> None:
+        """Append len(body)*8 bits (the complete bytes of a segment)."""
+        if not body:
+            return
+        k = self.fill
+        if k == 0:
+            self.fh.write(body)
+        else:
+            import numpy as np
+
+            arr = np.frombuffer(body, dtype=np.uint8)
+            x = arr.astype(np.uint16)
+            prev = np.empty(len(arr), dtype=np.uint16)
+            prev[0] = self.cur
+            prev[1:] = x[:-1]
+            out = (((prev << (8 - k)) | (x >> k)) & 0xFF).astype(np.uint8)
+            self.fh.write(out.tobytes())
+            self.cur = int(arr[-1]) & ((1 << k) - 1)
+        self.nbits += 8 * len(body)
+
+    def append_bits(self, val: int, nb: int) -> None:
+        """Append nb (< 64) bits — a segment's trailing partial byte."""
+        if nb == 0:
+            return
+        cur = (self.cur << nb) | (val & ((1 << nb) - 1))
+        fill = self.fill + nb
+        out = bytearray()
+        while fill >= 8:
+            fill -= 8
+            out.append((cur >> fill) & 0xFF)
+        if out:
+            self.fh.write(bytes(out))
+        self.cur = cur & ((1 << fill) - 1)
+        self.fill = fill
+        self.nbits += nb
+
+    def close(self) -> None:
+        if self.fill:
+            self.fh.write(bytes([(self.cur << (8 - self.fill)) & 0xFF]))
+            self.cur = 0
+            self.fill = 0
 
 
 def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties:
@@ -28,9 +90,8 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
     BVGraph triple at ``basename``.
 
     Parallel encode: each Spark partition encodes its contiguous node
-    range into an independent bit segment (mapInPandas-free — plain
-    mapPartitions over rows since encoding is row-sequential anyway);
-    driver concatenates and writes the offsets stream.
+    range into an independent bit segment; the driver streams segments to
+    the output file in order (see module docstring for the memory bound).
     """
     from pyspark.sql import functions as F
 
@@ -46,10 +107,12 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
     def encode_partition(rows):
         adj: list[list[int]] = []
         first_src = None
+        arcs = 0
         for row in rows:
             if first_src is None:
                 first_src = row.src
             adj.append(list(row.adj))
+            arcs += len(row.adj)
         if first_src is None:
             return
         p = BVGraphProperties(nodes=len(adj), arcs=0, **props_template)
@@ -76,42 +139,46 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
             )
             _encode_node(w, p, x, succ, r, adj[local_x - r] if r else None)
             offsets.append(w.nbits)
-        yield (first_src, w.nbits, bytes(w.buf), w.fill, w.cur, offsets)
+        yield (first_src, arcs, bytes(w.buf), w.fill, w.cur, offsets)
 
-    segments = sorted(ranged.rdd.mapPartitions(encode_partition).collect())
+    # Stream segments through the driver in partition (= src range) order:
+    # repartitionByRange assigns ascending ranges to ascending partition
+    # ids, and toLocalIterator preserves partition order while holding only
+    # one partition's segment in memory at a time.
+    p0 = BVGraphProperties(nodes=max(n, 1), arcs=0, **props_template)
+    wr_offsets = BitWriter()
+    wr_off = wr_offsets.make_writer(p0.offset_code, p0.zeta_k)
 
-    # driver-side bit-level concatenation + offset rebase
-    out = BitWriter()
-    all_offsets = [0]
     arcs_total = 0
     expected_next = 0
-    for first_src, nbits, body, fill, cur, offsets in segments:
-        assert first_src == expected_next, (
-            f"non-contiguous src ranges: expected {expected_next}, got {first_src}"
-        )
-        expected_next = first_src + len(offsets) - 1
-        base = out.nbits
-        # replay the segment's bits into the output writer
-        for byte in body:
-            out.write_int(byte, 8)
-        if fill:
-            out.write_int(cur, fill)
-        all_offsets.extend(base + o for o in offsets[1:])
-    assert expected_next == n, f"src not dense 0..{n - 1}"
-
-    # arcs = decodable from offsets? no — recount from df (distributed)
-    arcs_total = int(
-        df.select(F.sum(F.size("adj")).alias("m")).collect()[0]["m"] or 0
-    )
+    last_offset = 0
+    wr_off(0)  # offsets stream entry for node 0
+    with open(basename + ".graph", "wb") as fh:
+        out = _BitStreamOut(fh)
+        for first_src, seg_arcs, body, fill, cur, offsets in (
+            ranged.rdd.mapPartitions(encode_partition).toLocalIterator()
+        ):
+            assert first_src == expected_next, (
+                f"non-contiguous src ranges: expected {expected_next}, got {first_src}"
+            )
+            expected_next = first_src + len(offsets) - 1
+            arcs_total += seg_arcs
+            base = out.nbits
+            out.append_body(body)
+            if fill:
+                out.append_bits(cur, fill)
+            for o in offsets[1:]:
+                abs_off = base + o
+                wr_off(abs_off - last_offset)
+                last_offset = abs_off
+        assert expected_next == n, f"src not dense 0..{n - 1}"
+        out.close()
 
     p = BVGraphProperties(nodes=n, arcs=arcs_total, **props_template)
-    ow = BitWriter()
-    wr_off = ow.make_writer(p.offset_code, p.zeta_k)
-    last = 0
-    for off in all_offsets:
-        wr_off(off - last)
-        last = off
-    BVGraphFiles(basename).write(out.to_bytes(), ow.to_bytes(), p)
+    with open(basename + ".offsets", "wb") as f:
+        f.write(wr_offsets.to_bytes())
+    with open(basename + ".properties", "w") as f:
+        f.write(format_properties(p))
     return p
 
 

@@ -88,3 +88,29 @@ def test_graph_algo_queries_run(spark, sf_small):
     assert all(r.rank > 0 for r in pr)
     cc = g12_connected_components(spark, sf_small).collect()
     assert sum(r.size * r.n_components for r in cc) == 2000  # every node labeled
+
+
+def test_bvgraph_sink_roundtrip_100k(spark, tmp_path):
+    """Streaming assembly at scale: 32 parallel segments re-phased into one
+    file; checksums must survive the roundtrip (peak driver memory is one
+    segment, not the graph)."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.queries.graph import BENCH_BASENAME
+
+    df = read_bvgraph(spark, BENCH_BASENAME, num_splits=32)
+
+    def checksum(frame):
+        r = frame.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("adj")).alias("m"),
+            F.sum(F.col("src") * F.size("adj")).alias("w"),
+            F.sum(F.expr("aggregate(adj, 0L, (a, x) -> a + x)")).alias("s"),
+        ).collect()[0]
+        return (r.n, r.m, r.w, r.s)
+
+    out_base = str(tmp_path / "big_rt")
+    p = write_bvgraph(df, out_base)
+    assert p.nodes == 100000
+    back = read_bvgraph(spark, out_base, num_splits=13)
+    assert checksum(back) == checksum(df)
