@@ -53,7 +53,7 @@ def cosine_topk(
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    scored = q.crossJoin(c).select(
+    scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
         F.round(

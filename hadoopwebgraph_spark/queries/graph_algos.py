@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .graph import edges_df
+from .graph import edges_df, graph_df
 
 
 def pagerank(
@@ -28,19 +28,24 @@ def pagerank(
     n_nodes: int | None = None,
     damping: float = 0.85,
     iterations: int = 10,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank with dangling-mass redistribution.
 
-    edges: DataFrame[src, dst]. Returns DataFrame[node, rank] with
-    sum(rank) == n (the conventional n-normalized form).
+    edges: DataFrame[src, dst]. nodes: optional DataFrame[node] giving the
+    full vertex set — pass the graph source's node column so fully
+    isolated nodes (outdeg 0, no in-edges — representable in BVGraph) get
+    rank rows too; without it the node set is derived from edges only.
+    Returns DataFrame[node, rank] with sum(rank) == n (the conventional
+    n-normalized form).
     """
-    spark = edges.sparkSession
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.persist()
     n = n_nodes if n_nodes is not None else nodes.count()
 
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -84,10 +89,20 @@ def pagerank(
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
-    """Weakly-connected components by iterative min-label propagation
-    (large-star-lite): each node adopts the smallest label in its closed
-    undirected neighborhood until fixpoint.
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50, check_every: int = 2
+) -> DataFrame:
+    """Weakly-connected components by min-label propagation with pointer
+    jumping: each node adopts the smallest label in its closed undirected
+    neighborhood, then labels are compressed one pointer hop
+    (label <- label-of-label) per iteration, giving O(log d) convergence on
+    a path of diameter d instead of O(d) for plain propagation.
+
+    Convergence is checked every ``check_every`` iterations (each check is
+    a driver action; propagation itself stays fully distributed). Raises
+    RuntimeError if the iteration cap is hit before fixpoint — silently
+    returning half-merged components would poison downstream dedup
+    clustering (q66).
 
     Returns DataFrame[node, component] (component = min node id in it).
     """
@@ -102,13 +117,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         .distinct()
         .select("node", F.col("node").alias("component"))
     )
-    for _ in range(max_iterations):
+    converged = False
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -116,19 +132,40 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint()  # feeds both sides of the jump join below
+        )
+        # pointer jumping: component ids are node ids, so one self-join
+        # rewrites each label to its label's label (path halving)
+        lhs = propagated.alias("l")
+        rhs = propagated.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        ).alias("r")
+        new_labels = (
+            lhs.join(rhs, F.col("l.component") == F.col("r.c_node"))
+            .select("node", F.col("c_comp").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        do_check = (it + 1) % check_every == 0 or it == max_iterations - 1
+        if do_check:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations"
+        )
     return labels
 
 
@@ -140,7 +177,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
 )
 def g11_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_df(spark)
-    pr = pagerank(e, iterations=10)
+    # node set from the source (enumerates all 0..n-1), not from edges —
+    # isolated nodes get their (1 - damping) base rank row
+    nodes = graph_df(spark).select(F.col("src").alias("node"))
+    pr = pagerank(e, iterations=10, nodes=nodes)
     return (
         pr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node"))

@@ -42,6 +42,31 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert ranks[1] > ranks[0]  # 1 receives 0's rank
 
 
+def test_connected_components_long_path_pointer_jumping(spark):
+    # 33-node path: plain min-label propagation needs ~32 iterations;
+    # pointer jumping must converge well under the cap of 12
+    e = _edges_df(spark, [(i, i + 1) for i in range(32)])
+    cc = {r.node: r.component for r in connected_components(e, max_iterations=12).collect()}
+    assert cc == {i: 0 for i in range(33)}
+
+
+def test_connected_components_raises_at_cap(spark):
+    e = _edges_df(spark, [(i, i + 1) for i in range(32)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iterations=1)
+
+
+def test_pagerank_isolated_nodes_get_rank(spark):
+    # node 5 is isolated (no edges at all); with an explicit node set it
+    # must still get the (1 - damping) base rank and total mass stays == n
+    e = _edges_df(spark, [(0, 1), (1, 0)])
+    nodes = spark.createDataFrame([(0,), (1,), (5,)], "node int")
+    pr = {r.node: r.rank for r in pagerank(e, iterations=30, nodes=nodes).collect()}
+    assert set(pr) == {0, 1, 5}
+    assert abs(sum(pr.values()) - 3.0) < 1e-6
+    assert pr[5] > 0
+
+
 def test_bvgraph_sink_roundtrip(spark, tmp_path):
     # read small fixture -> write through the distributed sink -> decode
     # files directly and via the source; adjacency must be identical

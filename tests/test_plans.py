@@ -54,6 +54,16 @@ def test_whole_stage_codegen(spark, sf_small):
     assert "WholeStageCodegen" in codegen
 
 
+def test_cosine_topk_broadcasts_queries(spark, sf_small):
+    from hadoopwebgraph_spark.functions.similarity import q70_sim_bruteforce_topk
+
+    plan = _plan(q70_sim_bruteforce_topk(spark, sf_small))
+    # the 10-row query side must broadcast; the corpus is never shuffled
+    # into a cartesian product
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_window_single_shuffle(spark, sf_small):
     import re
 
