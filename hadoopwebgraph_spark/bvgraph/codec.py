@@ -189,8 +189,14 @@ def load_offsets(offsets_bytes: bytes, p: BVGraphProperties) -> np.ndarray:
     """Fold the delta-coded offsets stream into an int64 bit-position array
     (n+1 entries) — the NumPy equivalent of the reference's Elias-Fano
     list (HdfsBVGraph.java:371-387,410-436). 8 bytes/node keeps 134M nodes
-    in ~1 GB driver memory; at the 2^31 ceiling use memory-mapping or a
-    succinct list."""
+    in ~1 GB driver memory; EliasFanoOffsets (below the planner) compacts
+    the retained copy."""
+    from . import native
+    from .bitio import pad as _pad
+
+    fast = native.decode_offsets(_pad(offsets_bytes), p.nodes + 1, p.offset_code, p.zeta_k)
+    if fast is not None:
+        return fast
     r = BitReader(offsets_bytes)
     rd = r.make_reader(p.offset_code, p.zeta_k)
     out = np.empty(p.nodes + 1, dtype=np.int64)
@@ -394,13 +400,20 @@ class BVGraphFiles:
 def write_offsets(graph_bytes: bytes, p: BVGraphProperties) -> bytes:
     """Regenerate the offsets stream by a full sequential decode — the
     reference's only sink (writeOffsets, HdfsBVGraph.java:394-408)."""
-    it = NodeIterator(graph_bytes, p)
+    from . import native
+    from .bitio import pad as _pad
+
+    res = native.decode_range(_pad(graph_bytes), p, 0, p.nodes, want_bitpos=True)
+    if res is not None:
+        positions = [0] + res[2].tolist()
+    else:
+        it = NodeIterator(graph_bytes, p)
+        positions = [0]
+        for _ in it:
+            positions.append(it.reader.pos)
     w = BitWriter()
     wr_off = w.make_writer(p.offset_code, p.zeta_k)
     last = 0
-    positions = [0]
-    for _ in it:
-        positions.append(it.reader.pos)
     for pos in positions:
         wr_off(pos - last)
         last = pos

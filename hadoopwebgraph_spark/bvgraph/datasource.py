@@ -131,6 +131,9 @@ class BVGraphReader(DataSourceReader):
         if self.num_splits < 1:
             raise ValueError(f"numSplits must be >= 1, got {self.num_splits}")
         self.batch_rows = int(options.get("batchrows", 8192))
+        # .option("nonative", "true") forces the pure-Python decode path
+        # (used by tests to certify the fallback through the full source)
+        self.use_native = options.get("nonative", "").lower() != "true"
         # manual pruning knobs (also driven by pushFilters)
         self.from_node = int(options.get("fromnode", 0))
         self.to_node_excl: int | None = (
@@ -207,6 +210,8 @@ class BVGraphReader(DataSourceReader):
         import pyarrow as pa
 
         p = parse_properties(partition.props_text)
+        if partition.up_to <= partition.from_node:
+            return
         # ONE ranged request for exactly this task's byte extent — never the
         # whole file (≙ the reference's per-split seekable stream,
         # WebGraphInputFormat.java:108, HdfsRepositionableStream.java:17-29).
@@ -215,13 +220,55 @@ class BVGraphReader(DataSourceReader):
             partition.start_byte,
             partition.end_byte - partition.start_byte,
         )
+        bit_base = partition.start_byte << 3
+
+        if self.use_native:
+            from .bitio import pad as _pad
+            from . import native
+
+            import numpy as np
+
+            seeds = (
+                np.asarray(partition.seed_offsets, dtype=np.int64) - bit_base
+                if partition.from_node > 0
+                else None
+            )
+            res = native.decode_range(
+                _pad(graph_bytes),
+                p,
+                partition.from_node,
+                partition.up_to,
+                seed_offsets=seeds,
+                seed_base=partition.seed_base,
+                start_bit=int(seeds[-1]) if seeds is not None else 0,
+            )
+            if res is not None:
+                values, list_offsets, _ = res
+                n = partition.up_to - partition.from_node
+                srcs = np.arange(
+                    partition.from_node, partition.up_to, dtype=np.int32
+                )
+                for s in range(0, n, self.batch_rows):
+                    e = min(s + self.batch_rows, n)
+                    lo, hi = int(list_offsets[s]), int(list_offsets[e])
+                    adj = pa.ListArray.from_arrays(
+                        pa.array(
+                            (list_offsets[s : e + 1] - lo).astype(np.int32)
+                        ),
+                        pa.array(values[lo:hi]),
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(srcs[s:e]), adj], names=["src", "adj"]
+                    )
+                return
+            # kernel unavailable/errored: fall through to the Python decoder
 
         # bit positions in the shipped offsets are absolute; rebase them to
         # the ranged buffer, which starts at start_byte*8
         offsets = _OffsetSlice(
             partition.seed_base,
             partition.seed_offsets,
-            bit_base=partition.start_byte << 3,
+            bit_base=bit_base,
         )
         it = NodeIterator(
             graph_bytes,

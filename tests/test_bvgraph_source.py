@@ -27,6 +27,20 @@ def test_partition_invariance(spark, twin, num_splits):
     assert rows == twin
 
 
+def test_python_fallback_path_matches_native(spark, twin):
+    """.option('nonative','true') forces the pure-Python decoder through
+    the full Spark source; result must equal the default (C kernel) path."""
+    df = (
+        spark.read.format("bvgraph")
+        .option("basename", SMALL_BASENAME)
+        .option("numSplits", 7)
+        .option("nonative", "true")
+        .load()
+    )
+    rows = {r.src: list(r.adj) for r in df.collect()}
+    assert rows == twin
+
+
 def test_actual_splits_le_requested(spark):
     df = read_bvgraph(spark, SMALL_BASENAME, num_splits=100000)
     # can't exceed node count (mirrors actualSplits <= requested,

@@ -52,6 +52,64 @@ def test_roundtrip_any_graph_any_params(adj, kw):
         assert part == adj[mid:]
 
 
+_FLAG_STRINGS = st.sampled_from(
+    [
+        "",
+        "RESIDUALS_GAMMA",
+        "RESIDUALS_DELTA|OUTDEGREES_DELTA",
+        "BLOCKS_DELTA|BLOCK_COUNT_DELTA|REFERENCES_GAMMA",
+        "RESIDUALS_NIBBLE|OFFSETS_DELTA",
+        "OUTDEGREES_ZETA|RESIDUALS_ZETA",
+    ]
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(adjacency(), params(), _FLAG_STRINGS)
+def test_native_kernel_matches_python(adj, kw, flags):
+    """The C kernel and the Python decoder are pinned to identical output
+    on arbitrary graphs, format params, and per-field code choices —
+    full-range, mid-range with window seeding, and per-node bit positions."""
+    import numpy as np
+    import pytest
+
+    from hadoopwebgraph_spark.bvgraph import native
+    from hadoopwebgraph_spark.bvgraph.bitio import pad
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler available")
+    if kw["min_interval_length"] == 0:
+        kw["min_interval_length"] = 1
+    g, ob, p = encode_graph(adj, compressionflags=flags, **kw)
+    assert decode_all(g, p) == adj  # python spec holds under these codes
+
+    padded = pad(g)
+    res = native.decode_range(padded, p, 0, p.nodes, want_bitpos=True)
+    assert res is not None
+    vals, offs, bitpos = res
+    got = [vals[offs[i] : offs[i + 1]].tolist() for i in range(p.nodes)]
+    assert got == adj
+
+    if adj:
+        offsets = load_offsets(ob, p)
+        # bit cursor after each node == the offsets stream's positions
+        assert np.array_equal(bitpos, offsets[1:])
+        mid = len(adj) // 2
+        res2 = native.decode_range(
+            padded,
+            p,
+            mid,
+            p.nodes,
+            seed_offsets=offsets[: mid + 1],
+            seed_base=0,
+            start_bit=int(offsets[mid]),
+        )
+        assert res2 is not None
+        v2, o2, _ = res2
+        got2 = [v2[o2[i] : o2[i + 1]].tolist() for i in range(p.nodes - mid)]
+        assert got2 == adj[mid:]
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), max_size=50))
 def test_code_roundtrip_any_values(values):
