@@ -19,6 +19,8 @@ Scale design (100 TB of vectors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -27,6 +29,10 @@ from ..registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
+# near-dup cosine threshold for q72: 0.3 matches this fixture's geometry
+# (no true duplicate vectors; max same-cell cos ~0.47, so 0.3 surfaces the
+# top percentile) — override per-corpus, e.g. 0.95 for real dedup
+EMB_DEDUP_THRESHOLD = float(os.environ.get("SPARK_GRAFT_EMB_DEDUP_THRESHOLD", "0.3"))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -215,6 +221,145 @@ def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_centroids(corpus: DataFrame, k: int = 10, iterations: int = 4) -> DataFrame:
+    """Spherical k-means centroids as DataFrame jobs (no driver collect).
+
+    corpus: DataFrame[vec_id, v array<float>]. Init is deterministic (the
+    k lowest vec_ids); each Lloyd iteration = one broadcast cross of the
+    tiny centroid table against the corpus (argmax-cosine assignment) +
+    one posexplode/groupBy per-dimension mean. Empty cells keep their
+    previous centroid. At 100 TB the corpus is scanned once per iteration
+    with only k*dims rows shuffled — the standard distributed Lloyd shape.
+
+    Returns DataFrame[cid int, cvec array<double>].
+    """
+    seed_w = W.orderBy("vec_id")
+    cent = (
+        corpus.orderBy("vec_id")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(seed_w) - 1)
+        .select(
+            "cid",
+            F.transform("v", lambda x: x.cast("double")).alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    assign_w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    for _ in range(iterations):
+        assigned = (
+            corpus.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "cid",
+                F.round(
+                    _dot(F.col("v"), F.col("cvec"))
+                    / (_norm(F.col("v")) * _norm(F.col("cvec"))),
+                    6,
+                ).alias("ccos"),
+            )
+            .withColumn("rk", F.row_number().over(assign_w))
+            .filter(F.col("rk") == 1)
+        )
+        new_cent = (
+            assigned.select("cid", F.posexplode("v").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(F.avg(F.col("val").cast("double")).alias("avg_v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "avg_v"))),
+                    lambda x: x["avg_v"],
+                ).alias("cvec")
+            )
+        )
+        cent = (
+            cent.alias("o")
+            .join(new_cent.alias("n"), "cid", "left")
+            .select(
+                "cid", F.coalesce(F.col("n.cvec"), F.col("o.cvec")).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def assign_cells(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Argmax-cosine cell assignment: DataFrame[vec_id, v, cid]."""
+    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.round(
+                _dot(F.col("v"), F.col("cvec"))
+                / (_norm(F.col("v")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("ccos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+@register(
+    "q73_sim_ivf_kmeans_topk",
+    oracle=None,  # iterative k-means isn't one SQL statement; certified by
+    # the recall test vs the exact q70 baseline (tests/test_extensions.py)
+    doc="IVF top-k over LEARNED centroids: 4 distributed Lloyd iterations "
+    "(k=10, deterministic seed = lowest vec_ids), nprobe=2 cell probe, "
+    "exact rerank within probed cells. On the fixture recall@5 ~0.44 at "
+    "a 0.20 scanned fraction — 2.2x better than blind probing, vs the "
+    "label-cell variant (q71) whose recall ~= scanned fraction.",
+)
+def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cent = kmeans_centroids(corpus, k=10, iterations=4)
+    # assignment is reused by every query probe — materialize once
+    assigned = assign_cells(corpus, cent).localCheckpoint()
+
+    probe_w = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    cells = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "cid",
+            F.round(
+                _dot(F.col("qv"), F.col("cvec"))
+                / (_norm(F.col("qv")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("ccos"),
+        )
+        .withColumn("cr", F.row_number().over(probe_w))
+        .filter(F.col("cr") <= 2)  # nprobe=2
+        .select("query_id", "qv", "cid")
+    )
+    cand = cells.join(assigned, "cid").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
 @register(
     "q72_dedup_embedding",
     oracle=f"""
@@ -229,15 +374,15 @@ def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, round(cos, 4) AS cos
-    FROM pairs WHERE cos >= 0.3
+    FROM pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}
     """,
     doc="Embedding-cosine near-dup mining: candidate pairs blocked by the "
     "label cell (IVF-style blocking — same-cell pairs only, never the "
-    "O(n^2) cross join), exact cosine >= threshold within the block (0.3 "
-    "here: the fixture has no true duplicate vectors, max same-cell cos "
-    "~0.47, so the threshold surfaces the top percentile). At 100 TB "
-    "the cell id is the shuffle/bucket key; cross-cell near-dups are "
-    "bounded by the quantizer quality, the standard ANN-dedup trade.",
+    "O(n^2) cross join), exact cosine >= EMB_DEDUP_THRESHOLD within the "
+    "block (default 0.3 for this fixture's geometry; env-overridable via "
+    "SPARK_GRAFT_EMB_DEDUP_THRESHOLD — use ~0.95 on a real corpus). At "
+    "100 TB the cell id is the shuffle/bucket key; cross-cell near-dups "
+    "are bounded by the quantizer quality, the standard ANN-dedup trade.",
 )
 def q72_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
@@ -258,6 +403,6 @@ def q72_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos"),
     )
-    return pairs.filter(F.col("cos") >= 0.3).select(
+    return pairs.filter(F.col("cos") >= EMB_DEDUP_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos", 4).alias("cos")
     )

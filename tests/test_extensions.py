@@ -46,3 +46,50 @@ def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
     # nprobe=4 of 10 cells -> expect ~0.4-0.5; assert it beats random-5
     # and clears the scanned-fraction floor.
     assert 0.25 <= recall <= 1.0, f"IVF recall {recall:.2f} outside expected band"
+
+
+def test_kmeans_ivf_recall_beats_scanned_fraction(spark, sf_oracle):
+    """q73's learned (Lloyd) centroids must give recall measurably ABOVE
+    the scanned fraction — the property blind/label cells can't deliver on
+    this near-uniform fixture (q71 recall ~= scanned fraction)."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.similarity import (
+        N_QUERIES,
+        assign_cells,
+        kmeans_centroids,
+        q73_sim_ivf_kmeans_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q70_sim_bruteforce_topk(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in q73_sim_ivf_kmeans_topk(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+
+    # scanned fraction: average share of the corpus inside each query's
+    # nprobe=2 probed cells (recomputed from the same deterministic state)
+    e = load(spark, sf_oracle, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cent = kmeans_centroids(corpus, k=10, iterations=4)
+    sizes = {
+        r.cid: r.n
+        for r in assign_cells(corpus, cent)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    two_largest = sum(sorted(sizes.values(), reverse=True)[:2])
+    max_scanned = two_largest / total  # upper bound over any query's probe
+    assert recall > max_scanned + 0.05, (
+        f"k-means IVF recall {recall:.2f} not above scanned fraction "
+        f"<= {max_scanned:.2f}"
+    )
