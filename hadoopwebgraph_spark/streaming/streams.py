@@ -104,6 +104,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def user_value_extremes(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4.x arbitrary-state v2): per-user event count + min/max value
+    held in a ValueState, emitted per micro-batch in Update mode. The v2
+    API is the scale path for custom state: typed state primitives
+    (value/list/map), timers, and TTL land on the RocksDB state store
+    instead of applyInPandasWithState's single opaque tuple.
+
+    Environment note: executing this operator requires the
+    google.protobuf Python package (the v2 state server's wire protocol)
+    and the RocksDB state store provider; the parity test skips where
+    protobuf is unavailable (this container), mirroring the multimodal
+    codec gating."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("min_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    class ExtremesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, mn double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, mn, mx = self._agg.get()
+            else:
+                n, mn, mx = 0, float("inf"), float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                mn = min(mn, float(pdf["value"].min()))
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_value": [round(mn, 2)],
+                    "max_value": [round(mx, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            ExtremesProcessor(), out_schema, "Update", "none"
+        )
+    )
+
+
 def purchases_after_views(events: DataFrame) -> DataFrame:
     """Stream-stream interval join: purchases joined to same-user views
     that happened within the preceding hour. Both sides watermarked, and

@@ -86,6 +86,56 @@ def test_stateful_running_totals(spark, sf_small, events_dir):
         q.stop()
 
 
+def test_transform_with_state_extremes(spark, sf_small, events_dir):
+    """transformWithStateInPandas (arbitrary-state v2): replaying the full
+    fixture must leave each user's ValueState equal to the batch
+    count/min/max aggregate.
+
+    The v2 state server speaks protobuf between the JVM and the Python
+    driver worker; without the google.protobuf package (absent in this
+    container) the query cannot start, so the parity check is gated the
+    same way as the multimodal codec stub."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = streams.stream_events(spark, events_dir)
+        q = streams.run_to_memory(
+            streams.user_value_extremes(ev), "t_tws", "update"
+        )
+        try:
+            rows = spark.sql("SELECT * FROM t_tws").collect()
+            assert len(rows) > 0
+            got = {r.user_id: (r.n_events, r.min_value, r.max_value) for r in rows}
+            batch = (
+                load(spark, sf_small, "events")
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.min("value"), 2).alias("mn"),
+                    F.round(F.max("value"), 2).alias("mx"),
+                )
+                .collect()
+            )
+            want = {r.user_id: (r.n, r.mn, r.mx) for r in batch}
+            assert got == want
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_stream_interval_join(spark, sf_small, events_dir):
     """Watermarked stream-stream join must match the equivalent batch
     interval join over the full replay."""
