@@ -62,3 +62,39 @@ def q91_grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fit, "o_custkey long, n_orders long, slope double, intercept double"
     )
     return fitted.filter(F.col("n_orders") >= 2)
+
+
+@register(
+    "q92_udtf_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents
+          WHERE doc_id < 50 AND length(text) > 0)
+    """,
+    doc="Python UDTF (table function) in a LATERAL join: positional "
+    "tokenizer over documents — the row-to-many-rows UDF surface "
+    "(complements scalar, pandas, grouped-map, mapInPandas, mapInArrow). "
+    "Guarded to non-empty text: Python ''.split(' ') yields [''] while "
+    "DuckDB string_split('', ' ') yields [].",
+)
+def q92_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("q92_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q92_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM q92_docs d, LATERAL q92_tokenize(d.text) t
+        WHERE d.doc_id < 50 AND length(d.text) > 0
+        """
+    )

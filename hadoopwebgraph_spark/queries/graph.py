@@ -218,6 +218,39 @@ def g08_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g13_reachability_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    reach(node, depth) AS (
+        SELECT CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+        UNION ALL
+        SELECT e.dst, CAST(r.depth + 1 AS INTEGER)
+        FROM reach r JOIN e ON e.src = r.node
+        WHERE r.depth < 3
+    )
+    SELECT node, CAST(min(depth) AS INTEGER) AS depth FROM reach GROUP BY node
+    """,
+    doc="BFS reachability from node 0 within 3 hops via WITH RECURSIVE "
+    "(Spark 4 recursive CTE) over the BVGraph source — declarative "
+    "iteration handled by the engine instead of a driver-side loop.",
+)
+def g13_reachability_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges_df(spark).createOrReplaceTempView("g13_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, depth) AS (
+            SELECT CAST(0 AS INT) AS node, CAST(0 AS INT) AS depth
+            UNION ALL
+            SELECT e.dst, CAST(r.depth + 1 AS INT)
+            FROM reach r JOIN g13_edges e ON e.src = r.node
+            WHERE r.depth < 3
+        )
+        SELECT node, CAST(min(depth) AS INT) AS depth FROM reach GROUP BY node
+        """
+    )
+
+
+@register(
     "g09_src_range_scan",
     oracle=f"""
     SELECT src, CAST(len(adj) AS INTEGER) AS outdeg
