@@ -503,3 +503,300 @@ int64_t bvg_decode_offsets(const uint8_t *data, int64_t count, int32_t code,
     }
     return 0;
 }
+
+/* ---------------------------------------------------------------------
+ * Encoder — the sink's hot path (segment encode with reference-candidate
+ * trials).  Mirrors codec.py's _encode_node / sink.py's per-segment loop
+ * bit-for-bit: candidates are tried in order (0, 1, .., window) and a
+ * strictly smaller bit count wins, so the chosen references — and hence
+ * the output bytes — are identical to the Python encoder's.
+ * ------------------------------------------------------------------- */
+
+typedef struct {
+    uint8_t *buf;
+    int64_t cap;    /* bytes */
+    uint64_t acc;   /* pending bits (low `fill`) */
+    int fill;
+    int64_t nbits;
+    int overflow;   /* sticky: cap exceeded (nbits keeps counting) */
+} Wr;
+
+static inline void wr_flush_acc(Wr *w) {
+    while (w->fill >= 8) {
+        w->fill -= 8;
+        int64_t byte_pos = (w->nbits - w->fill - 8) >> 3;
+        if (byte_pos < w->cap)
+            w->buf[byte_pos] = (uint8_t)(w->acc >> w->fill);
+        else
+            w->overflow = 1;
+    }
+    w->acc &= (w->fill ? ((uint64_t)1 << w->fill) - 1 : 0);
+}
+
+static inline void wr_bits(Wr *w, uint64_t x, int k) {
+    /* write the k low bits of x, MSB first (k <= 56 per call) */
+    if (k <= 0) return;
+    w->acc = (w->acc << k) | (x & (k >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << k) - 1)));
+    w->fill += k;
+    w->nbits += k;
+    wr_flush_acc(w);
+}
+
+static inline void wr_int(Wr *w, uint64_t x, int k) {
+    while (k > 56) { /* split very long fields */
+        wr_bits(w, x >> (k - 56), 56);
+        k -= 56;
+        x &= ((uint64_t)1 << k) - 1;
+    }
+    wr_bits(w, x, k);
+}
+
+static inline void wr_unary(Wr *w, int64_t x) {
+    while (x >= 32) {
+        wr_bits(w, 0, 32);
+        x -= 32;
+    }
+    wr_bits(w, 1, (int)x + 1);
+}
+
+static inline int bitlen64(uint64_t v) {
+    return v ? 64 - __builtin_clzll(v) : 0;
+}
+
+static inline void wr_gamma(Wr *w, int64_t x) {
+    uint64_t v = (uint64_t)x + 1;
+    int msb = bitlen64(v) - 1;
+    wr_unary(w, msb);
+    wr_int(w, v, msb); /* low msb bits; implicit leading 1 dropped */
+}
+
+static inline void wr_delta(Wr *w, int64_t x) {
+    uint64_t v = (uint64_t)x + 1;
+    int msb = bitlen64(v) - 1;
+    wr_gamma(w, msb);
+    wr_int(w, v, msb);
+}
+
+static inline void wr_zeta(Wr *w, int64_t x, int k) {
+    uint64_t v = (uint64_t)x + 1;
+    int h = (bitlen64(v) - 1) / k;
+    wr_unary(w, h);
+    uint64_t left = (uint64_t)1 << (h * k);
+    if (v - left < left)
+        wr_int(w, v - left, h * k + k - 1);
+    else
+        wr_int(w, v, h * k + k);
+}
+
+static inline void wr_nibble(Wr *w, int64_t x) {
+    int groups = 1;
+    int64_t t = x >> 3;
+    while (t) {
+        groups++;
+        t >>= 3;
+    }
+    for (int i = groups - 1; i >= 0; i--) {
+        wr_bits(w, i == 0 ? 1 : 0, 1);
+        wr_bits(w, (uint64_t)(x >> (3 * i)) & 7, 3);
+    }
+}
+
+static inline void wr_code(Wr *w, int code, int k, int64_t x) {
+    switch (code) {
+    case CODE_GAMMA: wr_gamma(w, x); return;
+    case CODE_DELTA: wr_delta(w, x); return;
+    case CODE_UNARY: wr_unary(w, x); return;
+    case CODE_ZETA: wr_zeta(w, x, k); return;
+    case CODE_NIBBLE: wr_nibble(w, x); return;
+    default: w->overflow = 2; return; /* unsupported */
+    }
+}
+
+/* int2nat zigzag (Fast.int2nat) */
+static inline int64_t int2nat(int64_t x) {
+    return x >= 0 ? 2 * x : -2 * x - 1;
+}
+
+typedef struct {
+    int32_t window_size, max_ref_count, min_interval_length, zeta_k;
+    int32_t c_out, c_ref, c_bcnt, c_blk, c_res;
+} EncProps;
+
+/* Encode one node's list given a chosen reference (0 = none); mirrors
+ * codec.py::_encode_node exactly. succ/ref_list are sorted ascending. */
+static void enc_node(Wr *w, const EncProps *p, int64_t x,
+                     const int32_t *succ, int64_t d,
+                     int64_t ref, const int32_t *ref_list, int64_t ref_len,
+                     int32_t *scratch /* >= d + ref_len + 2 ints */) {
+    wr_code(w, p->c_out, p->zeta_k, d);
+    if (d == 0) return;
+    if (p->window_size > 0) wr_code(w, p->c_ref, p->zeta_k, ref);
+
+    const int32_t *extras = succ;
+    int64_t n_extras = d;
+    int32_t *extra_buf = scratch;
+
+    if (ref > 0) {
+        /* membership mask of ref_list in succ via two-pointer merge
+         * (both sorted ascending, duplicate-free) */
+        int64_t i = 0, j = 0;
+        /* alternating copy/skip run lengths over ref_list (copy first) */
+        int copying = 1;
+        int64_t run = 0;
+        int64_t runs_cap = ref_len + 2;
+        int32_t *runs = scratch + 0; /* reuse scratch head for runs */
+        int64_t n_runs = 0;
+        (void)runs_cap;
+        for (i = 0, j = 0; i < ref_len; i++) {
+            while (j < d && succ[j] < ref_list[i]) j++;
+            int is_copy = (j < d && succ[j] == ref_list[i]);
+            if (is_copy == copying) {
+                run++;
+            } else {
+                runs[n_runs++] = (int32_t)run;
+                copying = !copying;
+                run = 1;
+            }
+        }
+        runs[n_runs++] = (int32_t)run;
+        /* last run implicit */
+        int64_t n_blocks = n_runs - 1;
+        wr_code(w, p->c_bcnt, p->zeta_k, n_blocks);
+        for (i = 0; i < n_blocks; i++)
+            wr_code(w, p->c_blk, p->zeta_k, i == 0 ? runs[i] : runs[i] - 1);
+
+        /* extras = succ minus copied (copied = succ ∩ ref_list) */
+        extra_buf = scratch + n_runs; /* runs no longer needed after loop?  keep disjoint */
+        n_extras = 0;
+        for (i = 0, j = 0; j < d; j++) {
+            while (i < ref_len && ref_list[i] < succ[j]) i++;
+            if (!(i < ref_len && ref_list[i] == succ[j]))
+                extra_buf[n_extras++] = succ[j];
+        }
+        extras = extra_buf;
+    }
+
+    if (p->min_interval_length > 0 && n_extras > 0) {
+        /* split extras into maximal runs >= min_len and residuals */
+        int64_t i = 0;
+        int64_t n_ivals = 0;
+        /* first pass: count intervals */
+        while (i < n_extras) {
+            int64_t j = i;
+            while (j + 1 < n_extras && extras[j + 1] == extras[j] + 1) j++;
+            if (j - i + 1 >= p->min_interval_length) n_ivals++;
+            i = j + 1;
+        }
+        wr_gamma(w, n_ivals);
+        int64_t prev = 0, emitted = 0, res_n = 0;
+        int32_t *res = extra_buf == scratch ? scratch + n_extras : scratch;
+        i = 0;
+        while (i < n_extras) {
+            int64_t j = i;
+            while (j + 1 < n_extras && extras[j + 1] == extras[j] + 1) j++;
+            int64_t run = j - i + 1;
+            if (run >= p->min_interval_length) {
+                int64_t left = extras[i];
+                if (emitted == 0)
+                    wr_gamma(w, int2nat(left - x));
+                else
+                    wr_gamma(w, left - prev - 1);
+                wr_gamma(w, run - p->min_interval_length);
+                prev = left + run;
+                emitted++;
+            } else {
+                for (int64_t t = i; t <= j; t++) res[res_n++] = extras[t];
+            }
+            i = j + 1;
+        }
+        extras = res;
+        n_extras = res_n;
+    }
+
+    if (n_extras > 0) {
+        wr_code(w, p->c_res, p->zeta_k, int2nat((int64_t)extras[0] - x));
+        for (int64_t i = 1; i < n_extras; i++)
+            wr_code(w, p->c_res, p->zeta_k,
+                    (int64_t)extras[i] - extras[i - 1] - 1);
+    }
+}
+
+/* Encode nodes first_src..first_src+n_nodes-1 (adjacency in CSR form) as
+ * one window-isolated segment.  out_offsets gets n_nodes+1 bit positions.
+ * Returns total bits written (>= 0), -needed_bytes if out_cap was too
+ * small, or ERR_BADCODE for an unsupported code id. */
+int64_t bvg_encode_segment(
+    const int32_t *values, const int64_t *list_offsets, int64_t n_nodes,
+    int64_t first_src,
+    int32_t window_size, int32_t max_ref_count, int32_t min_interval_length,
+    int32_t zeta_k, int32_t c_out, int32_t c_ref, int32_t c_bcnt,
+    int32_t c_blk, int32_t c_res,
+    uint8_t *out_buf, int64_t out_cap, int64_t *out_offsets) {
+    EncProps p = {window_size, max_ref_count, min_interval_length, zeta_k,
+                  c_out, c_ref, c_bcnt, c_blk, c_res};
+    int cyclic = window_size + 1;
+    if (cyclic < 1) cyclic = 1;
+    int32_t *ref_counts = (int32_t *)calloc((size_t)cyclic, sizeof(int32_t));
+    /* scratch sized to the largest adjacency list x2 + slack */
+    int64_t max_d = 0;
+    for (int64_t i = 0; i < n_nodes; i++) {
+        int64_t d = list_offsets[i + 1] - list_offsets[i];
+        if (d > max_d) max_d = d;
+    }
+    int32_t *scratch = (int32_t *)malloc((size_t)(2 * max_d + 8) * sizeof(int32_t));
+    Wr scr = {0};
+    scr.cap = 0; /* count-only scratch writer: never stores bytes */
+    Wr out = {out_buf, out_cap, 0, 0, 0, 0};
+    if (!ref_counts || !scratch) {
+        free(ref_counts);
+        free(scratch);
+        return ERR_NOMEM;
+    }
+
+    out_offsets[0] = 0;
+    for (int64_t lx = 0; lx < n_nodes; lx++) {
+        int64_t x = first_src + lx;
+        const int32_t *succ = values + list_offsets[lx];
+        int64_t d = list_offsets[lx + 1] - list_offsets[lx];
+        int64_t best_bits = -1, best_r = 0;
+        for (int64_t r = 0; r <= (window_size > 0 ? (lx < window_size ? lx : window_size) : 0); r++) {
+            if (r > 0 && ref_counts[(lx - r) % cyclic] + 1 > max_ref_count)
+                continue;
+            scr.acc = 0; scr.fill = 0; scr.nbits = 0; scr.overflow = 0;
+            const int32_t *rl = r > 0 ? values + list_offsets[lx - r] : NULL;
+            int64_t rlen = r > 0 ? list_offsets[lx - r + 1] - list_offsets[lx - r] : 0;
+            enc_node(&scr, &p, x, succ, d, r, rl, rlen, scratch);
+            if (scr.overflow == 2) {
+                free(ref_counts);
+                free(scratch);
+                return ERR_BADCODE;
+            }
+            if (best_bits < 0 || scr.nbits < best_bits) {
+                best_bits = scr.nbits;
+                best_r = r;
+            }
+        }
+        ref_counts[lx % cyclic] =
+            best_r == 0 ? 0 : ref_counts[(lx - best_r) % cyclic] + 1;
+        const int32_t *rl = best_r > 0 ? values + list_offsets[lx - best_r] : NULL;
+        int64_t rlen = best_r > 0
+                           ? list_offsets[lx - best_r + 1] - list_offsets[lx - best_r]
+                           : 0;
+        enc_node(&out, &p, x, succ, d, best_r, rl, rlen, scratch);
+        out_offsets[lx + 1] = out.nbits;
+    }
+    free(ref_counts);
+    free(scratch);
+    if (out.overflow == 2) return ERR_BADCODE;
+    if (out.overflow) return -(((out.nbits + 7) >> 3) + 8);
+    /* flush the trailing partial byte into the buffer (padded-zero fill);
+     * the caller reads back (nbits) and slices body/tail itself */
+    if (out.fill) {
+        int64_t byte_pos = (out.nbits + 7) / 8 - 1;
+        if (byte_pos < out.cap)
+            out.buf[byte_pos] = (uint8_t)((out.acc << (8 - out.fill)) & 0xFF);
+        else
+            return -(((out.nbits + 7) >> 3) + 8);
+    }
+    return out.nbits;
+}

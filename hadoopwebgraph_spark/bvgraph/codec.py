@@ -180,6 +180,64 @@ def encode_graph(
     return graph_bytes, ow.to_bytes(), p
 
 
+def encode_segment_py(
+    adj: list[list[int]], first_src: int, p: BVGraphProperties
+) -> tuple[int, bytes, list[int]]:
+    """Encode a window-isolated segment: nodes ``first_src + i`` with
+    local reference selection (refs stay inside the segment) — the
+    executable spec for the C encoder and the sink's fallback.
+
+    Returns (nbits, buffer of ceil(nbits/8) bytes, n+1 bit offsets).
+    """
+    w = BitWriter()
+    offsets = [0]
+    ref_counts = [0] * max(p.window_size + 1, 1)
+    for local_x, succ in enumerate(adj):
+        x = first_src + local_x
+        best: tuple[int, int] | None = None
+        candidates = [0]
+        if p.window_size > 0:
+            for r in range(1, min(p.window_size, local_x) + 1):
+                if ref_counts[(local_x - r) % len(ref_counts)] + 1 <= p.max_ref_count:
+                    candidates.append(r)
+        for r in candidates:
+            scratch = BitWriter()
+            _encode_node(
+                scratch, p, x, succ, r, adj[local_x - r] if r > 0 else None
+            )
+            if best is None or scratch.nbits < best[0]:
+                best = (scratch.nbits, r)
+        r = best[1]
+        ref_counts[local_x % len(ref_counts)] = (
+            0 if r == 0 else ref_counts[(local_x - r) % len(ref_counts)] + 1
+        )
+        _encode_node(w, p, x, succ, r, adj[local_x - r] if r > 0 else None)
+        offsets.append(w.nbits)
+    return w.nbits, w.to_bytes(), offsets
+
+
+def encode_segment(
+    adj: list[list[int]], first_src: int, p: BVGraphProperties
+) -> tuple[int, bytes, list[int]]:
+    """Segment encode via the C kernel when available (bit-identical
+    output), else the Python spec."""
+    from . import native
+
+    if adj:
+        import numpy as np
+
+        list_offsets = np.zeros(len(adj) + 1, dtype=np.int64)
+        np.cumsum([len(a) for a in adj], out=list_offsets[1:])
+        values = np.fromiter(
+            (v for a in adj for v in a), dtype=np.int32, count=int(list_offsets[-1])
+        )
+        res = native.encode_segment(values, list_offsets, first_src, p)
+        if res is not None:
+            nbits, buf, offsets = res
+            return nbits, buf, offsets.tolist()
+    return encode_segment_py(adj, first_src, p)
+
+
 # ---------------------------------------------------------------------------
 # decoding
 # ---------------------------------------------------------------------------

@@ -69,6 +69,14 @@ def _compile_and_load():
     ]
     lib.bvg_decode_offsets.restype = _i64
     lib.bvg_decode_offsets.argtypes = [_i8p, _i64, _i32, _i32, _i64p]
+    lib.bvg_encode_segment.restype = _i64
+    lib.bvg_encode_segment.argtypes = [
+        _i32p, _i64p, _i64, _i64,  # values, list_offsets, n_nodes, first_src
+        _i32, _i32, _i32, _i32,  # window_size, max_ref_count, min_ivl, zeta_k
+        _i32, _i32, _i32, _i32, _i32,  # out/ref/bcnt/blk/res codes
+        _i8p, _i64,  # out_buf, out_cap (bytes)
+        _i64p,  # out_offsets
+    ]
     return lib
 
 
@@ -165,6 +173,53 @@ def decode_range(
             cap = -rc
             continue
         return None  # kernel error: fall back to the Python decoder
+    return None
+
+
+def encode_segment(
+    values: np.ndarray, list_offsets: np.ndarray, first_src: int, p
+):
+    """Encode a window-isolated segment (CSR adjacency) with the C kernel.
+
+    Returns (nbits, buf bytes of ceil(nbits/8), offsets int64[n+1]) or
+    None if the kernel is unavailable/errored (caller falls back to the
+    Python encoder). Output bytes are bit-identical to the Python path
+    (same candidate order and strict-less tie-break)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.int32)
+    list_offsets = np.ascontiguousarray(list_offsets, dtype=np.int64)
+    n = len(list_offsets) - 1
+    out_offsets = np.empty(n + 1, dtype=np.int64)
+    cap = max(2 * values.nbytes + 8 * n + 1024, 4096)
+    for _ in range(4):
+        buf = np.zeros(cap, dtype=np.uint8)
+        rc = lib.bvg_encode_segment(
+            values.ctypes.data_as(_i32p),
+            list_offsets.ctypes.data_as(_i64p),
+            n,
+            first_src,
+            p.window_size,
+            p.max_ref_count,
+            p.min_interval_length,
+            p.zeta_k,
+            p.outdegree_code,
+            p.reference_code,
+            p.block_count_code,
+            p.block_code,
+            p.residual_code,
+            buf.ctypes.data_as(_i8p),
+            cap,
+            out_offsets.ctypes.data_as(_i64p),
+        )
+        if rc >= 0:
+            nbytes = (int(rc) + 7) // 8
+            return int(rc), buf[:nbytes].tobytes(), out_offsets
+        if rc < -8:
+            cap = -rc
+            continue
+        return None
     return None
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from .bitio import BitWriter
-from .codec import BVGraphFiles, _encode_node, encode_graph
+from .codec import BVGraphFiles, encode_graph, encode_segment
 from .properties import BVGraphProperties, format_properties
 
 
@@ -116,30 +116,13 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
         if first_src is None:
             return
         p = BVGraphProperties(nodes=len(adj), arcs=0, **props_template)
-        w = BitWriter()
-        offsets = [0]
-        ref_counts = [0] * (p.window_size + 1)
-        for local_x, succ in enumerate(adj):
-            x = first_src + local_x
-            best = None
-            candidates = [0]
-            if p.window_size > 0:
-                # refs must stay inside this segment (window isolation)
-                for r in range(1, min(p.window_size, local_x) + 1):
-                    if ref_counts[(local_x - r) % len(ref_counts)] + 1 <= p.max_ref_count:
-                        candidates.append(r)
-            for r in candidates:
-                scratch = BitWriter()
-                _encode_node(scratch, p, x, succ, r, adj[local_x - r] if r else None)
-                if best is None or scratch.nbits < best[0]:
-                    best = (scratch.nbits, r)
-            r = best[1]
-            ref_counts[local_x % len(ref_counts)] = (
-                0 if r == 0 else ref_counts[(local_x - r) % len(ref_counts)] + 1
-            )
-            _encode_node(w, p, x, succ, r, adj[local_x - r] if r else None)
-            offsets.append(w.nbits)
-        yield (first_src, arcs, bytes(w.buf), w.fill, w.cur, offsets)
+        # C kernel when available, Python spec otherwise — bit-identical
+        # either way (refs stay inside this segment: window isolation)
+        nbits, buf, offsets = encode_segment(adj, first_src, p)
+        fill = nbits % 8
+        body = buf[: nbits // 8]
+        cur = (buf[-1] >> (8 - fill)) if fill else 0
+        yield (first_src, arcs, body, fill, cur, offsets)
 
     # Stream segments through the driver in partition (= src range) order:
     # repartitionByRange assigns ascending ranges to ascending partition

@@ -110,6 +110,38 @@ def test_native_kernel_matches_python(adj, kw, flags):
         assert got2 == adj[mid:]
 
 
+@settings(max_examples=60, deadline=None)
+@given(adjacency(), params(), _FLAG_STRINGS, st.integers(min_value=0, max_value=5000))
+def test_native_encoder_matches_python(adj, kw, flags, first_src):
+    """The C segment encoder must be BIT-IDENTICAL to the Python spec
+    (same reference-candidate order and strict-less tie-break) across
+    arbitrary graphs, params, code flags, and segment start offsets."""
+    import numpy as np
+    import pytest
+
+    from hadoopwebgraph_spark.bvgraph import native
+    from hadoopwebgraph_spark.bvgraph.codec import encode_segment_py
+    from hadoopwebgraph_spark.bvgraph.properties import BVGraphProperties
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler available")
+    if kw["min_interval_length"] == 0:
+        kw["min_interval_length"] = 1
+    p = BVGraphProperties(
+        nodes=len(adj), arcs=sum(map(len, adj)), compressionflags=flags, **kw
+    )
+    nb_py, buf_py, off_py = encode_segment_py(adj, first_src, p)
+    n = len(adj)
+    lo = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum([len(a) for a in adj], out=lo[1:])
+    vals = np.fromiter((v for a in adj for v in a), np.int32, count=int(lo[-1]))
+    res = native.encode_segment(vals, lo, first_src, p)
+    assert res is not None
+    nb_c, buf_c, off_c = res
+    assert (nb_c, buf_c, off_c.tolist()) == (nb_py, buf_py, off_py)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), max_size=50))
 def test_code_roundtrip_any_values(values):
