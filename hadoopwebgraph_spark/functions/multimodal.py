@@ -2,12 +2,13 @@
 
 Media (image/audio/video) is modeled as opaque ``binary`` payloads with a
 typed metadata struct; decode / feature-extraction run as Arrow-batched
-Pandas UDFs over ``mapInPandas``. The container has no media codecs, so
-the decode step is STUBBED: ``decode_image`` raises NotImplementedError
-unless a known magic prefix maps to the deterministic fake decoder used
-in tests. Everything Spark-side — schema, binary handling, batch
-iteration, UDF signatures — is real and oracle-checked where the value is
-engine-portable (payload lengths, header bytes).
+Pandas UDFs over ``mapInPandas``. PNG and PCM16 WAV decode are REAL
+(pure-stdlib codecs in functions/codecs.py, oracle-certified pixel/sample
+features in q93/q94); formats that need external codecs (JPEG, MP3,
+video) raise NotImplementedError at the leaf decode function — real
+deployments swap in Pillow/ffmpeg there while all Spark-side plumbing
+(schemas, binary handling, batch iteration, UDF signatures) is shared
+and tested here.
 
 Scale: binary payloads ride in parquet/Arrow pages untouched until the
 mapInPandas stage; per-batch processing keeps peak memory to one Arrow
@@ -30,18 +31,25 @@ FAKE_MAGIC = b"FAKEIMG0"
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB image decode -> (width, height).
+    """Image decode -> (width, height).
 
-    Real deployments plug a codec (Pillow/ffmpeg) in here; the container
-    has none, so only the deterministic fake format is supported.
+    PNG is decoded for real (pure-stdlib codec, functions/codecs.py);
+    the deterministic FAKEIMG0 header remains for format-agnostic
+    plumbing tests. Other formats (JPEG, ...) need an external codec —
+    real deployments plug Pillow/ffmpeg into this leaf function.
     """
+    from .codecs import PNG_MAGIC, png_dims
+
     if payload[:8] == FAKE_MAGIC:
         return (
             int.from_bytes(payload[8:10], "big"),
             int.from_bytes(payload[10:12], "big"),
         )
+    if payload[:8] == PNG_MAGIC:
+        return png_dims(payload)
     raise NotImplementedError(
-        "no media codecs in this environment; payload is not FAKEIMG0"
+        "unsupported image format (PNG + FAKEIMG0 available here; plug an "
+        "external codec for JPEG etc.)"
     )
 
 
@@ -113,3 +121,172 @@ def q90_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(
         media.select("media_id", F.col("meta.origin").alias("origin")), "media_id"
     ).select("media_id", "n_bytes", "width", "height", "origin")
+
+
+# ---------------------------------------------------------------------------
+# Real-codec pipelines: PNG pixels and WAV audio, pure-stdlib codecs
+# (functions/codecs.py). The payloads are synthesized deterministically
+# from doc_id, so the DuckDB oracle can state the expected features in
+# closed form — a hash match certifies encode -> decode -> featurize
+# end-to-end, not just metadata plumbing.
+# ---------------------------------------------------------------------------
+
+IMG_SIDE = 16  # synthetic image is IMG_SIDE x IMG_SIDE grey
+N_MEDIA_DOCS = 200
+WAV_RATE = 8000
+
+
+def png_media_table(docs: DataFrame) -> DataFrame:
+    """Per-doc deterministic greyscale PNG: pixel(y,x) =
+    (doc_id*31 + y*IMG_SIDE + x) % 256, PNG-encoded in an Arrow-batched
+    stage."""
+    import numpy as np
+
+    from .codecs import png_encode
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(IMG_SIDE * IMG_SIDE, dtype=np.int64).reshape(
+            IMG_SIDE, IMG_SIDE
+        )
+        for pdf in batches:
+            payloads = [
+                png_encode(((int(did) * 31 + base) % 256).astype(np.uint8))
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.filter(F.col("doc_id") < N_MEDIA_DOCS).select("doc_id").mapInPandas(
+        encode_batch, "media_id long, payload binary"
+    )
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads and emit (width, height, mean pixel value)."""
+    import numpy as np
+
+    from .codecs import png_decode
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, means = [], [], []
+            for b in pdf["payload"]:
+                img = png_decode(bytes(b))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                means.append(round(float(np.mean(img.astype(np.float64))), 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mean_px": means,
+                }
+            )
+
+    return media.mapInPandas(
+        decode_batch, "media_id long, width int, height int, mean_px double"
+    )
+
+
+@register(
+    "q93_image_decode",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST({IMG_SIDE} AS INTEGER) AS width,
+           CAST({IMG_SIDE} AS INTEGER) AS height,
+           round(avg(CAST((d.doc_id * 31 + y.i * {IMG_SIDE} + x.i) % 256
+                          AS DOUBLE)), 4) AS mean_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {N_MEDIA_DOCS}) d
+    CROSS JOIN (SELECT unnest(range({IMG_SIDE})) AS i) y
+    CROSS JOIN (SELECT unnest(range({IMG_SIDE})) AS i) x
+    GROUP BY d.doc_id
+    """,
+    doc="REAL image decode pipeline: deterministic greyscale images are "
+    "PNG-encoded and decoded with the pure-stdlib codec inside "
+    "mapInPandas stages; the oracle states each image's mean pixel in "
+    "closed form, so the hash certifies the full encode->decode path.",
+)
+def q93_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = png_media_table(load(spark, sf_dir, "documents"))
+    return png_features(media)
+
+
+def wav_media_table(docs: DataFrame) -> DataFrame:
+    """Per-doc deterministic PCM16 WAV: n = 64 + doc_id % 32 samples of
+    s[i] = (doc_id*7 + i*13) % 2048 - 1024 at {WAV_RATE} Hz."""
+    import numpy as np
+
+    from .codecs import wav_encode
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 32
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 7 + i * 13) % 2048 - 1024).astype(np.int16)
+                payloads.append(wav_encode(samples, WAV_RATE))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.filter(F.col("doc_id") < N_MEDIA_DOCS).select("doc_id").mapInPandas(
+        encode_batch, "media_id long, payload binary"
+    )
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads: sample count, rate, exact duration, energy."""
+    import numpy as np
+
+    from .codecs import wav_decode
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rates, durs, energies = [], [], [], []
+            for b in pdf["payload"]:
+                rate, _ch, samples = wav_decode(bytes(b))
+                n = len(samples)
+                ns.append(n)
+                rates.append(rate)
+                durs.append(n * 1_000_000 // rate)
+                energies.append(int(np.sum(samples.astype(np.int64) ** 2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "duration_us": pd.Series(durs, dtype="int64"),
+                    "sum_sq": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        decode_batch,
+        "media_id long, n_samples long, sample_rate int, duration_us long, "
+        "sum_sq long",
+    )
+
+
+@register(
+    "q94_audio_decode",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST(64 + d.doc_id % 32 AS BIGINT) AS n_samples,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           CAST((64 + d.doc_id % 32) * 1000000 // {WAV_RATE} AS BIGINT)
+               AS duration_us,
+           CAST(SUM(((d.doc_id * 7 + s.i * 13) % 2048 - 1024)
+                    * ((d.doc_id * 7 + s.i * 13) % 2048 - 1024)) AS BIGINT)
+               AS sum_sq
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {N_MEDIA_DOCS}) d
+    JOIN (SELECT unnest(range(96)) AS i) s ON s.i < 64 + d.doc_id % 32
+    GROUP BY d.doc_id
+    """,
+    doc="REAL audio decode pipeline: deterministic PCM16 WAVs are written "
+    "and read back with the stdlib wave codec inside mapInPandas stages; "
+    "the oracle states sample counts, exact microsecond durations, and "
+    "integer energy (sum of squares) in closed form.",
+)
+def q94_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = wav_media_table(load(spark, sf_dir, "documents"))
+    return wav_features(media)

@@ -1,0 +1,124 @@
+"""Pure-stdlib media codecs: PNG round-trips over every shape class and
+all five scanline filter types, nearest-neighbor resize, WAV PCM16
+round-trip."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hadoopwebgraph_spark.functions.codecs import (
+    PNG_MAGIC,
+    png_decode,
+    png_dims,
+    png_encode,
+    resize_nearest,
+    wav_decode,
+    wav_encode,
+)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 13), (16, 16), (9, 4, 3), (5, 6, 4)])
+def test_png_roundtrip(shape):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=shape).astype(np.uint8)
+    p = png_encode(img)
+    assert png_dims(p) == (shape[1], shape[0])
+    assert np.array_equal(png_decode(p), img)
+
+
+def _png_with_filters(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Hand-build a greyscale PNG using the given filter type per row —
+    exercises decode paths the (filter-0) encoder never emits."""
+    h, w = img.shape
+    bpp = 1
+    rows = []
+    prev = np.zeros(w, np.int32)
+    for y, ft in zip(range(h), ftypes):
+        line = img[y].astype(np.int32)
+        if ft == 0:
+            enc = line
+        elif ft == 2:
+            enc = (line - prev) & 0xFF
+        elif ft == 1:
+            enc = line.copy()
+            enc[bpp:] = (line[bpp:] - line[:-bpp]) & 0xFF
+        elif ft == 3:
+            a = np.zeros(w, np.int32)
+            a[bpp:] = line[:-bpp]
+            enc = (line - ((a + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.empty(w, np.int32)
+            for x in range(w):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pv = a + b - c
+                pa, pb, pc = abs(pv - a), abs(pv - b), abs(pv - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pred) & 0xFF
+        rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = line
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "ftypes",
+    [[0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10, [0, 1, 2, 3, 4] * 2],
+)
+def test_png_all_filter_types(ftypes):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 12)).astype(np.uint8)
+    assert np.array_equal(png_decode(_png_with_filters(img, ftypes)), img)
+
+
+def test_png_rejects_unsupported_variants():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    # 16-bit depth: unsupported, must fail loudly not decode garbage
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    p = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\0" * 10))
+    with pytest.raises(NotImplementedError):
+        png_decode(p)
+
+
+def test_resize_nearest():
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    up = resize_nearest(img, 12, 8)
+    assert up.shape == (8, 12)
+    down = resize_nearest(img, 3, 2)
+    assert down.shape == (2, 3)
+    assert np.array_equal(down, img[[0, 2]][:, [0, 2, 4]])
+
+
+def test_wav_roundtrip():
+    s = ((np.arange(100) * 13) % 2048 - 1024).astype(np.int16)
+    rate, ch, back = wav_decode(wav_encode(s, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(back, s)

@@ -13,11 +13,19 @@ from hadoopwebgraph_spark.functions.similarity import (
 )
 
 
-def test_decode_image_stub_contract():
+def test_decode_image_contract():
+    import numpy as np
+
+    from hadoopwebgraph_spark.functions.codecs import png_encode
+
     payload = FAKE_MAGIC + (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"x"
     assert decode_image(payload) == (640, 480)
+    # PNG decodes for real now
+    png = png_encode(np.zeros((3, 7), dtype=np.uint8))
+    assert decode_image(png) == (7, 3)
+    # formats needing external codecs still fail loudly (JPEG magic)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\nrealpngbytes")
+        decode_image(b"\xff\xd8\xff\xe0realjpegbytes")
 
 
 def test_minhash_candidates_are_similar(spark, sf_oracle):
