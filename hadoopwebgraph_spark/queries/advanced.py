@@ -211,3 +211,52 @@ def q58_pure_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_other_nations"))
     )
+
+
+@register(
+    "q59_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    changed AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000.0, 2) AS o_totalprice
+        FROM target WHERE o_orderkey % 100 = 0
+    ),
+    inserted AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+        FROM target WHERE o_orderkey % 250 = 0
+    ),
+    ups AS (SELECT * FROM changed UNION ALL SELECT * FROM inserted)
+    SELECT o_orderkey, o_custkey, o_totalprice FROM ups
+    UNION ALL
+    SELECT t.o_orderkey, t.o_custkey, t.o_totalprice
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.o_orderkey = t.o_orderkey)
+    """,
+    doc="MERGE INTO / CDC upsert emulated on plain Spark (no Delta): "
+    "matched keys take the update, unmatched source rows insert, "
+    "untouched target rows pass through — anti-join + union, the "
+    "standard lakehouse-free upsert. At scale both sides shuffle once "
+    "on the merge key (or zero times with bucketed layout).",
+)
+def q59_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    changed = target.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+    )
+    # price carried over unchanged: x/2 would land on exact .005 halves
+    # where Spark (HALF_UP) and DuckDB (half-even) round apart
+    inserted = target.filter(F.col("o_orderkey") % 250 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    ups = changed.union(inserted)
+    survivors = target.join(ups, "o_orderkey", "left_anti")
+    return ups.union(survivors)
