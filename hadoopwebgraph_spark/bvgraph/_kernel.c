@@ -800,3 +800,30 @@ int64_t bvg_encode_segment(
     }
     return out.nbits;
 }
+
+/* Delta-encode a monotone int64 sequence (the .offsets stream): writes
+ * code(values[i] - previous) for each entry, where previous starts at
+ * `prev` and becomes values[i].  Returns total bits (>= 0), -needed_bytes
+ * if cap was too small, ERR_MALFORMED on a non-monotone input, or
+ * ERR_BADCODE for an unsupported code id. */
+int64_t bvg_encode_deltas(const int64_t *values, int64_t count, int64_t prev,
+                          int32_t code, int32_t zeta_k, uint8_t *out,
+                          int64_t cap) {
+    Wr w = {out, cap, 0, 0, 0, 0};
+    for (int64_t i = 0; i < count; i++) {
+        int64_t d = values[i] - prev;
+        if (d < 0) return ERR_MALFORMED;
+        prev = values[i];
+        wr_code(&w, code, zeta_k, d);
+        if (w.overflow == 2) return ERR_BADCODE;
+    }
+    if (w.overflow) return -(((w.nbits + 7) >> 3) + 8);
+    if (w.fill) {
+        int64_t byte_pos = (w.nbits + 7) / 8 - 1;
+        if (byte_pos < w.cap)
+            w.buf[byte_pos] = (uint8_t)((w.acc << (8 - w.fill)) & 0xFF);
+        else
+            return -(((w.nbits + 7) >> 3) + 8);
+    }
+    return w.nbits;
+}

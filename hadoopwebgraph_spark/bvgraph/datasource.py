@@ -140,6 +140,14 @@ class BVGraphReader(DataSourceReader):
         if self.num_splits < 1:
             raise ValueError(f"numSplits must be >= 1, got {self.num_splits}")
         self.batch_rows = int(options.get("batchrows", 8192))
+        # .option("targetBytes", 256 << 20): size partitions by compressed
+        # byte extent instead of a fixed split count — the maxPartitionBytes
+        # analog for this source; overrides numSplits when set
+        self.target_bytes: int | None = (
+            int(options["targetbytes"]) if "targetbytes" in options else None
+        )
+        if self.target_bytes is not None and self.target_bytes < 1:
+            raise ValueError(f"targetBytes must be >= 1, got {self.target_bytes}")
         # .option("nonative", "true") forces the pure-Python decode path
         # (used by tests to certify the fallback through the full source)
         self.use_native = options.get("nonative", "").lower() != "true"
@@ -181,7 +189,11 @@ class BVGraphReader(DataSourceReader):
 
         graph_path = self.basename + ".graph"
         total_bits = int(offsets[hi]) - int(offsets[lo])
-        num_splits = min(self.num_splits, hi - lo)
+        if self.target_bytes is not None:
+            wanted = max(1, math.ceil((total_bits / 8) / self.target_bytes))
+        else:
+            wanted = self.num_splits
+        num_splits = min(wanted, hi - lo)
         target = math.ceil(total_bits / num_splits) if total_bits else 1
 
         # backreach for window seeding: seeds need nodes down to

@@ -69,6 +69,8 @@ def _compile_and_load():
     ]
     lib.bvg_decode_offsets.restype = _i64
     lib.bvg_decode_offsets.argtypes = [_i8p, _i64, _i32, _i32, _i64p]
+    lib.bvg_encode_deltas.restype = _i64
+    lib.bvg_encode_deltas.argtypes = [_i64p, _i64, _i64, _i32, _i32, _i8p, _i64]
     lib.bvg_encode_segment.restype = _i64
     lib.bvg_encode_segment.argtypes = [
         _i32p, _i64p, _i64, _i64,  # values, list_offsets, n_nodes, first_src
@@ -216,6 +218,34 @@ def encode_segment(
         if rc >= 0:
             nbytes = (int(rc) + 7) // 8
             return int(rc), buf[:nbytes].tobytes(), out_offsets
+        if rc < -8:
+            cap = -rc
+            continue
+        return None
+    return None
+
+
+def encode_deltas(values: np.ndarray, prev: int, code: int, zeta_k: int):
+    """Delta-encode a monotone int64 sequence (offsets stream chunk).
+    Returns (nbits, bytes of ceil(nbits/8)) or None on unavailability."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    cap = max(4 * len(values) + 64, 1024)
+    for _ in range(4):
+        buf = np.zeros(cap, dtype=np.uint8)
+        rc = lib.bvg_encode_deltas(
+            values.ctypes.data_as(_i64p),
+            len(values),
+            prev,
+            code,
+            zeta_k,
+            buf.ctypes.data_as(_i8p),
+            cap,
+        )
+        if rc >= 0:
+            return int(rc), buf[: (int(rc) + 7) // 8].tobytes()
         if rc < -8:
             cap = -rc
             continue

@@ -23,11 +23,38 @@ total graph size.
 
 from __future__ import annotations
 
+import io
+
 from pyspark.sql import DataFrame
 
 from .bitio import BitWriter
 from .codec import BVGraphFiles, encode_graph, encode_segment
 from .properties import BVGraphProperties, format_properties
+
+
+def _append_deltas(out: "_BitStreamOut", values, prev: int, p) -> None:
+    """Append code(values[i] - previous) for a monotone chunk — C kernel
+    when available, BitWriter fallback; either way the bits land on `out`
+    via vectorized re-phasing, not a per-code driver loop."""
+    from . import native
+
+    import numpy as np
+
+    arr = np.asarray(values, dtype=np.int64)
+    res = native.encode_deltas(arr, prev, p.offset_code, p.zeta_k)
+    if res is None:
+        w = BitWriter()
+        wr = w.make_writer(p.offset_code, p.zeta_k)
+        last = prev
+        for v in values:
+            wr(int(v) - last)
+            last = int(v)
+        res = w.nbits, w.to_bytes()
+    nbits, body = res
+    fill = nbits % 8
+    out.append_body(body[: nbits // 8])
+    if fill:
+        out.append_bits(body[-1] >> (8 - fill), fill)
 
 
 class _BitStreamOut:
@@ -129,13 +156,13 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
     # ids, and toLocalIterator preserves partition order while holding only
     # one partition's segment in memory at a time.
     p0 = BVGraphProperties(nodes=max(n, 1), arcs=0, **props_template)
-    wr_offsets = BitWriter()
-    wr_off = wr_offsets.make_writer(p0.offset_code, p0.zeta_k)
 
     arcs_total = 0
     expected_next = 0
     last_offset = 0
-    wr_off(0)  # offsets stream entry for node 0
+    offs_buf = io.BytesIO()
+    offs_out = _BitStreamOut(offs_buf)
+    _append_deltas(offs_out, [0], 0, p0)  # offsets stream entry for node 0
     with open(basename + ".graph", "wb") as fh:
         out = _BitStreamOut(fh)
         for first_src, seg_arcs, body, fill, cur, offsets in (
@@ -150,16 +177,19 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
             out.append_body(body)
             if fill:
                 out.append_bits(cur, fill)
-            for o in offsets[1:]:
-                abs_off = base + o
-                wr_off(abs_off - last_offset)
-                last_offset = abs_off
+            # one C-kernel (or fallback) delta-encode per segment — never a
+            # per-node Python code-write loop on the driver
+            abs_offsets = [base + o for o in offsets[1:]]
+            if abs_offsets:
+                _append_deltas(offs_out, abs_offsets, last_offset, p0)
+                last_offset = abs_offsets[-1]
         assert expected_next == n, f"src not dense 0..{n - 1}"
         out.close()
+    offs_out.close()
 
     p = BVGraphProperties(nodes=n, arcs=arcs_total, **props_template)
     with open(basename + ".offsets", "wb") as f:
-        f.write(wr_offsets.to_bytes())
+        f.write(offs_buf.getvalue())
     with open(basename + ".properties", "w") as f:
         f.write(format_properties(p))
     return p

@@ -27,6 +27,30 @@ def test_partition_invariance(spark, twin, num_splits):
     assert rows == twin
 
 
+def test_target_bytes_partition_sizing(spark, twin):
+    """.option('targetBytes', n) sizes partitions by compressed byte
+    extent (the maxPartitionBytes analog), overriding numSplits."""
+    from hadoopwebgraph_spark.bvgraph.datasource import _plan_state
+
+    _, _, offsets = _plan_state(SMALL_BASENAME)
+    total_bytes = int(offsets[2000]) / 8
+    target = int(total_bytes // 5)
+    reader = BVGraphReader(
+        {"basename": SMALL_BASENAME, "targetbytes": str(target)}
+    )
+    parts = reader.partitions()
+    assert 5 <= len(parts) <= 7  # ~total/target splits, byte-balanced
+    for part in parts:
+        assert part.end_byte - part.start_byte <= 2 * target + 64
+    df = (
+        spark.read.format("bvgraph")
+        .option("basename", SMALL_BASENAME)
+        .option("targetBytes", target)
+        .load()
+    )
+    assert {r.src: list(r.adj) for r in df.collect()} == twin
+
+
 def test_python_fallback_path_matches_native(spark, twin):
     """.option('nonative','true') forces the pure-Python decoder through
     the full Spark source; result must equal the default (C kernel) path."""
