@@ -46,6 +46,12 @@ HEADLINE = [
     "q81_lang_id",
     "g01_adjacency",
     "g05_two_hop",
+    # round 2 additions
+    "q59_merge_upsert",
+    "q73_sim_ivf_kmeans_topk",
+    "q92_udtf_tokenize",
+    "q93_image_decode",
+    "g13_reachability_recursive_cte",
 ]
 
 

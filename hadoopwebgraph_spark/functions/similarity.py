@@ -222,46 +222,33 @@ def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_centroids(corpus: DataFrame, k: int = 10, iterations: int = 4) -> DataFrame:
-    """Spherical k-means centroids as DataFrame jobs (no driver collect).
+    """Spherical k-means centroids via distributed Lloyd iterations.
 
     corpus: DataFrame[vec_id, v array<float>]. Init is deterministic (the
-    k lowest vec_ids); each Lloyd iteration = one broadcast cross of the
-    tiny centroid table against the corpus (argmax-cosine assignment) +
-    one posexplode/groupBy per-dimension mean. Empty cells keep their
-    previous centroid. At 100 TB the corpus is scanned once per iteration
-    with only k*dims rows shuffled — the standard distributed Lloyd shape.
+    k lowest vec_ids). Each iteration is ONE Spark job: broadcast the
+    tiny centroid table against a corpus scan (argmax-cosine via
+    partially-aggregable max_by), per-dimension means by posexplode +
+    groupBy, then the k new centroids come back to the driver to seed the
+    next broadcast. Centroid state is O(k*dims) regardless of corpus
+    size — driver-side centroids ARE the standard distributed-Lloyd
+    shape (only the k-row model crosses the boundary, never data rows);
+    the previous DataFrame-chained version cost 3 jobs per iteration in
+    checkpoint materializations. Empty cells keep their previous
+    centroid.
 
     Returns DataFrame[cid int, cvec array<double>].
     """
-    seed_w = W.orderBy("vec_id")
-    cent = (
-        corpus.orderBy("vec_id")
-        .limit(k)
-        .withColumn("cid", F.row_number().over(seed_w) - 1)
-        .select(
-            "cid",
-            F.transform("v", lambda x: x.cast("double")).alias("cvec"),
-        )
-        .localCheckpoint()
-    )
-    assign_w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    spark = corpus.sparkSession
+    corpus = corpus.persist()  # scanned once per iteration (MLlib-style)
+    seeds = corpus.orderBy("vec_id").limit(k).collect()  # k rows: the model
+    cent_rows = [
+        (cid, [float(x) for x in r.v]) for cid, r in enumerate(seeds)
+    ]
+    schema = "cid int, cvec array<double>"
     for _ in range(iterations):
-        assigned = (
-            corpus.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "v",
-                "cid",
-                F.round(
-                    _dot(F.col("v"), F.col("cvec"))
-                    / (_norm(F.col("v")) * _norm(F.col("cvec"))),
-                    6,
-                ).alias("ccos"),
-            )
-            .withColumn("rk", F.row_number().over(assign_w))
-            .filter(F.col("rk") == 1)
-        )
-        new_cent = (
+        cent = spark.createDataFrame(cent_rows, schema)
+        assigned = assign_cells(corpus, cent)
+        means = (
             assigned.select("cid", F.posexplode("v").alias("i", "val"))
             .groupBy("cid", "i")
             .agg(F.avg(F.col("val").cast("double")).alias("avg_v"))
@@ -272,36 +259,40 @@ def kmeans_centroids(corpus: DataFrame, k: int = 10, iterations: int = 4) -> Dat
                     lambda x: x["avg_v"],
                 ).alias("cvec")
             )
-        )
-        cent = (
-            cent.alias("o")
-            .join(new_cent.alias("n"), "cid", "left")
-            .select(
-                "cid", F.coalesce(F.col("n.cvec"), F.col("o.cvec")).alias("cvec")
-            )
-            .localCheckpoint()
-        )
-    return cent
+        ).collect()  # k rows
+        new = {r.cid: list(r.cvec) for r in means}
+        cent_rows = [(cid, new.get(cid, old)) for cid, old in cent_rows]
+    corpus.unpersist()
+    return spark.createDataFrame(cent_rows, schema)
 
 
 def assign_cells(corpus: DataFrame, cent: DataFrame) -> DataFrame:
-    """Argmax-cosine cell assignment: DataFrame[vec_id, v, cid]."""
-    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    """Argmax-cosine cell assignment: DataFrame[vec_id, v, cid].
+
+    The argmax is a partially-aggregable ``max_by`` (ordering struct =
+    (ccos desc, cid asc) -> maximize (ccos, -cid)) instead of a window:
+    the shuffle carries ONE row per vector, not one per (vector,
+    centroid), and map-side combine applies — the difference between one
+    narrow agg and a k-wide window sort at 100 TB."""
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "cid",
+        F.round(
+            _dot(F.col("v"), F.col("cvec"))
+            / (_norm(F.col("v")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("ccos"),
+    )
     return (
-        corpus.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "v",
-            "cid",
-            F.round(
-                _dot(F.col("v"), F.col("cvec"))
-                / (_norm(F.col("v")) * _norm(F.col("cvec"))),
-                6,
-            ).alias("ccos"),
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "v"),
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cid").alias("cid"))
     )
 
 

@@ -235,7 +235,9 @@ def g08_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iteration handled by the engine instead of a driver-side loop.",
 )
 def g13_reachability_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges_df(spark).createOrReplaceTempView("g13_edges")
+    # localCheckpoint: the recursive step re-reads the edge view every
+    # iteration — decode the Python source once, not once per hop
+    edges_df(spark).localCheckpoint().createOrReplaceTempView("g13_edges")
     return spark.sql(
         """
         WITH RECURSIVE reach(node, depth) AS (

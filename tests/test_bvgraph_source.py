@@ -27,6 +27,32 @@ def test_partition_invariance(spark, twin, num_splits):
     assert rows == twin
 
 
+def test_corrupt_graph_fails_loudly(spark, twin, tmp_path):
+    """A truncated .graph must raise (both decode paths), never hang on
+    the zero padding or silently return short results."""
+    import shutil
+
+    import pytest as _pytest
+
+    base = str(tmp_path / "trunc")
+    for ext in (".offsets", ".properties"):
+        shutil.copy(SMALL_BASENAME + ext, base + ext)
+    with open(SMALL_BASENAME + ".graph", "rb") as f:
+        blob = f.read()
+    with open(base + ".graph", "wb") as f:
+        f.write(blob[: len(blob) // 3])
+    for nonative in ("false", "true"):
+        df = (
+            spark.read.format("bvgraph")
+            .option("basename", base)
+            .option("numSplits", 4)
+            .option("nonative", nonative)
+            .load()
+        )
+        with _pytest.raises(Exception):
+            df.collect()
+
+
 def test_target_bytes_partition_sizing(spark, twin):
     """.option('targetBytes', n) sizes partitions by compressed byte
     extent (the maxPartitionBytes analog), overriding numSplits."""
