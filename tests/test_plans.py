@@ -64,6 +64,40 @@ def test_cosine_topk_broadcasts_queries(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_merge_upsert_plan(spark, sf_small):
+    from hadoopwebgraph_spark.queries.advanced import q59_merge_upsert
+
+    plan = _plan(q59_merge_upsert(spark, sf_small))
+    # the anti-join survives as a real join (broadcast or SMJ by size),
+    # never a cartesian product
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_plan(spark, sf_small):
+    """Cell assignment must broadcast the tiny centroid table and compute
+    the argmax as a partial+final aggregate (one shuffled row per vector),
+    not a window over the crossed rows."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.similarity import (
+        N_QUERIES,
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    e = load(spark, sf_small, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cent = kmeans_centroids(corpus, k=4, iterations=1)
+    plan = _plan(assign_cells(corpus, cent))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Aggregate") >= 2  # partial + final
+    assert "Window" not in plan
+
+
 def test_window_single_shuffle(spark, sf_small):
     import re
 
