@@ -210,3 +210,84 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+BM25_TERMS = ("data", "join", "scan")
+_BM25_TERMS_SQL = "('" + "','".join(BM25_TERMS) + "')"
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@register(
+    "q85_bm25_ranking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN {_BM25_TERMS_SQL} GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN {_BM25_TERMS_SQL} GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1))
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * dl.dl / avgdl.avgdl))) AS s
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN avgdl CROSS JOIN n
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(s, 4) AS bm25
+    FROM (SELECT doc_id, s, row_number() OVER (ORDER BY round(s, 6) DESC,
+                                               doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+    doc="BM25 document ranking for a fixed term query (k1=1.2, b=0.75): "
+    "tokenize -> tf per (doc, term) with term pre-filter pushed into the "
+    "explode, df and avg doc length as broadcastable scalars, Robertson "
+    "idf, top-20. The inverted-index shape of search scoring as one "
+    "DataFrame pipeline; rank key rounded so ULP drift can't flip order.",
+)
+def q85_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    n_docs = d.count()
+    qtoks = toks.filter(F.col("term").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtoks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    w = W.orderBy(F.round(F.col("s"), 6).desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", F.round("s", 4).alias("bm25"))
+    )
