@@ -397,3 +397,177 @@ def q72_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos") >= EMB_DEDUP_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos", 4).alias("cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN sketch: vectors
+# become PQ_M one-byte codes; queries scan codes via per-subspace distance
+# tables (ADC) and only the top candidates are reranked exactly. On the
+# fixture: recall@5 = 0.78 at a 10% exact-scan fraction (prototyped, and
+# asserted by tests/test_extensions.py).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_KSUB = 16  # codebook entries per subspace
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dims)
+PQ_CAND = 50  # ADC candidates per query before exact rerank
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Left-to-right float64 squared euclidean distance."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Explode a vector column into (sub, sv) subvector rows."""
+    slices = F.array(
+        *[
+            F.slice(vec_col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_M)
+        ]
+    )
+    return df.select("*", F.posexplode(slices).alias("sub", "sv")).drop(vec_col)
+
+
+def pq_train_codebooks(corpus: DataFrame, iterations: int = 3):
+    """Per-subspace euclidean k-means codebooks (driver-side O(M*KSUB)
+    model, distributed scans — same shape as kmeans_centroids). Returns a
+    DataFrame[sub int, code int, cvec array<double>]."""
+    spark = corpus.sparkSession
+    subs = _subvectors(corpus, "v").persist()
+    seeds = (
+        subs.filter(F.col("vec_id").isin(
+            [int(r.vec_id) for r in corpus.select("vec_id").orderBy("vec_id").limit(PQ_KSUB).collect()]
+        ))
+        .orderBy("sub", "vec_id")
+        .collect()
+    )
+    cb_rows = []
+    per_sub: dict[int, int] = {}
+    for r in seeds:
+        code = per_sub.get(r.sub, 0)
+        per_sub[r.sub] = code + 1
+        cb_rows.append((int(r.sub), code, [float(x) for x in r.sv]))
+    schema = "sub int, code int, cvec array<double>"
+    for _ in range(iterations):
+        cb = spark.createDataFrame(cb_rows, schema)
+        assigned = _pq_assign(subs, cb)
+        means = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("i", "val"))
+            .groupBy("sub", "code", "i")
+            .agg(F.avg(F.col("val").cast("double")).alias("avg_v"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "avg_v"))),
+                    lambda x: x["avg_v"],
+                ).alias("cvec")
+            )
+        ).collect()
+        new = {(r.sub, r.code): list(r.cvec) for r in means}
+        cb_rows = [
+            (sub, code, new.get((sub, code), old)) for sub, code, old in cb_rows
+        ]
+    subs.unpersist()
+    return spark.createDataFrame(cb_rows, schema)
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codebook-entry per (vec_id, sub): argmin squared distance,
+    smallest code on ties, as a partially-aggregable max_by."""
+    scored = subs.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        "sv",
+        "code",
+        F.round(_sq_dist(F.col("sv"), F.col("cvec")), 6).alias("d"),
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(
+            F.max_by(
+                F.struct("code", "sv"),
+                F.struct((-F.col("d")).alias("nd"), (-F.col("code")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id", "sub",
+            F.col("best.code").alias("code"), F.col("best.sv").alias("sv"),
+        )
+    )
+
+
+@register(
+    "q74_sim_pq_topk",
+    oracle=None,  # iterative codebook training; certified by the recall
+    # test vs the exact q70 baseline (tests/test_extensions.py)
+    doc="Product-quantization ANN: per-subspace k-means codebooks (8 "
+    "subspaces x 16 codes, driver-side model), corpus encoded to 8 "
+    "one-byte codes, asymmetric-distance scan via per-query distance "
+    "tables joined on (sub, code), exact cosine rerank of the top-50 "
+    "candidates. The compressed-domain scan shape: at 100 TB the code "
+    "table is ~1% of the vector bytes and the distance tables broadcast.",
+)
+def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("v")
+    ).persist()
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    cb = pq_train_codebooks(corpus)
+    codes = _pq_assign(_subvectors(corpus, "v"), cb).select(
+        "vec_id", "sub", "code"
+    )
+
+    # ADC distance tables: one row per (query, sub, code) — tiny, built by
+    # crossing the 10 queries with the broadcast codebook
+    qsubs = _subvectors(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        "v",
+    ).select(F.col("vec_id").alias("query_id"), "sub", "sv")
+    tables = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code",
+        F.round(_sq_dist(F.col("sv"), F.col("cvec")), 6).alias("d"),
+    )
+
+    approx = (
+        codes.join(F.broadcast(tables), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+    cand_w = W.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
+    cands = (
+        approx.withColumn("cr", F.row_number().over(cand_w))
+        .filter(F.col("cr") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+
+    rerank = (
+        cands.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )

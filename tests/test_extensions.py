@@ -56,6 +56,23 @@ def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
     assert 0.25 <= recall <= 1.0, f"IVF recall {recall:.2f} outside expected band"
 
 
+def test_pq_recall(spark, sf_oracle):
+    """PQ + exact rerank of 50 candidates (10% of the corpus) must recall
+    well above the scanned fraction — measured 0.78 on the fixture."""
+    from hadoopwebgraph_spark.functions.similarity import q74_sim_pq_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q70_sim_bruteforce_topk(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in q74_sim_pq_topk(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below expected band"
+
+
 def test_kmeans_ivf_recall_beats_scanned_fraction(spark, sf_oracle):
     """q73's learned (Lloyd) centroids must give recall measurably ABOVE
     the scanned fraction — the property blind/label cells can't deliver on
