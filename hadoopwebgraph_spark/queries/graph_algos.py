@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .graph import edges_df, graph_df
+from .graph import _T, edges_df, graph_df
 
 
 def pagerank(
@@ -49,16 +49,18 @@ def pagerank(
     n = n_nodes if n_nodes is not None else nodes.count()
 
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # static join side: contribution edges with 1/outdeg weight
+    # static join side: contribution edges carrying the outdegree; the
+    # contribution is rank/outdeg (single correctly-rounded division, so
+    # a SQL oracle computing p.rank / o.outdeg matches term-for-term)
     contrib_edges = edges.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+        "src", "dst", F.col("outdeg").cast("double").alias("od")
     ).persist()
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contribs = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.node)
-            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .select("dst", (F.col("rank") / F.col("od")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
@@ -169,11 +171,54 @@ def connected_components(
     return labels
 
 
+def _pagerank_oracle_sql(twin: str, iterations: int = 10, damping: float = 0.85) -> str:
+    """DuckDB oracle for g11: the Lloyd-style driver loop unrolled into
+    one CTE block per iteration (SQL forbids aggregates over the
+    recursive member of WITH RECURSIVE, so unrolling is the portable
+    fixpoint encoding). Constants are emitted as Python float reprs so
+    both engines compute with bit-identical doubles (1.0 - 0.85 !=
+    literal 0.15 in binary); contributions are single divisions
+    (p.rank / od) matching the Spark side term-for-term."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    blocks = [
+        f"""
+    e AS (SELECT src, unnest(adj) AS dst FROM {twin}),
+    nodes AS (SELECT src AS node FROM {twin}),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f"""
+    d{i} AS (SELECT coalesce(sum(p.rank), 0.0) AS dm FROM pr{i - 1} p
+             WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)),
+    s{i} AS (SELECT e.dst, sum(p.rank / o.od) AS in_sum
+             FROM e JOIN pr{i - 1} p ON e.src = p.node
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst),
+    pr{i} AS (SELECT n.node,
+                     {base} + {d} * (d{i}.dm / nn.n
+                                     + coalesce(s{i}.in_sum, 0.0)) AS rank
+              FROM nodes n CROSS JOIN d{i} CROSS JOIN nn
+              LEFT JOIN s{i} ON s{i}.dst = n.node)"""
+        )
+    return (
+        "WITH" + ",".join(blocks) + f"""
+    SELECT node, round(rank, 6) AS rank FROM pr{iterations}
+    ORDER BY round(rank, 6) DESC, node LIMIT 20
+    """
+    )
+
+
 @register(
     "g11_pagerank",
-    oracle=None,  # iterative fixpoint; certified by unit tests instead
+    oracle=_pagerank_oracle_sql(_T),
     doc="PageRank (10 iterations, damping 0.85, dangling redistribution) "
-    "as a checkpointed DataFrame join loop; top-20 nodes by rank.",
+    "as a checkpointed DataFrame join loop; top-20 nodes by rank. Oracle "
+    "= the same fixpoint unrolled into 10 CTE blocks over the parquet "
+    "twin (upgraded from a rows-only check).",
 )
 def g11_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_df(spark)
@@ -190,9 +235,23 @@ def g11_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g12_connected_components",
-    oracle=None,  # iterative fixpoint; certified by unit tests instead
-    doc="Weakly-connected components via min-label propagation; component "
-    "size histogram.",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(node, r) AS (
+        SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT re.node, s.dst FROM reach re JOIN sym s ON s.src = re.r
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT size, count(*) AS n_components FROM (
+        SELECT component, count(*) AS size FROM comp GROUP BY component
+    ) GROUP BY size
+    """,
+    doc="Weakly-connected components via min-label propagation with "
+    "pointer jumping; component size histogram. Oracle = recursive-CTE "
+    "reachability fixpoint (component := min reachable node), upgraded "
+    "from a rows-only check.",
 )
 def g12_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_df(spark)
