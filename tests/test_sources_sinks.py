@@ -70,3 +70,26 @@ def test_foreachbatch_parquet_sink(spark, sf_small, tmp_path):
         .count()
     )
     assert result.count() == batch
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_small, tmp_path):
+    """Hive-partitioned writes must yield plan-time partition pruning:
+    a filter on the partition column appears as PartitionFilters in the
+    scan and non-matching directories are never read."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+
+    out = str(tmp_path / "li_part")
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "l_returnflag" in part_lines[0]
+    assert df.count() == li.filter("l_returnflag = 'R'").count()
