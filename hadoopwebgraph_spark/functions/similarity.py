@@ -525,6 +525,10 @@ def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cb = pq_train_codebooks(corpus)
+    # cache served the training collects; release it so repeated driver
+    # invocations don't accumulate cached corpora (the final job's two
+    # corpus scans recompute from parquet)
+    corpus.unpersist()
     codes = _pq_assign(_subvectors(corpus, "v"), cb).select(
         "vec_id", "sub", "code"
     )
