@@ -315,8 +315,7 @@ def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     cent = kmeans_centroids(corpus, k=10, iterations=4)
-    # assignment is reused by every query probe — materialize once
-    assigned = assign_cells(corpus, cent).localCheckpoint()
+    assigned = assign_cells(corpus, cent)
 
     probe_w = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
     cells = (
