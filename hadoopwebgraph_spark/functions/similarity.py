@@ -11,10 +11,13 @@ Scale design (100 TB of vectors):
 - Brute force is a broadcast of the (small) query set against a scan of
   the corpus — one pass, no shuffle of the corpus; per-partition partial
   top-k via the rank-filter pattern.
-- IVF: centroids (tiny) are broadcast; each query probes nprobe=2 cells,
-  so the candidate scan touches ~nprobe/ncells of the corpus. Cell
-  assignment is an equi-join on label — shuffle bounded by candidate
-  size, never all-pairs.
+- IVF: centroids (tiny) are broadcast; each query probes nprobe cells
+  (q71: 4 label cells; q73: 2 learned cells), so the candidate scan
+  touches ~nprobe/ncells of the corpus. Cell assignment is an equi-join
+  on the cell id — shuffle bounded by candidate size, never all-pairs.
+- PQ (q74): vectors compressed to 8 one-byte codes; ADC scan via
+  per-query distance tables joined on (sub, code); exact rerank of the
+  top candidates only.
 """
 
 from __future__ import annotations
