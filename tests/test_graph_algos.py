@@ -139,3 +139,34 @@ def test_bvgraph_sink_roundtrip_100k(spark, tmp_path):
     assert p.nodes == 100000
     back = read_bvgraph(spark, out_base, num_splits=13)
     assert checksum(back) == checksum(df)
+
+
+def test_motif_dsl(spark):
+    """Motif patterns compile to the expected bindings on a hand-built
+    graph: triangle, open triad with negation, self-loop, and error
+    cases."""
+    from hadoopwebgraph_spark.queries.motif import find_motif, parse_pattern
+
+    # graph: 0->1, 1->2, 0->2 (closed triangle), 2->3 (dangling), 4->4
+    e = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (4, 4)])
+
+    tri = find_motif(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+    # GraphFrames semantics: distinct names may bind the same vertex, so
+    # the 4->4 self-loop matches as (4,4,4); filter a != c to exclude
+    assert {tuple(r) for r in tri.collect()} == {(0, 1, 2), (4, 4, 4)}
+    strict = tri.filter("a != c")
+    assert [tuple(r) for r in strict.collect()] == [(0, 1, 2)]
+
+    opens = find_motif(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    got = {tuple(r) for r in opens.collect()}
+    # 2-paths: 0->1->2 (closed by 0->2), 1->2->3, 0->2->3, 4->4->4 (!4->4
+    # exists so excluded)
+    assert got == {(1, 2, 3), (0, 2, 3)}
+
+    loops = find_motif(e, "(a)-[]->(a)")
+    assert [r.a for r in loops.collect()] == [4]
+
+    with pytest.raises(ValueError):
+        parse_pattern("(a)-[]->(b); garbage")
+    with pytest.raises(ValueError):
+        parse_pattern("!(a)-[]->(b)")  # negation with unbound vertices
