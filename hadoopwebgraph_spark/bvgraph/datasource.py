@@ -156,6 +156,8 @@ class BVGraphReader(DataSourceReader):
         self.to_node_excl: int | None = (
             int(options["tonode"]) if "tonode" in options else None
         )
+        # exact src membership set from In/EqualTo pushdown (None = any)
+        self.in_values: list[int] | None = None
 
     # -- filter pushdown (partition pruning only; Spark re-applies filters) --
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -166,6 +168,16 @@ class BVGraphReader(DataSourceReader):
             if hi is not None:
                 self.to_node_excl = (
                     hi if self.to_node_excl is None else min(self.to_node_excl, hi)
+                )
+            # src IN (...) / src = k: keep the exact membership set too, so
+            # partitions BETWEEN sparse points are dropped, not just the
+            # ones outside [min, max]
+            vals = _src_members(f)
+            if vals is not None:
+                self.in_values = (
+                    sorted(vals)
+                    if self.in_values is None
+                    else sorted(set(self.in_values) & set(vals))
                 )
         # report everything unsupported -> Spark evaluates filters post-scan
         return filters
@@ -225,6 +237,25 @@ class BVGraphReader(DataSourceReader):
                 )
             )
             start = end
+        if self.in_values is not None:
+            import bisect
+
+            vals = self.in_values
+
+            def covers(q: BVGraphPartition) -> bool:
+                i = bisect.bisect_left(vals, q.from_node)
+                return i < len(vals) and vals[i] < q.up_to
+
+            parts = [q for q in parts if covers(q)]
+            if not parts:  # API requires >= 1 partition
+                parts = [
+                    BVGraphPartition(
+                        graph_path=graph_path,
+                        props_text=props_text,
+                        from_node=0,
+                        up_to=0,
+                    )
+                ]
         return parts
 
     def read(self, partition: BVGraphPartition):
@@ -320,6 +351,19 @@ def _to_batch(pa, srcs, adj_offsets, adj_values):
         pa.array(adj_values, type=pa.int32()),
     )
     return pa.RecordBatch.from_arrays([src_arr, adj_arr], names=["src", "adj"])
+
+
+def _src_members(f: Filter) -> list[int] | None:
+    """Exact src membership a filter implies, or None (any value)."""
+    if getattr(f, "attribute", None) != ("src",):
+        return None
+    if isinstance(f, EqualTo) and isinstance(f.value, int):
+        return [f.value]
+    if isinstance(f, In):
+        vals = [v for v in f.value if isinstance(v, int)]
+        if vals and len(vals) == len(f.value):
+            return vals
+    return None
 
 
 def _src_bounds(f: Filter) -> tuple[int | None, int | None]:

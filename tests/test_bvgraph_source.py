@@ -27,6 +27,24 @@ def test_partition_invariance(spark, twin, num_splits):
     assert rows == twin
 
 
+def test_in_filter_prunes_between_points(spark, twin):
+    """src IN (sparse points) must drop the partitions BETWEEN the
+    points, not just the ones outside [min, max]."""
+    reader = BVGraphReader({"basename": SMALL_BASENAME, "numsplits": "50"})
+    full = len(reader.partitions())
+    reader2 = BVGraphReader({"basename": SMALL_BASENAME, "numsplits": "50"})
+    reader2.in_values = [5, 1900]
+    reader2.from_node, reader2.to_node_excl = 5, 1901
+    pruned = reader2.partitions()
+    assert len(pruned) <= 3 < full
+    for q in pruned:
+        assert q.from_node <= 5 < q.up_to or q.from_node <= 1900 < q.up_to
+    # end-to-end result equality through the source
+    df = read_bvgraph(spark, SMALL_BASENAME, num_splits=50)
+    out = {r.src: list(r.adj) for r in df.filter(df.src.isin(5, 1900)).collect()}
+    assert out == {k: twin[k] for k in (5, 1900)}
+
+
 def test_corrupt_graph_fails_loudly(spark, twin, tmp_path):
     """A truncated .graph must raise (both decode paths), never hang on
     the zero padding or silently return short results."""
