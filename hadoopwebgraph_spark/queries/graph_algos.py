@@ -9,8 +9,11 @@ partitioning; localCheckpoint truncates the growing lineage so plan
 compilation stays O(1) per iteration. Convergence loops are driver-side
 WHILE over distributed steps — no per-row driver work.
 
-Registered as rows-only checks (iterative fixpoints aren't expressible as
-one oracle SQL statement); exactness is certified by tests against
+All three algorithms are oracle-checked despite being iterative: g11
+PageRank against a 10-iteration unrolled-CTE fixpoint, g12 connected
+components against a recursive-CTE reachability fixpoint, g15 label
+propagation against an unrolled-CTE mode computation (integer-only, so
+parity is exact). Exactness is additionally certified by tests against
 hand-computed fixtures (tests/test_graph_algos.py).
 """
 
@@ -262,3 +265,94 @@ def g12_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_components"))
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    simultaneously adopts the most frequent label among its undirected
+    neighbors, ties to the smallest label; isolated-in-round nodes keep
+    their label. Deterministic (integer counts + total tie order), so the
+    fixed-iteration run is exactly oracle-able, unlike the usual
+    async/randomized LPA.
+
+    Per iteration: one join + count + partially-aggregable max_by (the
+    argmax shuffles one row per node). Returns DataFrame[node, label].
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        counted = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        mode = (
+            counted.groupBy("src")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl")),
+                ).alias("new_label")
+            )
+        )
+        labels = (
+            labels.join(mode, labels.node == mode.src, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return labels
+
+
+def _lpa_oracle_sql(twin: str, iterations: int = 3) -> str:
+    """Unrolled-CTE oracle for g15: integer-only mode computation, so
+    parity is exact (no float drift across engines)."""
+    blocks = [
+        f"""
+    e AS (SELECT src, unnest(adj) AS dst FROM {twin}),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    ]
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f"""
+    c{i} AS (SELECT s.src, l.label, count(*) AS cnt
+             FROM sym s JOIN l{i - 1} l ON l.node = s.dst
+             GROUP BY s.src, l.label),
+    m{i} AS (SELECT src, label AS new_label FROM (
+                 SELECT src, label,
+                        row_number() OVER (PARTITION BY src
+                                           ORDER BY cnt DESC, label) AS rn
+                 FROM c{i}) WHERE rn = 1),
+    l{i} AS (SELECT l.node, coalesce(m.new_label, l.label) AS label
+             FROM l{i - 1} l LEFT JOIN m{i} m ON m.src = l.node)"""
+        )
+    return (
+        "WITH" + ",".join(blocks)
+        + f" SELECT node, label FROM l{iterations}"
+    )
+
+
+@register(
+    "g15_label_propagation",
+    oracle=_lpa_oracle_sql(_T),
+    doc="Synchronous label-propagation community detection (3 rounds, "
+    "most-frequent neighbor label, smallest-label ties) — deterministic "
+    "integer-only LPA, oracle-checked exactly against the unrolled-CTE "
+    "fixpoint per node.",
+)
+def g15_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    return label_propagation(e, iterations=3)

@@ -170,3 +170,21 @@ def test_motif_dsl(spark):
         parse_pattern("(a)-[]->(b); garbage")
     with pytest.raises(ValueError):
         parse_pattern("!(a)-[]->(b)")  # negation with unbound vertices
+
+
+def test_label_propagation_exact(spark):
+    """Synchronous LPA with min-label ties on a barbell: two triangles
+    joined by a bridge must settle into two communities."""
+    from hadoopwebgraph_spark.queries.graph_algos import label_propagation
+
+    e = _edges_df(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)],
+    )
+    labels = {r.node: r.label for r in label_propagation(e, iterations=3).collect()}
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[10] != 0 or labels == {n: 0 for n in labels}  # bridge may merge
+    # deterministic: two runs agree exactly
+    again = {r.node: r.label for r in label_propagation(e, iterations=3).collect()}
+    assert labels == again
