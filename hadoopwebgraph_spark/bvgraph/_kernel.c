@@ -56,9 +56,15 @@ static inline uint64_t window64(const uint8_t *d, int64_t pos) {
     return (w << sh) | (next >> (8 - sh));
 }
 
+/* Every reader checks pos against limit BEFORE touching memory: a
+ * corrupt/truncated stream (or a bogus seek position) must surface as an
+ * in-band error value, never as an out-of-bounds window64 read.  With
+ * pos < limit, window64's 9-byte fetch stays inside the 16-byte pad. */
+
 static inline int read_bit(Bits *b) {
     int64_t p = b->pos;
     b->pos = p + 1;
+    if (p >= b->limit) return 0; /* deterministic; next prefix read errors */
     return (b->d[p >> 3] >> (7 - (p & 7))) & 1;
 }
 
@@ -70,6 +76,7 @@ static inline int64_t read_unary(Bits *b) {
         if (w) {
             int lz = __builtin_clzll(w);
             b->pos += lz + 1;
+            if (b->pos > b->limit) return (int64_t)1 << 30; /* overshoot */
             return n + lz;
         }
         n += 64;
@@ -79,6 +86,10 @@ static inline int64_t read_unary(Bits *b) {
 
 static inline uint64_t read_int(Bits *b, int k) {
     if (k <= 0) return 0;
+    if (b->pos >= b->limit) { /* no fetch past the guarded window */
+        b->pos += k;
+        return 0;
+    }
     uint64_t w = window64(b->d, b->pos);
     b->pos += k;
     return k >= 64 ? w : (w >> (64 - k));
@@ -109,6 +120,7 @@ static inline int64_t read_zeta(Bits *b, int k) {
 static inline int64_t read_nibble(Bits *b) {
     int64_t x = 0;
     for (;;) {
+        if (b->pos >= b->limit) return -1; /* truncated nibble stream */
         uint64_t g = read_int(b, 4);
         x = (x << 3) | (int64_t)(g & 7);
         if (g & 8) return x;
@@ -173,6 +185,7 @@ typedef struct {
     int32_t c_out, c_ref, c_bcnt, c_blk, c_res;
     const int64_t *offs; /* rebased bit offsets for nodes [seed_base, seed_hi] */
     int64_t limit;
+    int64_t data_bits; /* real data extent: seek targets must be <= this */
     int32_t seed_base, seed_hi;
     Scratch pool[MAX_DEPTH];
     int err;
@@ -265,7 +278,12 @@ static int decode_node(Ctx *c, Bits *b, int64_t x, Vec *win, int32_t cyclic,
                 c->err = ERR_OFFSETS;
                 return -1;
             }
-            Bits rb = {c->data, c->offs[y - c->seed_base], c->limit};
+            int64_t sb = c->offs[y - c->seed_base];
+            if (sb < 0 || sb > c->data_bits) { /* stale/corrupt offsets */
+                c->err = ERR_OFFSETS;
+                return -1;
+            }
+            Bits rb = {c->data, sb, c->limit};
             Vec *tmp = &s->reflist;
             if (decode_node(c, &rb, y, NULL, 0, tmp, depth + 1)) return -1;
             ref_list = tmp->v;
@@ -419,6 +437,8 @@ int64_t bvg_decode_range(
     memset(&c, 0, sizeof(c));
     c.data = data;
     c.limit = (data_bytes + 8) * 8;
+    c.data_bits = data_bytes * 8;
+    if (start_bit < 0 || start_bit > c.data_bits) return ERR_MALFORMED;
     c.window_size = window_size;
     c.max_ref_count = max_ref_count;
     c.min_interval_length = min_interval_length;
@@ -450,7 +470,12 @@ int64_t bvg_decode_range(
         int64_t lim = from_node + 1 < cyclic ? from_node + 1 : cyclic;
         for (int64_t i = 1; i < lim; i++) {
             int64_t y = from_node - i;
-            Bits rb = {data, c.offs[y - seed_base], c.limit};
+            int64_t sb = c.offs[y - seed_base];
+            if (sb < 0 || sb > c.data_bits) {
+                rc = ERR_OFFSETS;
+                goto done;
+            }
+            Bits rb = {data, sb, c.limit};
             if (decode_node(&c, &rb, y, NULL, 0, &win[y % cyclic], 0)) {
                 rc = c.err;
                 goto done;
@@ -490,10 +515,15 @@ done:
 }
 
 /* Fold a delta-coded offsets stream into absolute bit positions:
- * out[i] = sum of the first i+1 deltas.  Returns 0, or ERR_BADCODE. */
-int64_t bvg_decode_offsets(const uint8_t *data, int64_t count, int32_t code,
-                           int32_t zeta_k, int64_t *out) {
-    Bits b = {data, 0, (count + 9) * 70};
+ * out[i] = sum of the first i+1 deltas.  data_bytes is the real (unpadded)
+ * buffer length; the limit is derived from it — never from `count` — so a
+ * truncated .offsets file or an inconsistent node count errors instead of
+ * decoding past the pad.  Returns 0, ERR_BADCODE, or ERR_MALFORMED (the
+ * cursor ran past the data extent: corrupt/truncated stream). */
+int64_t bvg_decode_offsets(const uint8_t *data, int64_t data_bytes,
+                           int64_t count, int32_t code, int32_t zeta_k,
+                           int64_t *out) {
+    Bits b = {data, 0, (data_bytes + 8) * 8};
     int64_t acc = 0;
     for (int64_t i = 0; i < count; i++) {
         int64_t g = read_code(&b, code, zeta_k);
@@ -501,6 +531,7 @@ int64_t bvg_decode_offsets(const uint8_t *data, int64_t count, int32_t code,
         acc += g;
         out[i] = acc;
     }
+    if (b.pos > data_bytes * 8) return ERR_MALFORMED;
     return 0;
 }
 

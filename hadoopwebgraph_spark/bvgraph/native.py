@@ -68,7 +68,7 @@ def _compile_and_load():
         _i64p,  # out_bitpos (nullable)
     ]
     lib.bvg_decode_offsets.restype = _i64
-    lib.bvg_decode_offsets.argtypes = [_i8p, _i64, _i32, _i32, _i64p]
+    lib.bvg_decode_offsets.argtypes = [_i8p, _i64, _i64, _i32, _i32, _i64p]
     lib.bvg_encode_deltas.restype = _i64
     lib.bvg_encode_deltas.argtypes = [_i64p, _i64, _i64, _i32, _i32, _i8p, _i64]
     lib.bvg_encode_segment.restype = _i64
@@ -259,9 +259,10 @@ def decode_offsets(offsets_bytes_padded: bytes, count: int, code: int, zeta_k: i
     if lib is None:
         return None
     data = _borrow_u8p(offsets_bytes_padded)
+    data_bytes = len(offsets_bytes_padded) - 16  # bitio._PAD length
     out = np.empty(count, dtype=np.int64)
     rc = lib.bvg_decode_offsets(
-        data, count, code, zeta_k, out.ctypes.data_as(_i64p)
+        data, data_bytes, count, code, zeta_k, out.ctypes.data_as(_i64p)
     )
     if rc != 0:
         return None
