@@ -24,8 +24,10 @@ TABLES = (
 )
 
 
-# DuckDB-side expression equivalent to events.ts after load(): the parquet
-# column is TIMESTAMP(NANOS); both engines are normalized to microseconds.
+# DuckDB-side expression equivalent to events.ts after load(). Works for
+# either physical encoding of the parquet column (TIMESTAMP(NANOS) or
+# TIMESTAMP(MICROS)): epoch_ns gives nanos either way, and truncating to
+# whole microseconds is an identity on micros data.
 ORACLE_EVENT_TS = "make_timestamp(epoch_ns(ts) // 1000)"
 
 
@@ -37,15 +39,34 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a session-tz TimestampType at whole-microsecond
+    precision regardless of how the file physically encodes it.
+
+    The testdata has shipped two encodings across rounds: TIMESTAMP(NANOS)
+    (read as raw nano longs under spark.sql.legacy.parquet.nanosAsLong) and
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). A real engine reads the type
+    it is given, so branch on the loaded dtype instead of assuming one.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # raw nanos -> truncate to whole microseconds (matches the DuckDB
+        # oracle's epoch_ns(ts) // 1000).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        # already micros; cast NTZ -> session-tz timestamp (identity on the
+        # underlying micros value with the UTC session tz we pin).
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df  # already TimestampType
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
-        # truncate to whole microseconds so Spark and DuckDB agree exactly.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -66,25 +66,55 @@ def _load_all_modules() -> None:
 # driver row across rounds we rotate: queries never driver-verified sort
 # first, then least-recently-verified. Update this map each round from
 # CORRECTNESS_r{N}.json.
-_DRIVER_GREEN: dict[str, int] = {
-    name: 1
-    for name in (
-        "q01_pricing_summary q02_filter_project q03_join_inner "
-        "q04_join_broadcast q05_join_left_histogram q06_join_semi "
-        "q07_join_anti q08_join_theta q09_self_join q10_agg_stats "
-        "q11_count_distinct q12_approx_distinct q13_rollup q14_cube "
-        "q15_grouping_sets q16_topk_global q17_having q18_join_right "
-        "q19_join_full q20_window_topk_per_group q21_window_rank "
-        "q22_window_running_sum q23_window_lag q24_window_range_frame "
-        "q25_window_ntile_first_last q26_window_distribution q30_union "
-        "q31_intersect q32_except q33_string_fns q34_date_fns q35_math_fns "
-        "q36_array_fns q37_json_fns q38_case_coalesce q39_pivot "
-        "q40_distinct q41_in_subquery q43_join_cross q44_percentiles "
-        "q45_approx_percentiles q46_map_fns q47_unpivot q48_inmemory_scan "
-        "q49_collect_agg q55_asof_join q56_shipping_priority "
-        "q57_local_supplier_volume q58_pure_theta g10_point_lookup"
-    ).split()
-}
+#
+# State after round 3 (CORRECTNESS_r03.json): the events-ts regression
+# broke q37/q46/q50-q54/q55 that round — they are deliberately ABSENT here
+# so they sort first and get re-certified in round 4 alongside the
+# r1-verified-only set. Everything green in r3 (incl. q73/q74 rows-only
+# by design) is stamped round 3.
+_DRIVER_GREEN: dict[str, int] = {}
+_DRIVER_GREEN.update(
+    {
+        name: 1
+        for name in (
+            "q06_join_semi q07_join_anti q08_join_theta q09_self_join "
+            "q10_agg_stats q11_count_distinct q12_approx_distinct q13_rollup "
+            "q14_cube q15_grouping_sets q16_topk_global q17_having "
+            "q18_join_right q19_join_full q20_window_topk_per_group "
+            "q21_window_rank q22_window_running_sum q23_window_lag "
+            "q24_window_range_frame q25_window_ntile_first_last "
+            "q26_window_distribution q30_union q31_intersect q32_except "
+            "q33_string_fns q34_date_fns q35_math_fns q36_array_fns "
+            "q38_case_coalesce q39_pivot q40_distinct q41_in_subquery "
+            "q43_join_cross q44_percentiles q45_approx_percentiles "
+            "q47_unpivot q48_inmemory_scan q49_collect_agg "
+            "q56_shipping_priority q57_local_supplier_volume q58_pure_theta"
+        ).split()
+    }
+)
+_DRIVER_GREEN.update(
+    {
+        name: 3
+        for name in (
+            "g01_adjacency g02_degree_distribution g03_edges "
+            "g04_indegree_topk g05_two_hop g06_triangle_motif "
+            "g07_graph_counts g08_symmetrize g09_src_range_scan "
+            "g10_point_lookup g11_pagerank g12_connected_components "
+            "g13_reachability_recursive_cte g14_motif_open_triad "
+            "g15_label_propagation q01_pricing_summary q02_filter_project "
+            "q03_join_inner q04_join_broadcast q05_join_left_histogram "
+            "q42_scalar_subquery q59_merge_upsert q60_dedup_exact "
+            "q61_dedup_content_hash q62_dedup_minhash q63_ngram_jaccard "
+            "q64_dedup_simhash q65_simhash_pairs q66_dedup_clusters "
+            "q70_sim_bruteforce_topk q71_sim_ivf_topk q72_dedup_embedding "
+            "q73_sim_ivf_kmeans_topk q74_sim_pq_topk q80_text_quality "
+            "q81_lang_id q82_token_stats q83_fingerprint "
+            "q84_tfidf_top_terms q85_bm25_ranking q90_multimodal_meta "
+            "q91_grouped_map_regression q92_udtf_tokenize q93_image_decode "
+            "q94_audio_decode"
+        ).split()
+    }
+)
 
 
 def all_queries() -> dict[str, Query]:

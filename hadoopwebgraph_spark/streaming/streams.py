@@ -22,26 +22,22 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Physical schema of events.parquet (ts is TIMESTAMP(NANOS), read as long
-# nanos under spark.sql.legacy.parquet.nanosAsLong — see catalog.load).
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..catalog import normalize_event_ts
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files, with
-    ts normalized to a microsecond event-time timestamp."""
+    ts normalized to a microsecond event-time timestamp.
+
+    readStream requires an explicit schema; rather than hard-coding one
+    physical encoding of ``ts`` we take the schema from a driver-side batch
+    read of the same directory (one footer read — cheap even on object
+    storage) so the stream reads whatever type the files actually carry,
+    then normalize with the same dtype branch the batch catalog uses."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    file_schema = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(file_schema).parquet(events_dir)
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
