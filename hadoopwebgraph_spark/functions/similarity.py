@@ -9,8 +9,9 @@ before ordering so ULP drift can't flip a rank.
 
 Scale design (100 TB of vectors):
 - Brute force is a broadcast of the (small) query set against a scan of
-  the corpus — one pass, no shuffle of the corpus; per-partition partial
-  top-k via the rank-filter pattern.
+  the corpus — one pass, no shuffle of the corpus; two-phase top-k (see
+  ``topk_per_group``) so ranking never funnels the corpus into
+  n_queries window partitions.
 - IVF: centroids (tiny) are broadcast; each query probes nprobe cells
   (q71: 4 label cells; q73: 2 learned cells), so the candidate scan
   touches ~nprobe/ncells of the corpus. Cell assignment is an equi-join
@@ -18,10 +19,19 @@ Scale design (100 TB of vectors):
 - PQ (q74): vectors compressed to 8 one-byte codes; ADC scan via
   per-query distance tables joined on (sub, code); exact rerank of the
   top candidates only.
+- Index lifecycle: training (k-means centroids, PQ codebooks) happens
+  ONCE in ``build_ivf_index`` / ``build_pq_index``, which persist the
+  model (tiny JSON) plus the derived corpus artifact (inverted file
+  partitioned by cell id / code table) to ``$SPARK_GRAFT_INDEX_DIR``.
+  Queries are probe-only: load model, scan only the probed partitions.
+  At 100 TB the index build is an ETL job and the probe is the query —
+  retraining per query (the pre-round-4 shape) measures the wrong thing.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
@@ -51,11 +61,43 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def topk_per_group(
+    scored: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase top-k per group (the rank-filter pattern).
+
+    Phase 1 ranks within (input partition, group) — the window exchange
+    hashes on BOTH keys, so the full scored set spreads over
+    n_partitions x n_groups reducers instead of funnelling into n_groups.
+    Everything past local rank k is dropped, so phase 2's exact global
+    window sees at most n_partitions x k rows per group. The global
+    top-k is a subset of the union of per-partition top-ks, so the
+    result is identical to a single global window — without the fixed
+    fan-in that breaks at corpus scale (n_queries window partitions
+    ranking 100 TB of scored rows).
+    """
+    pre = scored.withColumn("_p", F.spark_partition_id())
+    w_local = W.partitionBy("_p", *group_cols).orderBy(*order_cols)
+    pruned = (
+        pre.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_p", "_lr")
+    )
+    w_global = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return pruned.withColumn(rank_col, F.row_number().over(w_global)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def cosine_topk(
     queries: DataFrame, corpus: DataFrame, k: int = TOP_K
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query over the corpus.
-    The query side is broadcast; ranking is a window per query."""
+    The query side is broadcast; ranking is the two-phase rank-filter."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -70,12 +112,9 @@ def cosine_topk(
             6,
         ).alias("cos"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
-    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
 
 
 _DOT_SQL = "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), list_transform({b}, x -> CAST(x AS DOUBLE)))"
@@ -216,12 +255,9 @@ def q71_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
-    )
+    return topk_per_group(
+        cand, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id")], TOP_K
+    ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
 
 
 def kmeans_centroids(corpus: DataFrame, k: int = 10, iterations: int = 4) -> DataFrame:
@@ -299,26 +335,95 @@ def assign_cells(corpus: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q73_sim_ivf_kmeans_topk",
-    oracle=None,  # iterative k-means isn't one SQL statement; certified by
-    # the recall test vs the exact q70 baseline (tests/test_extensions.py)
-    doc="IVF top-k over LEARNED centroids: 4 distributed Lloyd iterations "
-    "(k=10, deterministic seed = lowest vec_ids), nprobe=2 cell probe, "
-    "exact rerank within probed cells. On the fixture recall@5 ~0.44 at "
-    "a 0.20 scanned fraction — 2.2x better than blind probing, vs the "
-    "label-cell variant (q71) whose recall ~= scanned fraction.",
+# ---------------------------------------------------------------------------
+# ANN index lifecycle — train once, persist, probe many.
+#
+# The index artifact is (a) the model — centroids / codebooks, O(k*dims)
+# JSON — and (b) the derived corpus layout: the IVF inverted file written
+# as parquet PARTITIONED BY cell id (so a probe's cell filter becomes
+# partition pruning and only nprobe/ncells of the bytes are read), or the
+# PQ code table (~1% of the vector bytes). Cache keyed on the corpus
+# file's (path, size, mtime) + hyperparameters, so regenerated testdata
+# invalidates automatically. Builds are idempotent and deterministic;
+# concurrent builders write identical content and the model JSON is
+# renamed into place last as the success marker.
+# ---------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_INDEX_DIR", os.path.join(_REPO_ROOT, ".ann_index")
+)
+
+
+def _index_path(kind: str, sf_dir: str, params: list) -> str:
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = json.dumps(
+        [kind, os.path.realpath(sf_dir), params, st.st_size, st.st_mtime_ns]
+    )
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(INDEX_ROOT, f"{kind}-{digest}")
+
+
+def _write_model(path: str, payload: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "model.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(path, "model.json"))
+
+
+def _read_model(path: str) -> dict:
+    with open(os.path.join(path, "model.json")) as f:
+        return json.load(f)
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, k: int = 10, iterations: int = 4
+) -> str:
+    """Train-once half of the IVF lifecycle: learn spherical-k-means
+    centroids over the corpus, assign every vector to its cell, and
+    persist centroids (model.json) + the inverted file (parquet
+    partitioned by cid). Returns the index path; no-op if current."""
+    path = _index_path("ivf", sf_dir, [k, iterations])
+    if os.path.exists(os.path.join(path, "model.json")):
+        return path
     e = load(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id", F.col("embedding").alias("v")
     )
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    cent = kmeans_centroids(corpus, k=10, iterations=4)
+    cent = kmeans_centroids(corpus, k=k, iterations=iterations)
     assigned = assign_cells(corpus, cent)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "invfile")
+    )
+    cent_rows = [[int(r.cid), [float(x) for x in r.cvec]] for r in cent.collect()]
+    _write_model(path, {"k": k, "iterations": iterations, "centroids": cent_rows})
+    return path
+
+
+def ivf_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 2,
+    k: int = TOP_K,
+    index_path: str | None = None,
+) -> DataFrame:
+    """Probe-only half: broadcast the persisted centroids, pick nprobe
+    cells per query, scan ONLY those cells of the inverted file (cid is
+    the parquet partition key — the cell join prunes partitions), exact
+    rerank within them via the two-phase top-k."""
+    path = index_path or build_ivf_index(spark, sf_dir)
+    model = _read_model(path)
+    cent = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in model["centroids"]],
+        "cid int, cvec array<double>",
+    )
+    assigned = spark.read.parquet(os.path.join(path, "invfile"))
+    queries = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
 
     probe_w = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
     cells = (
@@ -334,10 +439,10 @@ def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ccos"),
         )
         .withColumn("cr", F.row_number().over(probe_w))
-        .filter(F.col("cr") <= 2)  # nprobe=2
+        .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "cid")
     )
-    cand = cells.join(assigned, "cid").select(
+    cand = F.broadcast(cells).join(assigned, "cid").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
@@ -345,12 +450,25 @@ def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
-    )
+    return topk_per_group(
+        cand, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+
+
+@register(
+    "q73_sim_ivf_kmeans_topk",
+    oracle=None,  # iterative k-means isn't one SQL statement; certified by
+    # the recall test vs the exact q70 baseline (tests/test_extensions.py)
+    doc="IVF top-k over LEARNED centroids: 4 distributed Lloyd iterations "
+    "(k=10, deterministic seed = lowest vec_ids) run ONCE in "
+    "build_ivf_index (persisted model + cid-partitioned inverted file); "
+    "the query is probe-only — nprobe=2 cell probe with partition "
+    "pruning, exact rerank within probed cells. On the fixture recall@5 "
+    "~0.44 at a 0.20 scanned fraction — 2.2x better than blind probing, "
+    "vs the label-cell variant (q71) whose recall ~= scanned fraction.",
+)
+def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_probe(spark, sf_dir, nprobe=2, k=TOP_K)
 
 
 @register(
@@ -506,33 +624,52 @@ def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q74_sim_pq_topk",
-    oracle=None,  # iterative codebook training; certified by the recall
-    # test vs the exact q70 baseline (tests/test_extensions.py)
-    doc="Product-quantization ANN: per-subspace k-means codebooks (8 "
-    "subspaces x 16 codes, driver-side model), corpus encoded to 8 "
-    "one-byte codes, asymmetric-distance scan via per-query distance "
-    "tables joined on (sub, code), exact cosine rerank of the top-50 "
-    "candidates. The compressed-domain scan shape: at 100 TB the code "
-    "table is ~1% of the vector bytes and the distance tables broadcast.",
-)
-def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_pq_index(
+    spark: SparkSession, sf_dir: str, iterations: int = 3
+) -> str:
+    """Train-once half of the PQ lifecycle: per-subspace k-means
+    codebooks + the corpus encoded to PQ_M one-byte codes, persisted as
+    model.json + a code-table parquet (~1% of the vector bytes)."""
+    path = _index_path("pq", sf_dir, [PQ_M, PQ_KSUB, PQ_SUBDIM, iterations])
+    if os.path.exists(os.path.join(path, "model.json")):
+        return path
     e = load(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id", F.col("embedding").alias("v")
-    ).persist()
+    )
+    cb = pq_train_codebooks(corpus, iterations=iterations)
+    codes = _pq_assign(_subvectors(corpus, "v"), cb).select("vec_id", "sub", "code")
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    cb_rows = [
+        [int(r.sub), int(r.code), [float(x) for x in r.cvec]] for r in cb.collect()
+    ]
+    _write_model(path, {"m": PQ_M, "ksub": PQ_KSUB, "codebooks": cb_rows})
+    return path
+
+
+def pq_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    index_path: str | None = None,
+) -> DataFrame:
+    """Probe-only half: ADC scan of the persisted code table via
+    broadcast per-query distance tables, two-phase candidate top-k, then
+    exact cosine rerank of only the candidates (their vectors fetched by
+    a broadcast semi-join back to the source parquet)."""
+    path = index_path or build_pq_index(spark, sf_dir)
+    model = _read_model(path)
+    cb = spark.createDataFrame(
+        [(sub, code, cvec) for sub, code, cvec in model["codebooks"]],
+        "sub int, code int, cvec array<double>",
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-
-    cb = pq_train_codebooks(corpus)
-    # cache served the training collects; release it so repeated driver
-    # invocations don't accumulate cached corpora (the final job's two
-    # corpus scans recompute from parquet)
-    corpus.unpersist()
-    codes = _pq_assign(_subvectors(corpus, "v"), cb).select(
-        "vec_id", "sub", "code"
     )
 
     # ADC distance tables: one row per (query, sub, code) — tiny, built by
@@ -551,15 +688,12 @@ def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("d"), 6).alias("adist"))
     )
-    cand_w = W.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
-    cands = (
-        approx.withColumn("cr", F.row_number().over(cand_w))
-        .filter(F.col("cr") <= PQ_CAND)
-        .select("query_id", "vec_id")
-    )
+    cands = topk_per_group(
+        approx, ["query_id"], [F.col("adist"), F.col("vec_id")], PQ_CAND, "cr"
+    ).select("query_id", "vec_id")
 
     rerank = (
-        cands.join(corpus, "vec_id")
+        F.broadcast(cands).join(corpus, "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
@@ -571,9 +705,27 @@ def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
+    # rerank input is bounded (<= PQ_CAND rows per query) so the single
+    # global window is already small; no two-phase needed here
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         rerank.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
     )
+
+
+@register(
+    "q74_sim_pq_topk",
+    oracle=None,  # iterative codebook training; certified by the recall
+    # test vs the exact q70 baseline (tests/test_extensions.py)
+    doc="Product-quantization ANN: per-subspace k-means codebooks (8 "
+    "subspaces x 16 codes) trained ONCE in build_pq_index (persisted "
+    "model + code table), probe-only query: asymmetric-distance scan of "
+    "the code table via broadcast per-query distance tables, two-phase "
+    "candidate top-k, exact cosine rerank of the top-50 candidates. The "
+    "compressed-domain scan shape: at 100 TB the code table is ~1% of "
+    "the vector bytes and the distance tables broadcast.",
+)
+def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_probe(spark, sf_dir, k=TOP_K)
