@@ -7,23 +7,41 @@ The BVGraph format is a single sequential gap-coded bit stream, so the
 final assembly is inherently order-dependent: partitions are encoded
 INDEPENDENTLY in parallel as window-isolated segments (the first
 ``window_size`` nodes of each segment encode with refs limited to the
-segment), then the driver streams the segments into the output file in
-src order. Window isolation at segment boundaries costs a little
+segment). Window isolation at segment boundaries costs a little
 compression but keeps the encode embarrassingly parallel — the same
 trade the reference's *read* side makes by seeding windows at split
 starts (HdfsBVGraph.java:221-229).
 
-Scale design: segments arrive via ``toLocalIterator`` (one partition in
-driver memory at a time, not ``collect``), bodies are re-phased to the
-output bit cursor with one vectorized NumPy shift per segment (no
-per-byte Python loop), and bytes are flushed to the file as they
-complete — peak driver memory is O(largest segment), independent of
-total graph size.
+Scale design — executor-parallel write, two jobs:
+
+1. **Encode** (per partition): each task encodes its contiguous node
+   range into a window-isolated segment and spills the raw bits + local
+   bit-offsets next to the output; only (first_src, nbits, arcs) — a few
+   longs per segment — return to the driver, which prefix-sums nbits
+   into each segment's absolute bit base.
+2. **Re-phase** (per segment): knowing its base phase (base % 8), each
+   task shifts its raw bits with one vectorized NumPy pass into the
+   byte-aligned *interior* of its final byte range and writes it as a
+   part file, returning just the head/tail partial-byte bits. It also
+   delta-encodes its own slice of the offsets stream (prev = its base).
+
+The driver then *composes*: per segment it writes ONE boundary byte
+(merging the previous tail with the next head) and splices the interior
+part with ``shutil.copyfileobj`` — no per-byte Python work, and
+driver-side Python object traffic is O(n_segments), independent of graph
+size. On object storage the interior parts upload straight from
+executors and the compose is a server-side multipart operation; the
+offsets stream (~a few % of the graph bytes) is composed through the
+same vectorized bit appender on the driver. Segments smaller than two
+bytes (never produced by the >=64-node range planner, but handled) fall
+back to inline bit appends.
 """
 
 from __future__ import annotations
 
 import io
+import os
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -112,84 +130,193 @@ class _BitStreamOut:
             self.fill = 0
 
 
+def _rephase_interior(raw: bytes, nbits: int, k: int):
+    """Shift a segment's raw bits (packed from bit 0, pad-low) to start at
+    bit phase ``k`` of the output stream. Returns (head, interior_bytes,
+    tail, tail_fill): ``head`` = the first (8-k)%8 bits (completing the
+    boundary byte), ``interior_bytes`` = all complete output bytes, and
+    ``tail``/``tail_fill`` = the trailing partial byte's bits. One
+    vectorized NumPy pass, no per-byte Python loop."""
+    import numpy as np
+
+    r = np.frombuffer(raw, dtype=np.uint8)
+    end = k + nbits  # relative bit extent in the output
+    tail_fill = end % 8
+    if k == 0:
+        head = 0
+        interior = raw[: nbits // 8]
+    else:
+        head = int(r[0]) >> k
+        n_int = end // 8 - 1
+        if n_int > 0:
+            pad = np.concatenate([r, np.zeros(1, dtype=np.uint8)])
+            x = pad.astype(np.uint16)
+            out = ((x[:n_int] << (8 - k)) | (x[1 : n_int + 1] >> k)) & 0xFF
+            interior = out.astype(np.uint8).tobytes()
+        else:
+            interior = b""
+    if tail_fill:
+        m = len(raw)
+        v = ((int(r[m - 2]) << 8) if m >= 2 else 0) | int(r[m - 1])
+        raw_fill = nbits % 8
+        v >>= (8 - raw_fill) if raw_fill else 0  # drop pad-low bits
+        tail = v & ((1 << tail_fill) - 1)
+    else:
+        tail = 0
+    return head, interior, tail, tail_fill
+
+
 def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties:
     """Write DataFrame[src INT, adj ARRAY<INT>] (src dense 0..n-1) to a
     BVGraph triple at ``basename``.
 
-    Parallel encode: each Spark partition encodes its contiguous node
-    range into an independent bit segment; the driver streams segments to
-    the output file in order (see module docstring for the memory bound).
+    Executor-parallel encode AND write (module docstring): job 1 encodes
+    window-isolated segments to a spill dir next to the output; job 2
+    re-phases each segment to its absolute bit base and writes its
+    byte-aligned interior as a part file plus its offsets-stream chunk;
+    the driver composes boundary bytes and splices parts in order.
     """
-    from pyspark.sql import functions as F
-
     n = df.count()
     spark = df.sparkSession
 
-    # contiguous ranges: range-partition by src so each task owns a slice
+    # Contiguous ranges: src is dense 0..n-1, so the range boundaries are
+    # known exactly — partition by src // rows_per with an identity
+    # partitioner instead of repartitionByRange, whose SAMPLED boundaries
+    # made segmentation (and thus the compressed bytes) nondeterministic
+    # across runs, and which costs an extra sampling job.
     n_parts = min(max(1, spark.sparkContext.defaultParallelism), max(1, n // 64))
-    ranged = df.repartitionByRange(n_parts, F.col("src")).sortWithinPartitions("src")
+    rows_per = -(-n // n_parts) if n else 1  # ceil(n / n_parts)
+    ranged = df.rdd.map(
+        lambda row: (row.src // rows_per, (row.src, list(row.adj)))
+    ).partitionBy(n_parts, lambda pid: int(pid))
 
     props_template = dict(props_kw)
+    spill = basename + ".spill"
+    os.makedirs(spill, exist_ok=True)
 
-    def encode_partition(rows):
-        adj: list[list[int]] = []
-        first_src = None
-        arcs = 0
-        for row in rows:
-            if first_src is None:
-                first_src = row.src
-            adj.append(list(row.adj))
-            arcs += len(row.adj)
-        if first_src is None:
+    def encode_partition(idx, kvs):
+        import numpy as np
+
+        items = sorted(item for _, item in kvs)
+        if not items:
             return
+        first_src = items[0][0]
+        adj = [a for _, a in items]
+        arcs = sum(len(a) for a in adj)
         p = BVGraphProperties(nodes=len(adj), arcs=0, **props_template)
         # C kernel when available, Python spec otherwise — bit-identical
         # either way (refs stay inside this segment: window isolation)
         nbits, buf, offsets = encode_segment(adj, first_src, p)
-        fill = nbits % 8
-        body = buf[: nbits // 8]
-        cur = (buf[-1] >> (8 - fill)) if fill else 0
-        yield (first_src, arcs, body, fill, cur, offsets)
+        with open(os.path.join(spill, f"seg-{idx:05d}.raw"), "wb") as f:
+            f.write(buf[: (nbits + 7) // 8])
+        np.save(
+            os.path.join(spill, f"seg-{idx:05d}.offs.npy"),
+            np.asarray(offsets, dtype=np.int64),
+        )
+        yield (idx, first_src, len(adj), arcs, nbits)
 
-    # Stream segments through the driver in partition (= src range) order:
-    # repartitionByRange assigns ascending ranges to ascending partition
-    # ids, and toLocalIterator preserves partition order while holding only
-    # one partition's segment in memory at a time.
+    # Job 1: encode. Only a few longs per segment come back to the driver.
+    meta = sorted(ranged.mapPartitionsWithIndex(encode_partition).collect())
+
+    # prefix-sum the bit bases; verify src density/contiguity
+    expected_next = 0
+    bases: dict[int, int] = {}
+    base = 0
+    for idx, first_src, nodes, arcs, nbits in meta:
+        assert first_src == expected_next, (
+            f"non-contiguous src ranges: expected {expected_next}, got {first_src}"
+        )
+        expected_next = first_src + nodes
+        bases[idx] = base
+        base += nbits
+    assert expected_next == n, f"src not dense 0..{n - 1}"
+    arcs_total = sum(m[3] for m in meta)
+
     p0 = BVGraphProperties(nodes=max(n, 1), arcs=0, **props_template)
 
-    arcs_total = 0
-    expected_next = 0
-    last_offset = 0
-    offs_buf = io.BytesIO()
-    offs_out = _BitStreamOut(offs_buf)
-    _append_deltas(offs_out, [0], 0, p0)  # offsets stream entry for node 0
+    def rephase_segment(task):
+        import numpy as np
+
+        idx, seg_base, nbits = task
+        with open(os.path.join(spill, f"seg-{idx:05d}.raw"), "rb") as f:
+            raw = f.read()
+        if nbits < 16:  # degenerate micro-segment: driver appends inline
+            return (idx, 0, raw, nbits, 0, 0, 0)
+        head, interior, tail, tail_fill = _rephase_interior(raw, nbits, seg_base % 8)
+        with open(os.path.join(spill, f"seg-{idx:05d}.part"), "wb") as f:
+            f.write(interior)
+        # offsets-stream chunk: this segment's absolute offsets
+        # delta-encoded against prev = seg_base (= last offset of the
+        # previous segment); one C-kernel call per segment
+        offsets = np.load(os.path.join(spill, f"seg-{idx:05d}.offs.npy"))
+        ow = io.BytesIO()
+        oout = _BitStreamOut(ow)
+        _append_deltas(oout, (offsets[1:] + seg_base).tolist(), seg_base, p0)
+        onbits = oout.nbits
+        oout.close()
+        with open(os.path.join(spill, f"seg-{idx:05d}.offs.raw"), "wb") as f:
+            f.write(ow.getvalue())
+        return (idx, head, None, nbits, tail, tail_fill, onbits)
+
+    # Job 2: re-phase + part write, one task per segment.
+    tasks = [(idx, bases[idx], nbits) for idx, _, _, _, nbits in meta]
+    seg_results = sorted(
+        spark.sparkContext.parallelize(tasks, max(len(tasks), 1))
+        .map(rephase_segment)
+        .collect()
+    )
+
+    # Compose .graph: per segment ONE boundary byte + an OS-level splice
+    # of the byte-aligned interior part. Python-side byte traffic is
+    # O(n_segments); on object storage this is a server-side multipart
+    # compose of executor-uploaded parts.
     with open(basename + ".graph", "wb") as fh:
         out = _BitStreamOut(fh)
-        for first_src, seg_arcs, body, fill, cur, offsets in (
-            ranged.rdd.mapPartitions(encode_partition).toLocalIterator()
-        ):
-            assert first_src == expected_next, (
-                f"non-contiguous src ranges: expected {expected_next}, got {first_src}"
-            )
-            expected_next = first_src + len(offsets) - 1
-            arcs_total += seg_arcs
-            base = out.nbits
-            out.append_body(body)
-            if fill:
-                out.append_bits(cur, fill)
-            # one C-kernel (or fallback) delta-encode per segment — never a
-            # per-node Python code-write loop on the driver
-            abs_offsets = [base + o for o in offsets[1:]]
-            if abs_offsets:
-                _append_deltas(offs_out, abs_offsets, last_offset, p0)
-                last_offset = abs_offsets[-1]
-        assert expected_next == n, f"src not dense 0..{n - 1}"
+        for idx, head, raw_inline, nbits, tail, tail_fill, _ in seg_results:
+            if raw_inline is not None:  # micro-segment fallback
+                fill = nbits % 8
+                out.append_body(raw_inline[: nbits // 8])
+                if fill:
+                    out.append_bits(raw_inline[-1] >> (8 - fill), fill)
+                continue
+            k = out.fill
+            if k:
+                out.append_bits(head, 8 - k)  # completes the boundary byte
+            assert out.fill == 0
+            with open(os.path.join(spill, f"seg-{idx:05d}.part"), "rb") as pf:
+                shutil.copyfileobj(pf, fh, 1 << 20)
+                out.nbits += 8 * os.fstat(pf.fileno()).st_size
+            out.cur, out.fill = tail, tail_fill
+            out.nbits += tail_fill
         out.close()
-    offs_out.close()
 
-    p = BVGraphProperties(nodes=n, arcs=arcs_total, **props_template)
+    # Compose .offsets: node-0 entry, then each segment's pre-encoded
+    # chunk re-phased through the vectorized bit appender (the offsets
+    # stream is a few % of the graph bytes; the same two-job treatment
+    # would apply if it ever dominated).
     with open(basename + ".offsets", "wb") as f:
-        f.write(offs_buf.getvalue())
+        offs_out = _BitStreamOut(f)
+        _append_deltas(offs_out, [0], 0, p0)  # offsets entry for node 0
+        for idx, head, raw_inline, nbits, tail, tail_fill, onbits in seg_results:
+            if raw_inline is not None:
+                import numpy as np
+
+                offsets = np.load(os.path.join(spill, f"seg-{idx:05d}.offs.npy"))
+                seg_base = bases[idx]
+                _append_deltas(
+                    offs_out, (offsets[1:] + seg_base).tolist(), seg_base, p0
+                )
+                continue
+            with open(os.path.join(spill, f"seg-{idx:05d}.offs.raw"), "rb") as cf:
+                chunk = cf.read()
+            fill = onbits % 8
+            offs_out.append_body(chunk[: onbits // 8])
+            if fill:
+                offs_out.append_bits(chunk[-1] >> (8 - fill), fill)
+        offs_out.close()
+
+    shutil.rmtree(spill, ignore_errors=True)
+    p = BVGraphProperties(nodes=n, arcs=arcs_total, **props_template)
     with open(basename + ".properties", "w") as f:
         f.write(format_properties(p))
     return p

@@ -3,6 +3,8 @@ fixtures, round-trip through the BVGraph sink, parquet sink round-trip."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.parquet as pq
 import pytest
 
@@ -139,6 +141,24 @@ def test_bvgraph_sink_roundtrip_100k(spark, tmp_path):
     assert p.nodes == 100000
     back = read_bvgraph(spark, out_base, num_splits=13)
     assert checksum(back) == checksum(df)
+    # no spill leftovers once the compose completes
+    assert not os.path.exists(out_base + ".spill")
+
+
+def test_bvgraph_sink_deterministic(spark, tmp_path):
+    """The executor-parallel writer must be byte-deterministic: explicit
+    src // rows_per ranges (not sampled repartitionByRange boundaries)
+    mean segmentation — and therefore the compressed bytes — are a pure
+    function of the input."""
+    from hadoopwebgraph_spark.queries.graph import SMALL_BASENAME
+
+    df = read_bvgraph(spark, SMALL_BASENAME, num_splits=5)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bvgraph(df, a)
+    write_bvgraph(df, b)
+    for ext in (".graph", ".offsets"):
+        with open(a + ext, "rb") as fa, open(b + ext, "rb") as fb:
+            assert fa.read() == fb.read(), ext
 
 
 def test_motif_dsl(spark):
