@@ -123,6 +123,44 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Kernel-scale scan measurement: the committed 739k-arc fixture decodes
+    # in milliseconds on 32 cores, so the graph-scan number comes from the
+    # generated-on-demand xl fixture (~48M arcs; built once, reused across
+    # rounds). Two scans at different split counts double as a
+    # partition-invariance check on the decoder.
+    scan_stats = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from hadoopwebgraph_spark.bvgraph.benchgen import ensure_xl_fixture
+        from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
+
+        xl = ensure_xl_fixture(spark)
+
+        def scan(splits):
+            t0 = time.perf_counter()
+            r = (
+                read_bvgraph(spark, xl, num_splits=splits)
+                .select(
+                    F.sum(F.size("adj")).alias("m"),
+                    F.sum(F.col("src") * F.size("adj")).alias("w"),
+                )
+                .collect()[0]
+            )
+            return time.perf_counter() - t0, int(r.m), int(r.w)
+
+        scan(32)  # worker-pool warm pass for this plan shape
+        dt1, m1, w1 = scan(32)
+        dt2, m2, w2 = scan(57)
+        timings["gXL_graph_scan"] = round(dt1, 3)
+        scan_stats = {
+            "graph_scan_arcs": m1,
+            "graph_scan_arcs_per_sec": round(m1 / dt1),
+            "graph_scan_partition_invariant": (m1, w1) == (m2, w2),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["gXL_graph_scan"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -131,6 +169,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        **scan_stats,
     }
     if errors:
         out["errors"] = errors

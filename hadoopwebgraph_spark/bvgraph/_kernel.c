@@ -69,14 +69,17 @@ static inline int read_bit(Bits *b) {
 }
 
 static inline int64_t read_unary(Bits *b) {
+    /* Truncation is OUT-OF-BAND (-1): a corrupt stream whose field uses
+     * CODE_UNARY directly must fail fast, not decode as a huge in-band
+     * value that drives a ~4 GiB vec_reserve or a 2^30 block loop. */
     int64_t n = 0;
     for (;;) {
-        if (b->pos >= b->limit) return (int64_t)1 << 30; /* -> ERR upstream */
+        if (b->pos >= b->limit) return -1; /* truncated */
         uint64_t w = window64(b->d, b->pos);
         if (w) {
             int lz = __builtin_clzll(w);
             b->pos += lz + 1;
-            if (b->pos > b->limit) return (int64_t)1 << 30; /* overshoot */
+            if (b->pos > b->limit) return -1; /* overshoot */
             return n + lz;
         }
         n += 64;
@@ -97,7 +100,8 @@ static inline uint64_t read_int(Bits *b, int k) {
 
 static inline int64_t read_gamma(Bits *b) {
     int64_t msb = read_unary(b);
-    if (msb > 62) return -1; /* value would overflow int64; caller errors */
+    /* < 0: truncated unary; > 62: value would overflow int64 */
+    if (msb < 0 || msb > 62) return -1;
     return (int64_t)(((uint64_t)1 << msb) | read_int(b, (int)msb)) - 1;
 }
 
@@ -109,6 +113,7 @@ static inline int64_t read_delta(Bits *b) {
 
 static inline int64_t read_zeta(Bits *b, int k) {
     int64_t h = read_unary(b);
+    if (h < 0) return -1; /* truncated unary prefix */
     int64_t hk = h * k;
     if (hk + k - 1 > 62) return -1;
     uint64_t left = (uint64_t)1 << hk;
@@ -502,6 +507,14 @@ int64_t bvg_decode_range(
             }
             out_list_offsets[x - from_node + 1] = needed;
             if (out_bitpos) out_bitpos[x - from_node] = b.pos;
+        }
+        /* Mirror bvg_decode_offsets: a corrupt stream whose final fields
+         * were satisfied by fabricated pad-zone reads (read_bit/read_int
+         * return 0 past the limit) must error, not complete with a
+         * garbage final value. */
+        if (b.pos > c.data_bits) {
+            rc = ERR_MALFORMED;
+            goto done;
         }
     }
 

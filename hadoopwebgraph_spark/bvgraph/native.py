@@ -254,7 +254,13 @@ def encode_deltas(values: np.ndarray, prev: int, code: int, zeta_k: int):
 
 
 def decode_offsets(offsets_bytes_padded: bytes, count: int, code: int, zeta_k: int):
-    """Cumulative-sum fold of a delta-coded offsets stream, or None."""
+    """Cumulative-sum fold of a delta-coded offsets stream.
+
+    Returns the offsets array, or None ONLY when the kernel is
+    unavailable (caller falls back to the pure-Python reader). Kernel-
+    DETECTED corruption raises: falling back would let the Python path
+    silently decode zero-padding past a truncated stream into garbage
+    offsets, defeating the detection."""
     lib = get_lib()
     if lib is None:
         return None
@@ -265,5 +271,8 @@ def decode_offsets(offsets_bytes_padded: bytes, count: int, code: int, zeta_k: i
         data, data_bytes, count, code, zeta_k, out.ctypes.data_as(_i64p)
     )
     if rc != 0:
-        return None
+        raise ValueError(
+            f"corrupt or truncated .offsets stream (kernel rc={rc}: "
+            f"{'bad code' if rc == -2 else 'cursor past data extent'})"
+        )
     return out

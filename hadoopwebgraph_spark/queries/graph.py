@@ -183,8 +183,11 @@ def g06_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     "property), and count of non-isolated vertices.",
 )
 def g07_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = graph_df(spark)
-    e = edges_df(spark)
+    # ONE decode of the Python source feeds all three aggregates (the
+    # same localCheckpoint sharing g05/g06/g13 use) — previously g/e were
+    # separate scans and e fed two aggregates, decoding the graph 4x
+    g = graph_df(spark).localCheckpoint()
+    e = g.select("src", F.explode("adj").alias("dst"))
     n_nodes = g.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_touched = (

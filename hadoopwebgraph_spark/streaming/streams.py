@@ -100,31 +100,24 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def user_value_extremes(events: DataFrame) -> DataFrame:
-    """Custom stateful operator on the transformWithStateInPandas API
-    (Spark 4.x arbitrary-state v2): per-user event count + min/max value
-    held in a ValueState, emitted per micro-batch in Update mode. The v2
-    API is the scale path for custom state: typed state primitives
-    (value/list/map), timers, and TTL land on the RocksDB state store
-    instead of applyInPandasWithState's single opaque tuple.
+EXTREMES_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
 
-    Environment note: executing this operator requires the
-    google.protobuf Python package (the v2 state server's wire protocol)
-    and the RocksDB state store provider; the parity test skips where
-    protobuf is unavailable (this container), mirroring the multimodal
-    codec gating."""
+
+def make_extremes_processor():
+    """Build the ExtremesProcessor class (module-level factory so its
+    logic is directly certifiable with a stub handle — see
+    tests/test_streaming.py — independent of the v2 state server's
+    protobuf wire protocol)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("n_events", LongType()),
-            StructField("min_value", DoubleType()),
-            StructField("max_value", DoubleType()),
-        ]
     )
 
     class ExtremesProcessor(StatefulProcessor):
@@ -155,11 +148,30 @@ def user_value_extremes(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return ExtremesProcessor
+
+
+def user_value_extremes(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4.x arbitrary-state v2): per-user event count + min/max value
+    held in a ValueState, emitted per micro-batch in Update mode. The v2
+    API is the scale path for custom state: typed state primitives
+    (value/list/map), timers, and TTL land on the RocksDB state store
+    instead of applyInPandasWithState's single opaque tuple.
+
+    Environment note: EXECUTING this operator end-to-end requires the
+    google.protobuf Python package (the v2 state server's wire protocol)
+    and the RocksDB state store provider; where protobuf is unavailable
+    (this container) the e2e parity test skips, and the operator is
+    certified instead by (a) the plan-construction test and (b) driving
+    the processor's state machine directly with a stub handle — both
+    protobuf-free (tests/test_streaming.py)."""
+    proc_cls = make_extremes_processor()
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            ExtremesProcessor(), out_schema, "Update", "none"
+            proc_cls(), EXTREMES_OUT_SCHEMA, "Update", "none"
         )
     )
 

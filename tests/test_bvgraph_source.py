@@ -71,6 +71,46 @@ def test_corrupt_graph_fails_loudly(spark, twin, tmp_path):
             df.collect()
 
 
+def test_truncated_offsets_raise_not_garbage(tmp_path):
+    """Kernel-detected .offsets corruption must surface as an error, not
+    fall back to the Python reader silently decoding zero-padding into
+    garbage offsets (ADVICE r3): decode_offsets raises on rc<0 and
+    load_offsets propagates it."""
+    import pytest as _pytest
+
+    from hadoopwebgraph_spark.bvgraph import native
+    from hadoopwebgraph_spark.bvgraph.codec import load_offsets
+    from hadoopwebgraph_spark.bvgraph.properties import parse_properties
+
+    with open(SMALL_BASENAME + ".offsets", "rb") as f:
+        blob = f.read()
+    with open(SMALL_BASENAME + ".properties") as f:
+        p = parse_properties(f.read())
+    truncated = blob[: len(blob) // 4]
+    if native.get_lib() is not None:
+        with _pytest.raises(ValueError, match="corrupt or truncated"):
+            load_offsets(truncated, p)
+
+
+def test_truncated_unary_field_fails_fast():
+    """A stream truncated inside a unary-coded field must error out-of-band
+    (read_unary returns -1), not decode as an in-band 2^30 value that
+    drives a multi-GiB allocation (ADVICE r3)."""
+    from hadoopwebgraph_spark.bvgraph import native
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest as _pytest
+
+        _pytest.skip("C kernel unavailable")
+    from hadoopwebgraph_spark.bvgraph.properties import BVGraphProperties
+
+    p = BVGraphProperties(nodes=1, arcs=0)
+    # all-zero bytes: every unary read runs to the limit without a 1 bit
+    res = native.decode_range(b"\x00" * 4 + b"\x00" * 16, p, 0, 1)
+    assert res is None  # kernel returned an error, not a huge decode
+
+
 def test_target_bytes_partition_sizing(spark, twin):
     """.option('targetBytes', n) sizes partitions by compressed byte
     extent (the maxPartitionBytes analog), overriding numSplits."""

@@ -86,6 +86,76 @@ def test_stateful_running_totals(spark, sf_small, events_dir):
         q.stop()
 
 
+def test_transform_with_state_plan_and_processor_logic(spark, sf_small, events_dir):
+    """Protobuf-free certification of the transformWithStateInPandas
+    operator: (a) the streaming plan constructs with the declared output
+    schema; (b) the processor's state machine, driven directly with a
+    stub ValueState handle over the real fixture data, reproduces the
+    batch count/min/max aggregate exactly. Only the v2 state server's
+    wire protocol (Spark's code, not ours) is left to the e2e test
+    below, which skips where protobuf is absent."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # (a) plan construction + schema
+    ev = streams.stream_events(spark, events_dir)
+    plan_df = streams.user_value_extremes(ev)
+    assert plan_df.isStreaming
+    assert plan_df.schema == streams.EXTREMES_OUT_SCHEMA
+
+    # (b) processor logic with a stub handle
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, StubValueState())
+
+    proc_cls = streams.make_extremes_processor()
+    events_pdf = load(spark, sf_small, "events").select("user_id", "value").toPandas()
+    got = {}
+    for user_id, group in events_pdf.groupby("user_id"):
+        proc = proc_cls()
+        proc.init(StubHandle())
+        # replay in two chunks to exercise state carry-over across calls
+        half = max(1, len(group) // 2)
+        chunks = [group.iloc[:half], group.iloc[half:]]
+        out = None
+        for chunk in chunks:
+            if len(chunk) == 0:
+                continue
+            out = pd.concat(list(proc.handleInputRows((user_id,), [chunk], None)))
+        proc.close()
+        r = out.iloc[-1]
+        got[int(user_id)] = (int(r.n_events), float(r.min_value), float(r.max_value))
+
+    batch = (
+        load(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("mn"),
+            F.round(F.max("value"), 2).alias("mx"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.mn, r.mx) for r in batch}
+    assert got == want
+
+
 def test_transform_with_state_extremes(spark, sf_small, events_dir):
     """transformWithStateInPandas (arbitrary-state v2): replaying the full
     fixture must leave each user's ValueState equal to the batch
