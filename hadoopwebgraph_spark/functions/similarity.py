@@ -455,6 +455,49 @@ def ivf_probe(
     ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
 
 
+def ivf_index_append_stream(
+    spark: SparkSession,
+    new_vectors_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Incremental IVF maintenance: a Structured Streaming job that
+    watches a directory for new vector files, assigns each vector to its
+    cell with the PERSISTED centroids (broadcast, never retrained
+    in-stream — standard IVF maintenance; a periodic build_ivf_index
+    refresh retrains), and appends to the cid-partitioned inverted file
+    via foreachBatch. Probes pick up appended vectors on their next run
+    with zero index downtime. Returns the StreamingQuery.
+
+    At 100 TB this is the ingestion path: the model is O(k*dims) and
+    static per epoch, each micro-batch is one broadcast-join + partition
+    append, and the partition layout (the probe's pruning key) is
+    preserved by construction."""
+    model = _read_model(index_path)
+    cent = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in model["centroids"]],
+        "cid int, cvec array<double>",
+    )
+    invfile = os.path.join(index_path, "invfile")
+    file_schema = spark.read.parquet(new_vectors_dir).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .parquet(new_vectors_dir)
+        .select("vec_id", F.col("embedding").alias("v"))
+    )
+
+    def append(batch_df, batch_id):
+        assign_cells(batch_df, cent).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(invfile)
+
+    return (
+        stream.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 @register(
     "q73_sim_ivf_kmeans_topk",
     oracle=None,  # iterative k-means isn't one SQL statement; certified by

@@ -53,6 +53,67 @@ def test_ivf_inverted_file_is_partitioned_by_cell(spark, sf_oracle):
     assert len(cells) >= 2  # k=10 learned cells (some may be empty)
 
 
+def test_ivf_incremental_append_stream(spark, sf_oracle, tmp_path):
+    """Streaming IVF maintenance: new vectors appended through the
+    foreachBatch path must land in the inverted file, in the SAME cell
+    the batch assigner would choose, preserving the partition layout the
+    probe prunes on."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.similarity import (
+        _read_model,
+        assign_cells,
+        ivf_index_append_stream,
+    )
+
+    # work on a COPY of the cached index — appends must not pollute the
+    # shared .ann_index used by the other tests
+    src_path = build_ivf_index(spark, sf_oracle)
+    path = str(tmp_path / "ivf_copy")
+    shutil.copytree(src_path, path)
+    before = spark.read.parquet(os.path.join(path, "invfile")).count()
+
+    # "new" vectors: 5 existing corpus embeddings under fresh vec_ids
+    new_dir = str(tmp_path / "incoming")
+    donors = (
+        load(spark, sf_oracle, "embeddings")
+        .filter(F.col("vec_id").between(100, 104))
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    donors.write.parquet(new_dir)
+
+    q = ivf_index_append_stream(
+        spark, new_dir, path, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    inv = spark.read.parquet(os.path.join(path, "invfile"))
+    assert inv.count() == before + 5
+    appended = {
+        r.vec_id: r.cid
+        for r in inv.filter(F.col("vec_id") >= 1_000_000).collect()
+    }
+    # cells must match what the batch assigner computes with the model
+    model = _read_model(path)
+    cent = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in model["centroids"]],
+        "cid int, cvec array<double>",
+    )
+    want = {
+        r.vec_id: r.cid
+        for r in assign_cells(
+            donors.select("vec_id", F.col("embedding").alias("v")), cent
+        ).collect()
+    }
+    assert appended == want
+
+
 def test_two_phase_topk_matches_single_window(spark):
     """topk_per_group (per-partition rank-filter then global window) must
     return exactly the rows a single global window would."""

@@ -98,6 +98,44 @@ def test_kmeans_assignment_plan(spark, sf_small):
     assert "Window" not in plan
 
 
+def test_ivf_probe_prunes_partitions(spark, sf_small):
+    """The probe must only READ the probed cells: the inverted file scan
+    carries a PartitionFilters entry on cid fed by a dynamic-pruning
+    subquery from the broadcast cell list — nprobe/k of the bytes, not a
+    full scan plus filter."""
+    from hadoopwebgraph_spark.functions.similarity import build_ivf_index, ivf_probe
+
+    path = build_ivf_index(spark, sf_small)
+    df = ivf_probe(spark, sf_small, index_path=path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    invfile_scans = [
+        l for l in plan.splitlines() if "invfile" in l and "FileScan" in l
+    ]
+    assert invfile_scans, "inverted-file scan missing from plan"
+    assert all("PartitionFilters: [" in l for l in invfile_scans)
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_two_phase_topk_plan(spark, sf_small):
+    """topk_per_group must rank in two window stages: a partial one keyed
+    by (_p, group) that spreads over n_partitions x n_groups reducers,
+    then the global one over the pre-filtered survivors — never a single
+    window funnelling everything into n_groups partitions."""
+    from hadoopwebgraph_spark.functions.similarity import q70_sim_bruteforce_topk
+
+    plan = _plan(q70_sim_bruteforce_topk(spark, sf_small))
+    # two ranking stages in the plan: the pre-filter keyed by
+    # (_p, query_id) and the global one keyed by query_id alone
+    assert plan.count("Window") >= 2
+    partial_keys = [
+        l for l in plan.splitlines() if "_p" in l and "query_id" in l and "Arguments" in l
+    ]
+    assert partial_keys, "partial stage keyed by (_p, query_id) missing"
+    # Spark 4's WindowGroupLimit additionally pushes a Partial top-k
+    # filter before each exchange — assert it survived for both stages
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 stages
+
+
 def test_window_single_shuffle(spark, sf_small):
     import re
 
