@@ -145,6 +145,24 @@ def test_bvgraph_sink_roundtrip_100k(spark, tmp_path):
     assert not os.path.exists(out_base + ".spill")
 
 
+def test_bvgraph_sink_degenerate_graphs(spark, tmp_path):
+    """Micro-segment and empty-input paths of the executor-parallel
+    writer: 1-node, 3-node (with empty adjacency rows), and 0-node
+    graphs must roundtrip exactly."""
+    cases = {
+        "one": [(0, [0])],
+        "three": [(0, []), (1, [0, 2]), (2, [])],
+        "empty": [],
+    }
+    for name, rows in cases.items():
+        df = spark.createDataFrame(rows, "src int, adj array<int>")
+        base = str(tmp_path / name)
+        p = write_bvgraph(df, base)
+        assert p.nodes == len(rows)
+        back = {r.src: list(r.adj) for r in read_bvgraph(spark, base, num_splits=2).collect()}
+        assert back == {s: a for s, a in rows}, name
+
+
 def test_bvgraph_sink_deterministic(spark, tmp_path):
     """The executor-parallel writer must be byte-deterministic: explicit
     src // rows_per ranges (not sampled repartitionByRange boundaries)
