@@ -157,3 +157,28 @@ def test_code_roundtrip_any_values(values):
         assert r.read_delta() == v
         assert r.read_zeta(3) == v
         assert r.read_nibble() == v
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=64),
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=7),
+)
+def test_rephase_interior_matches_bitstring(raw, k, drop):
+    """sink._rephase_interior (vectorized segment re-phasing) must agree
+    with a naive bit-string model: head ++ interior ++ tail, shifted to
+    phase k, reproduces the segment's bits exactly."""
+    from hadoopwebgraph_spark.bvgraph.sink import _rephase_interior
+
+    nbits = 8 * len(raw) - drop
+    if nbits < 16:
+        return  # the writer routes micro-segments around _rephase_interior
+    bits = "".join(f"{b:08b}" for b in raw)[:nbits]
+    head, interior, tail, tail_fill = _rephase_interior(raw, nbits, k)
+
+    head_bits = f"{head:0{8 - k}b}" if k else ""
+    interior_bits = "".join(f"{b:08b}" for b in interior)
+    tail_bits = f"{tail:0{tail_fill}b}" if tail_fill else ""
+    assert head_bits + interior_bits + tail_bits == bits
+    assert (k + nbits) % 8 == tail_fill
