@@ -153,6 +153,18 @@ def main() -> None:
         dt1, m1, w1 = scan(32)
         dt2, m2, w2 = scan(57)
         timings["gXL_graph_scan"] = round(dt1, 3)
+        # decode + explode + two-level aggregate at the same scale (the
+        # degree-distribution shape every graph workload starts with)
+        t0 = time.perf_counter()
+        hist_rows = (
+            read_bvgraph(spark, xl, num_splits=32)
+            .select(F.size("adj").alias("deg"))
+            .groupBy("deg")
+            .count()
+            .count()
+        )
+        timings["gXL_degree_hist"] = round(time.perf_counter() - t0, 3)
+        assert hist_rows > 0
         scan_stats = {
             "graph_scan_arcs": m1,
             "graph_scan_arcs_per_sec": round(m1 / dt1),
