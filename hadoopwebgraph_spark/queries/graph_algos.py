@@ -51,13 +51,28 @@ def pagerank(
     nodes = nodes.persist()
     n = n_nodes if n_nodes is not None else nodes.count()
 
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # persisted: the dangling anti-join touches it EVERY iteration — left
+    # unpersisted it re-derives from edges (re-decoding a graph source)
+    # once per iteration
+    outdeg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    )
     # static join side: contribution edges carrying the outdegree; the
     # contribution is rank/outdeg (single correctly-rounded division, so
-    # a SQL oracle computing p.rank / o.outdeg matches term-for-term)
-    contrib_edges = edges.join(outdeg, "src").select(
-        "src", "dst", F.col("outdeg").cast("double").alias("od")
-    ).persist()
+    # a SQL oracle computing p.rank / o.outdeg matches term-for-term).
+    # Hash-partitioned on src BEFORE persisting: the per-iteration join
+    # requires hashpartitioning(src), so the cached partitioning is
+    # reused and only the small ranks side shuffles each round. The
+    # partition count is pinned explicitly — an unnumbered repartition
+    # lets AQE coalesce the cached side into a few big partitions, which
+    # would throttle every iteration's parallelism.
+    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    contrib_edges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", F.col("outdeg").cast("double").alias("od"))
+        .repartition(nshuf, "src")
+        .persist()
+    )
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
@@ -90,6 +105,7 @@ def pagerank(
             .localCheckpoint()  # truncate lineage each iteration
         )
     nodes.unpersist()
+    outdeg.unpersist()
     contrib_edges.unpersist()
     return ranks
 
@@ -111,10 +127,17 @@ def connected_components(
 
     Returns DataFrame[node, component] (component = min node id in it).
     """
+    # hash-partitioned on dst before persisting: the per-iteration join
+    # is on sym.dst, so the big static side's cached partitioning is
+    # reused every round — only the labels side shuffles. Count pinned
+    # explicitly so AQE can't coalesce the cached side (see pagerank).
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")), "dst"
+        )
         .persist()
     )
     labels = (
@@ -278,10 +301,17 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Per iteration: one join + count + partially-aggregable max_by (the
     argmax shuffles one row per node). Returns DataFrame[node, label].
     """
+    # hash-partitioned on dst before persisting: the per-iteration join
+    # is on sym.dst, so the big static side's cached partitioning is
+    # reused every round — only the labels side shuffles. Count pinned
+    # explicitly so AQE can't coalesce the cached side (see pagerank).
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")), "dst"
+        )
         .persist()
     )
     labels = (
