@@ -290,3 +290,176 @@ def wav_features(media: DataFrame) -> DataFrame:
 def q94_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = wav_media_table(load(spark, sf_dir, "documents"))
     return wav_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Resize + video frame sampling — the remaining multimodal verbs of the
+# training-data pipeline. Resize is a real nearest-neighbor kernel over
+# the decoded pixel array, re-encoded and re-decoded through the PNG
+# codec so the hash certifies decode -> resize -> encode -> decode.
+# Video is modeled as a FAKEVID0 container of length-prefixed PNG frames
+# (real containers need ffmpeg — same stub policy as JPEG/MP3); frame
+# sampling parses the container and decodes only every `stride`-th
+# frame, never the skipped ones.
+# ---------------------------------------------------------------------------
+
+RESIZE_TO = 8  # q95 downsamples IMG_SIDE x IMG_SIDE -> RESIZE_TO x RESIZE_TO
+FAKEVID_MAGIC = b"FAKEVID0"
+VID_FRAME_STRIDE = 2
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize of a 2-D uint8 array (pure NumPy index
+    map — the same gather a real image library performs)."""
+    import numpy as np
+
+    in_h, in_w = img.shape
+    ys = (np.arange(out_h) * in_h) // out_h
+    xs = (np.arange(out_w) * in_w) // out_w
+    return img[np.ix_(ys, xs)]
+
+
+def png_resize(media: DataFrame, out_h: int = RESIZE_TO, out_w: int = RESIZE_TO) -> DataFrame:
+    """Arrow-batched resize stage: PNG decode -> nearest-neighbor resize
+    -> PNG re-encode. Emits (media_id, payload) of resized images."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import png_decode, png_encode
+
+        for pdf in batches:
+            payloads = [
+                png_encode(resize_nearest(png_decode(bytes(b)), out_h, out_w))
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return media.mapInPandas(per_batch, "media_id long, payload binary")
+
+
+@register(
+    "q95_image_resize",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST({RESIZE_TO} AS INTEGER) AS width,
+           CAST({RESIZE_TO} AS INTEGER) AS height,
+           round(avg(CAST((d.doc_id * 31
+                           + (y.i * {IMG_SIDE} // {RESIZE_TO}) * {IMG_SIDE}
+                           + (x.i * {IMG_SIDE} // {RESIZE_TO})) % 256
+                          AS DOUBLE)), 4) AS mean_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {N_MEDIA_DOCS}) d
+    CROSS JOIN (SELECT unnest(range({RESIZE_TO})) AS i) y
+    CROSS JOIN (SELECT unnest(range({RESIZE_TO})) AS i) x
+    GROUP BY d.doc_id
+    """,
+    doc="REAL image resize pipeline: decode PNG, nearest-neighbor resize "
+    f"{IMG_SIDE}x{IMG_SIDE} -> {RESIZE_TO}x{RESIZE_TO}, re-encode PNG, "
+    "decode again for features — the oracle states each resized image's "
+    "mean pixel in closed form (the sampled source pixels), so the hash "
+    "certifies the full decode->resize->encode->decode chain.",
+)
+def q95_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = png_media_table(load(spark, sf_dir, "documents"))
+    return png_features(png_resize(media))
+
+
+def video_media_table(docs: DataFrame) -> DataFrame:
+    """Per-doc deterministic 'video': FAKEVID0 container of n_frames =
+    3 + doc_id % 5 length-prefixed PNG frames; frame f's pixel(y,x) =
+    (doc_id*31 + f*7 + y*IMG_SIDE + x) % 256."""
+    import numpy as np
+
+    from .codecs import png_encode
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(IMG_SIDE * IMG_SIDE, dtype=np.int64).reshape(
+            IMG_SIDE, IMG_SIDE
+        )
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = 3 + did % 5
+                parts = [FAKEVID_MAGIC, n_frames.to_bytes(2, "big")]
+                for f in range(n_frames):
+                    frame = png_encode(((did * 31 + f * 7 + base) % 256).astype(np.uint8))
+                    parts.append(len(frame).to_bytes(4, "big"))
+                    parts.append(frame)
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.filter(F.col("doc_id") < N_MEDIA_DOCS).select("doc_id").mapInPandas(
+        encode_batch, "media_id long, payload binary"
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = VID_FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling stage: parse the container, decode ONLY every
+    `stride`-th frame (skipped frames are seeked over by their length
+    prefix, exactly like keyframe sampling in a real demuxer), emit one
+    row per sampled frame."""
+    import numpy as np
+
+    from .codecs import png_decode
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media_ids, frame_idxs, means = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(b)
+                if blob[:8] != FAKEVID_MAGIC:
+                    raise NotImplementedError(
+                        "unsupported video container (FAKEVID0 available "
+                        "here; plug ffmpeg for real formats)"
+                    )
+                n_frames = int.from_bytes(blob[8:10], "big")
+                pos = 10
+                for f in range(n_frames):
+                    flen = int.from_bytes(blob[pos : pos + 4], "big")
+                    pos += 4
+                    if f % stride == 0:  # decode only sampled frames
+                        img = png_decode(blob[pos : pos + flen])
+                        media_ids.append(int(mid))
+                        frame_idxs.append(f)
+                        means.append(
+                            round(float(np.mean(img.astype(np.float64))), 4)
+                        )
+                    pos += flen
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(media_ids, dtype="int64"),
+                    "frame_idx": pd.Series(frame_idxs, dtype="int32"),
+                    "mean_px": means,
+                }
+            )
+
+    return media.mapInPandas(
+        per_batch, "media_id long, frame_idx int, mean_px double"
+    )
+
+
+@register(
+    "q96_video_frame_sample",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           round(avg(CAST((d.doc_id * 31 + f.frame_idx * 7
+                           + y.i * {IMG_SIDE} + x.i) % 256 AS DOUBLE)), 4)
+               AS mean_px
+    FROM (SELECT doc_id, 3 + doc_id % 5 AS nf FROM documents
+          WHERE doc_id < {N_MEDIA_DOCS}) d
+    CROSS JOIN (SELECT unnest(range(7)) AS frame_idx) f
+    CROSS JOIN (SELECT unnest(range({IMG_SIDE})) AS i) y
+    CROSS JOIN (SELECT unnest(range({IMG_SIDE})) AS i) x
+    WHERE f.frame_idx < d.nf AND f.frame_idx % {VID_FRAME_STRIDE} = 0
+    GROUP BY d.doc_id, f.frame_idx
+    """,
+    doc="Video frame sampling: FAKEVID0 containers of length-prefixed PNG "
+    "frames are demuxed in mapInPandas, every 2nd frame decoded (skipped "
+    "frames seeked over by length prefix), one row per sampled frame. "
+    "Real containers (mp4 etc.) raise NotImplementedError at the demux "
+    "leaf — the stub policy shared with JPEG/MP3. Oracle states each "
+    "sampled frame's mean pixel in closed form.",
+)
+def q96_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = video_media_table(load(spark, sf_dir, "documents"))
+    return sample_frames(media)
