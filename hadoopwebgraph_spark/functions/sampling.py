@@ -1,0 +1,123 @@
+"""Deterministic sampling / splitting / shuffling — the dataset-assembly
+verbs of a training-data pipeline, SURVEY.md §2 Tier C.
+
+All three use content hashing (md5) instead of RNG state, so results are
+(a) reproducible across runs and engines — the DuckDB oracle hash-matches
+exactly, unlike rand()-based sampleBy whose draw depends on partitioning —
+and (b) stable under re-partitioning, backfills, and incremental appends:
+a document's sample/split membership never changes when the corpus grows,
+which is the property a 100 TB training pipeline needs (re-runs must not
+reshuffle examples between train and test).
+
+Scale: each operator is a narrow projection + filter on a hash of the
+row's own key — no shuffle at all for sampling/splitting (the predicate
+pushes into the scan pipeline), one TakeOrderedAndProject for the
+shuffle-order head.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# first-hex-digit bands of md5(doc_id): 16 equiprobable buckets
+SAMPLE_DIGITS = ("0", "1")  # 2/16 = 12.5% sample
+VAL_DIGITS = ("c", "d")
+TEST_DIGITS = ("e", "f")
+
+
+def _hash_col() -> F.Column:
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+def hash_sample(docs: DataFrame, digits=SAMPLE_DIGITS) -> DataFrame:
+    """Deterministic ~len(digits)/16 sample keyed on content hash."""
+    return docs.filter(F.substring(_hash_col(), 1, 1).isin(*digits))
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """Assign train/val/test by hash band (75/12.5/12.5)."""
+    d = F.substring(_hash_col(), 1, 1)
+    return docs.withColumn(
+        "split",
+        F.when(d.isin(*VAL_DIGITS), F.lit("val"))
+        .when(d.isin(*TEST_DIGITS), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+@register(
+    "q86_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {SAMPLE_DIGITS!r}
+    """,
+    doc="Deterministic 12.5% corpus sample via md5 hash bands — "
+    "reproducible across engines, runs, and partitionings (unlike "
+    "rand()-based sampling); membership is stable under corpus growth. "
+    "The filter is a narrow per-row predicate: no shuffle, no RNG state.",
+)
+def q86_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample(docs).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q87_dataset_split",
+    oracle=f"""
+    SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {VAL_DIGITS!r} THEN 'val'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {TEST_DIGITS!r} THEN 'test'
+                 ELSE 'train'
+               END AS split,
+               n_chars
+        FROM documents
+    )
+    GROUP BY split
+    """,
+    doc="Train/val/test assignment by md5 hash band (75/12.5/12.5): a "
+    "document's split never changes as the corpus grows — the leakage "
+    "guarantee a training pipeline needs. Output: per-split counts + "
+    "char volume.",
+)
+def q87_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q88_shuffle_order",
+    oracle="""
+    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 20
+    """,
+    doc="Deterministic global shuffle for training-example ordering: "
+    "order by md5(key) — a reproducible permutation independent of "
+    "physical layout. Plans as TakeOrderedAndProject for the head "
+    "(per-partition heaps + driver merge of 20 rows, no global sort).",
+)
+def q88_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = _hash_col()
+    return (
+        docs.select("doc_id", F.substring(h, 1, 8).alias("shuffle_key"))
+        .orderBy(h, "doc_id")
+        .limit(20)
+    )
