@@ -121,3 +121,73 @@ def q88_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(h, "doc_id")
         .limit(20)
     )
+
+
+PACK_BUDGET = 512  # token budget per training pack
+
+
+@register(
+    "q89_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               doc_id,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_toks
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard,
+               CAST((sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_toks)
+                    // {PACK_BUDGET} AS INTEGER) AS pack_id,
+               n_toks
+        FROM t
+    )
+    SELECT shard, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY shard, pack_id
+    """,
+    doc="Sequence packing for training: documents are sharded by hash "
+    f"prefix (16-way parallel), deterministically ordered within each "
+    f"shard, and binned into contiguous ~{PACK_BUDGET}-token packs via a "
+    "running token sum (pack = cumulative-tokens-before // budget). One "
+    "window per shard — packing parallelism scales with shards, never a "
+    "global single-partition window. Output: per-pack doc count + token "
+    "total, hash-exact vs DuckDB.",
+)
+def q89_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    h = _hash_col()
+    t = docs.select(
+        F.substring(h, 1, 1).alias("shard"),
+        h.alias("h"),
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias(
+            "n_toks"
+        ),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = t.select(
+        "shard",
+        (
+            (F.sum("n_toks").over(w) - F.col("n_toks"))
+            .cast("long")
+            / F.lit(PACK_BUDGET)
+        )
+        .cast("int")
+        .alias("pack_id"),
+        "n_toks",
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("pack_tokens"),
+    )
