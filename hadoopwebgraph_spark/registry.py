@@ -72,7 +72,10 @@ def _load_all_modules() -> None:
 # broke q37/q46/q50-q54/q55 that round — they are deliberately ABSENT here
 # so they sort first and get re-certified in round 4 alongside the
 # r1-verified-only set. Everything green in r3 (incl. q73/q74 rows-only
-# by design) is stamped round 3.
+# by design) is stamped round 3. Queries ADDED in round 4 (q86-q89,
+# q95-q96) are also absent -> round 0 -> they claim first-50 slots ahead
+# of the r1 set; the r1 stragglers displaced past slot 50 (q47-q49,
+# q56-q58) rotate in next round.
 _DRIVER_GREEN: dict[str, int] = {}
 _DRIVER_GREEN.update(
     {
