@@ -772,3 +772,80 @@ def pq_probe(
 )
 def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_probe(spark, sf_dir, k=TOP_K)
+
+
+@register(
+    "q75_embedding_quantize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT u.i, min(CAST(u.v AS DOUBLE)) AS mn, max(CAST(u.v AS DOUBLE)) AS mx
+        FROM embeddings e,
+             LATERAL (SELECT unnest(e.embedding) AS v,
+                             generate_subscripts(e.embedding, 1) - 1 AS i) u
+        WHERE e.vec_id >= {N_QUERIES}
+        GROUP BY u.i
+    ),
+    scale AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+    ),
+    codes AS (
+        SELECT e.vec_id,
+               [CAST(floor((CAST(e.embedding[x + 1] AS DOUBLE) - s.mns[x + 1])
+                           / (s.mxs[x + 1] - s.mns[x + 1]) * 255) AS INTEGER)
+                FOR x IN range(64)] AS c
+        FROM embeddings e CROSS JOIN scale s
+        WHERE e.vec_id >= {N_QUERIES}
+    )
+    SELECT vec_id,
+           CAST(len(c) AS INTEGER) AS n_dims,
+           CAST(list_sum(c) AS BIGINT) AS code_sum,
+           CAST(list_min(c) AS INTEGER) AS code_min,
+           CAST(list_max(c) AS INTEGER) AS code_max
+    FROM codes
+    """,
+    doc="Uint8 embedding quantization (4x storage compression for vector "
+    "corpora): per-dimension global min/max scale (one aggregate over the "
+    "corpus, broadcast back), codes = floor((v - mn)/(mx - mn) * 255). "
+    "floor (not round) so Spark and DuckDB agree bit-exactly on tie "
+    "boundaries; outputs integer per-vector code stats, hash-exact. The "
+    "max-range value lands on code 255 via floor's closed upper cell.",
+)
+def q75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= N_QUERIES)
+    dims = e.select(F.posexplode("embedding").alias("i", "v")).select(
+        "i", F.col("v").cast("double").alias("v")
+    )
+    scale = (
+        dims.groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda x: x["mn"]
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda x: x["mx"]
+            ).alias("mxs"),
+        )
+    )
+    # quantize: zip vector with the broadcast scale arrays; floor keeps the
+    # cell arithmetic identical across engines. The top of the range
+    # (v == mx) produces 255 only under round — with floor it is 255 exactly
+    # because (mx - mn)/(mx - mn) * 255 = 255.0 and floor(255.0) = 255.
+    quant = e.crossJoin(F.broadcast(scale)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (v, x) -> "
+            "CAST(floor((CAST(v AS DOUBLE) - mns[x]) / (mxs[x] - mns[x]) * 255) "
+            "AS INT))"
+        ).alias("c"),
+    )
+    return quant.select(
+        "vec_id",
+        F.size("c").alias("n_dims"),
+        F.aggregate("c", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.array_min("c").alias("code_min"),
+        F.array_max("c").alias("code_max"),
+    )
