@@ -136,6 +136,36 @@ def test_two_phase_topk_plan(spark, sf_small):
     assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 stages
 
 
+def test_hash_sample_no_shuffle(spark, sf_small):
+    """Deterministic sampling/splitting must stay in the scan pipeline:
+    no Exchange anywhere in the plan, and the shuffle-order head must be
+    TakeOrderedAndProject (never a global sort)."""
+    from hadoopwebgraph_spark.functions.sampling import (
+        q86_hash_sample,
+        q88_shuffle_order,
+    )
+
+    plan = _plan(q86_hash_sample(spark, sf_small))
+    assert "Exchange" not in plan
+    plan = _plan(q88_shuffle_order(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_sequence_packing_sharded_window(spark, sf_small):
+    """Packing's running sum must window per shard (parallelism scales
+    with shard count), never a single global window partition."""
+    from hadoopwebgraph_spark.functions.sampling import q89_sequence_packing
+
+    plan = _plan(q89_sequence_packing(spark, sf_small))
+    assert "Window" in plan
+    # the window's partition spec carries the shard column
+    window_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert window_args and all("shard" in l for l in window_args)
+
+
 def test_window_single_shuffle(spark, sf_small):
     import re
 
