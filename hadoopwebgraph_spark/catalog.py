@@ -30,6 +30,16 @@ TABLES = (
 # whole microseconds is an identity on micros data.
 ORACLE_EVENT_TS = "make_timestamp(epoch_ns(ts) // 1000)"
 
+# Canonical events schema (current testdata encoding: TIMESTAMP(MICROS)
+# read as timestamp_ntz). Used as the streaming-source fallback when the
+# watched directory is empty at stream start — a batch footer read can't
+# infer a schema from zero files, but a stream legitimately starts before
+# its first file arrives.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Queries may run on a caller-provided session (the driver's harness);

@@ -33,6 +33,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -345,8 +347,9 @@ def assign_cells(corpus: DataFrame, cent: DataFrame) -> DataFrame:
 # PQ code table (~1% of the vector bytes). Cache keyed on the corpus
 # file's (path, size, mtime) + hyperparameters, so regenerated testdata
 # invalidates automatically. Builds are idempotent and deterministic;
-# concurrent builders write identical content and the model JSON is
-# renamed into place last as the success marker.
+# each builder stages under a private directory and publishes with ONE
+# atomic directory rename (_commit_build), so concurrent builders can
+# never interleave writes inside the live index.
 # ---------------------------------------------------------------------------
 
 _REPO_ROOT = os.path.dirname(
@@ -374,6 +377,25 @@ def _write_model(path: str, payload: dict) -> None:
     os.replace(tmp, os.path.join(path, "model.json"))
 
 
+def _build_dir(path: str) -> str:
+    """Private staging directory for an index build. Concurrent builders
+    each stage under a unique name and race on one atomic directory
+    rename into ``path`` — the loser's parquet writes can never interleave
+    with the winner's (the pre-fix hazard: two mode('overwrite') writers
+    in the SAME directory), and a crashed build leaves only an orphaned
+    staging dir, never a valid-looking half-index."""
+    return f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def _commit_build(tmp: str, path: str) -> None:
+    """Atomically publish a staged index; if another builder won the
+    race (rename target exists), discard our identical staging copy."""
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _read_model(path: str) -> dict:
     with open(os.path.join(path, "model.json")) as f:
         return json.load(f)
@@ -395,11 +417,13 @@ def build_ivf_index(
     )
     cent = kmeans_centroids(corpus, k=k, iterations=iterations)
     assigned = assign_cells(corpus, cent)
+    tmp = _build_dir(path)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(path, "invfile")
+        os.path.join(tmp, "invfile")
     )
     cent_rows = [[int(r.cid), [float(x) for x in r.cvec]] for r in cent.collect()]
-    _write_model(path, {"k": k, "iterations": iterations, "centroids": cent_rows})
+    _write_model(tmp, {"k": k, "iterations": iterations, "centroids": cent_rows})
+    _commit_build(tmp, path)
     return path
 
 
@@ -479,7 +503,10 @@ def ivf_index_append_stream(
         "cid int, cvec array<double>",
     )
     invfile = os.path.join(index_path, "invfile")
-    file_schema = spark.read.parquet(new_vectors_dir).schema
+    try:
+        file_schema = spark.read.parquet(new_vectors_dir).schema
+    except Exception:  # empty watch dir at stream start — files arrive later
+        file_schema = "vec_id bigint, embedding array<float>, label int"
     stream = (
         spark.readStream.schema(file_schema)
         .parquet(new_vectors_dir)
@@ -682,11 +709,13 @@ def build_pq_index(
     )
     cb = pq_train_codebooks(corpus, iterations=iterations)
     codes = _pq_assign(_subvectors(corpus, "v"), cb).select("vec_id", "sub", "code")
-    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    tmp = _build_dir(path)
+    codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
     cb_rows = [
         [int(r.sub), int(r.code), [float(x) for x in r.cvec]] for r in cb.collect()
     ]
-    _write_model(path, {"m": PQ_M, "ksub": PQ_KSUB, "codebooks": cb_rows})
+    _write_model(tmp, {"m": PQ_M, "ksub": PQ_KSUB, "codebooks": cb_rows})
+    _commit_build(tmp, path)
     return path
 
 
@@ -791,7 +820,8 @@ def q74_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes AS (
         SELECT e.vec_id,
                [CAST(floor((CAST(e.embedding[x + 1] AS DOUBLE) - s.mns[x + 1])
-                           / (s.mxs[x + 1] - s.mns[x + 1]) * 255) AS INTEGER)
+                           / greatest(s.mxs[x + 1] - s.mns[x + 1], 1e-12) * 255)
+                     AS INTEGER)
                 FOR x IN range(64)] AS c
         FROM embeddings e CROSS JOIN scale s
         WHERE e.vec_id >= {N_QUERIES}
@@ -832,12 +862,15 @@ def q75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell arithmetic identical across engines. The top of the range
     # (v == mx) produces 255 only under round — with floor it is 255 exactly
     # because (mx - mn)/(mx - mn) * 255 = 255.0 and floor(255.0) = 255.
+    # greatest(range, 1e-12) guards a constant dimension: (v - mn) is 0
+    # there, so both engines emit a defined code 0 instead of Spark NULL
+    # vs DuckDB inf (same guard in the oracle SQL above).
     quant = e.crossJoin(F.broadcast(scale)).select(
         "vec_id",
         F.expr(
             "transform(embedding, (v, x) -> "
-            "CAST(floor((CAST(v AS DOUBLE) - mns[x]) / (mxs[x] - mns[x]) * 255) "
-            "AS INT))"
+            "CAST(floor((CAST(v AS DOUBLE) - mns[x]) / "
+            "greatest(mxs[x] - mns[x], 1e-12d) * 255) AS INT))"
         ).alias("c"),
     )
     return quant.select(

@@ -68,14 +68,12 @@ def _load_all_modules() -> None:
 # first, then least-recently-verified. Update this map each round from
 # CORRECTNESS_r{N}.json.
 #
-# State after round 3 (CORRECTNESS_r03.json): the events-ts regression
-# broke q37/q46/q50-q54/q55 that round — they are deliberately ABSENT here
-# so they sort first and get re-certified in round 4 alongside the
-# r1-verified-only set. Everything green in r3 (incl. q73/q74 rows-only
-# by design) is stamped round 3. Queries ADDED in round 4 (q86-q89,
-# q95-q96) are also absent -> round 0 -> they claim first-50 slots ahead
-# of the r1 set; the r1 stragglers displaced past slot 50 (q47-q49,
-# q56-q58) rotate in next round.
+# State after round 4 (CORRECTNESS_r04.json): all 50 checked rows were
+# green (48 hash-matched, q12/q45 rows-only by design) — stamped round 4
+# below. The r1-only stragglers displaced past slot 50 in r4
+# (q47-q49, q56-q58) keep their round-1 stamp so they sort into round 5's
+# window right after any never-verified round-5 additions; the rest of
+# the window fills with the oldest round-3 names.
 _DRIVER_GREEN: dict[str, int] = {}
 _DRIVER_GREEN.update(
     {
@@ -93,6 +91,29 @@ _DRIVER_GREEN.update(
             "q43_join_cross q44_percentiles q45_approx_percentiles "
             "q47_unpivot q48_inmemory_scan q49_collect_agg "
             "q56_shipping_priority q57_local_supplier_volume q58_pure_theta"
+        ).split()
+    }
+)
+# Round 4's 50-row window — every row green (q12/q45 rows-only by design).
+_DRIVER_GREEN.update(
+    {
+        name: 4
+        for name in (
+            "q06_join_semi q07_join_anti q08_join_theta q09_self_join "
+            "q10_agg_stats q11_count_distinct q12_approx_distinct q13_rollup "
+            "q14_cube q15_grouping_sets q16_topk_global q17_having "
+            "q18_join_right q19_join_full q20_window_topk_per_group "
+            "q21_window_rank q22_window_running_sum q23_window_lag "
+            "q24_window_range_frame q25_window_ntile_first_last "
+            "q26_window_distribution q30_union q31_intersect q32_except "
+            "q33_string_fns q34_date_fns q35_math_fns q36_array_fns "
+            "q37_json_fns q38_case_coalesce q39_pivot q40_distinct "
+            "q41_in_subquery q43_join_cross q44_percentiles "
+            "q45_approx_percentiles q46_map_fns q50_tumbling_window "
+            "q51_sliding_window q52_session_window q53_watermark_late_drop "
+            "q54_stream_dedup q55_asof_join q75_embedding_quantize "
+            "q86_hash_sample q87_dataset_split q88_shuffle_order "
+            "q89_sequence_packing q95_image_resize q96_video_frame_sample"
         ).split()
     }
 )

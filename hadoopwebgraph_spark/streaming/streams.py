@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..catalog import normalize_event_ts
+from ..catalog import EVENTS_SCHEMA, normalize_event_ts
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -33,9 +33,15 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     physical encoding of ``ts`` we take the schema from a driver-side batch
     read of the same directory (one footer read — cheap even on object
     storage) so the stream reads whatever type the files actually carry,
-    then normalize with the same dtype branch the batch catalog uses."""
+    then normalize with the same dtype branch the batch catalog uses.
+    A stream may legitimately start on an EMPTY directory (files arrive
+    later); the batch read can't infer a schema from zero files, so fall
+    back to the catalog's canonical events schema in that case."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    file_schema = spark.read.parquet(events_dir).schema
+    try:
+        file_schema = spark.read.parquet(events_dir).schema
+    except Exception:  # AnalysisException: unable to infer schema (no files)
+        file_schema = EVENTS_SCHEMA
     raw = spark.readStream.schema(file_schema).parquet(events_dir)
     return normalize_event_ts(raw)
 

@@ -114,6 +114,39 @@ def test_ivf_incremental_append_stream(spark, sf_oracle, tmp_path):
     assert appended == want
 
 
+def test_index_build_commit_is_atomic(tmp_path):
+    """Concurrent-builder race: each builder stages privately and
+    publishes with one directory rename. The loser's staging copy is
+    discarded without touching the winner's live index — the pre-fix
+    hazard was two mode('overwrite') parquet writers interleaving in the
+    same live directory."""
+    from hadoopwebgraph_spark.functions.similarity import (
+        _build_dir,
+        _commit_build,
+    )
+
+    path = str(tmp_path / "ivf-abc")
+
+    # winner publishes
+    tmp1 = _build_dir(path)
+    os.makedirs(tmp1)
+    with open(os.path.join(tmp1, "model.json"), "w") as f:
+        f.write('{"who": "winner"}')
+    _commit_build(tmp1, path)
+    assert not os.path.exists(tmp1)
+    assert os.path.exists(os.path.join(path, "model.json"))
+
+    # loser finishes later: its commit is a no-op discard
+    tmp2 = _build_dir(path)
+    os.makedirs(tmp2)
+    with open(os.path.join(tmp2, "model.json"), "w") as f:
+        f.write('{"who": "loser"}')
+    _commit_build(tmp2, path)
+    assert not os.path.exists(tmp2)
+    with open(os.path.join(path, "model.json")) as f:
+        assert "winner" in f.read()
+
+
 def test_two_phase_topk_matches_single_window(spark):
     """topk_per_group (per-partition rank-filter then global window) must
     return exactly the rows a single global window would."""

@@ -39,6 +39,25 @@ def test_tumbling_stream_matches_batch(spark, sf_small, events_dir):
         q.stop()
 
 
+def test_stream_starts_on_empty_directory(spark, sf_small, tmp_path):
+    """A stream may start before its first file arrives: stream_events
+    falls back to the catalog's canonical events schema when the batch
+    footer read finds zero files, and picks up files that land later."""
+    d = tmp_path / "empty_then_filled"
+    d.mkdir()
+    ev = streams.stream_events(spark, str(d))  # must not raise
+    q = streams.run_to_memory(streams.tumbling_counts(ev), "t_late", "complete")
+    try:
+        assert spark.sql("SELECT * FROM t_late").count() == 0
+        shutil.copy(f"{sf_small}/events.parquet", d / "part-0.parquet")
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_late").count()
+        want = q50_tumbling_window(spark, sf_small).count()
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_session_stream_runs(spark, events_dir):
     ev = streams.stream_events(spark, events_dir)
     q = streams.run_to_memory(streams.session_counts(ev), "t_sess", "complete")
