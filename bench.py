@@ -173,10 +173,24 @@ def main() -> None:
         )
         timings["gXL_degree_hist"] = round(time.perf_counter() - t0, 3)
         assert hist_rows > 0
+        # sink write at the same scale: decode the xl fixture and write it
+        # back through the executor-parallel Arrow-batched sink
+        import tempfile
+
+        from hadoopwebgraph_spark.bvgraph.sink import write_bvgraph
+
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            pw = write_bvgraph(
+                read_bvgraph(spark, xl, num_splits=32), os.path.join(td, "xlw")
+            )
+            dt_w = time.perf_counter() - t0
+        timings["gXL_sink_write"] = round(dt_w, 3)
         scan_stats = {
             "graph_scan_arcs": m1,
             "graph_scan_arcs_per_sec": round(m1 / dt1),
             "graph_scan_partition_invariant": (m1, w1) == (m2, w2),
+            "graph_sink_arcs_per_sec": round(pw.arcs / dt_w),
         }
     except Exception as exc:  # noqa: BLE001
         errors["gXL_graph_scan"] = f"{type(exc).__name__}: {exc}"[:500]

@@ -221,8 +221,6 @@ def encode_segment(
 ) -> tuple[int, bytes, list[int]]:
     """Segment encode via the C kernel when available (bit-identical
     output), else the Python spec."""
-    from . import native
-
     if adj:
         import numpy as np
 
@@ -231,10 +229,28 @@ def encode_segment(
         values = np.fromiter(
             (v for a in adj for v in a), dtype=np.int32, count=int(list_offsets[-1])
         )
-        res = native.encode_segment(values, list_offsets, first_src, p)
-        if res is not None:
-            nbits, buf, offsets = res
-            return nbits, buf, offsets.tolist()
+        return encode_segment_csr(values, list_offsets, first_src, p)
+    return encode_segment_py(adj, first_src, p)
+
+
+def encode_segment_csr(
+    values, list_offsets, first_src: int, p: BVGraphProperties
+) -> tuple[int, bytes, list[int]]:
+    """Segment encode from CSR adjacency (flat ``values`` int32 + n+1
+    ``list_offsets`` int64) — the layout Arrow list columns already use,
+    so the sink's mapInArrow path feeds the C kernel without ever
+    materializing per-row Python lists. Falls back to the Python spec
+    (bit-identical) when the kernel is unavailable."""
+    from . import native
+
+    res = native.encode_segment(values, list_offsets, first_src, p)
+    if res is not None:
+        nbits, buf, offsets = res
+        return nbits, buf, offsets.tolist()
+    adj = [
+        values[list_offsets[i] : list_offsets[i + 1]].tolist()
+        for i in range(len(list_offsets) - 1)
+    ]
     return encode_segment_py(adj, first_src, p)
 
 

@@ -14,40 +14,45 @@ starts (HdfsBVGraph.java:221-229).
 
 Scale design — executor-parallel write, two jobs:
 
-1. **Encode** (per partition): each task encodes its contiguous node
-   range into a window-isolated segment and spills the raw bits + local
-   bit-offsets next to the output; only (first_src, nbits, arcs) — a few
-   longs per segment — return to the driver, which prefix-sums nbits
-   into each segment's absolute bit base.
+1. **Encode** (per partition, ``mapInArrow``): rows stay columnar from
+   the scan to the C kernel — each task gathers its range group(s) with
+   Arrow ``take``, hands the list column's CSR buffers (flat values +
+   offsets) straight to ``encode_segment_csr``, and spills the raw bits
+   + local bit-offsets to the segment store; only (first_src, nbits,
+   arcs) — a few longs per segment — return to the driver, which
+   prefix-sums nbits into each segment's absolute bit base.
 2. **Re-phase** (per segment): knowing its base phase (base % 8), each
    task shifts its raw bits with one vectorized NumPy pass into the
-   byte-aligned *interior* of its final byte range and writes it as a
-   part file, returning just the head/tail partial-byte bits. It also
+   byte-aligned *interior* of its final byte range and stores it as a
+   part blob, returning just the head/tail partial-byte bits. It also
    delta-encodes its own slice of the offsets stream (prev = its base).
 
 The driver then *composes*: per segment it writes ONE boundary byte
 (merging the previous tail with the next head) and splices the interior
-part with ``shutil.copyfileobj`` — no per-byte Python work, and
-driver-side Python object traffic is O(n_segments), independent of graph
-size. On object storage the interior parts upload straight from
-executors and the compose is a server-side multipart operation; the
-offsets stream (~a few % of the graph bytes) is composed through the
-same vectorized bit appender on the driver. Segments smaller than two
-bytes (never produced by the >=64-node range planner, but handled) fall
-back to inline bit appends.
+part — no per-byte Python work, and driver-side Python object traffic is
+O(n_segments), independent of graph size. WHERE the intermediate
+artifacts live and HOW the final stream is assembled are pluggable
+(``storage.SegmentStore`` / the composer objects): the default
+``LocalFSStore`` + ``FileComposer`` needs a filesystem shared by tasks
+and driver (local mode, NFS, mounted object storage); on plain object
+storage the same plan runs with a blob-store ``SegmentStore`` and
+``MultipartComposer`` — interiors are byte-aligned by construction, so
+the final object is a server-side multipart concatenation. Segments
+smaller than two bytes (never produced by the >=64-node range planner,
+but handled) fall back to inline bit appends.
 """
 
 from __future__ import annotations
 
 import io
-import os
-import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .bitio import BitWriter
-from .codec import BVGraphFiles, encode_graph, encode_segment
+from .codec import BVGraphFiles, encode_graph, encode_segment_csr
 from .properties import BVGraphProperties, format_properties
+from .storage import FileComposer, LocalFSStore, SegmentStore
 
 
 def _append_deltas(out: "_BitStreamOut", values, prev: int, p) -> None:
@@ -166,57 +171,107 @@ def _rephase_interior(raw: bytes, nbits: int, k: int):
     return head, interior, tail, tail_fill
 
 
-def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties:
+def write_bvgraph(
+    df: DataFrame,
+    basename: str,
+    store: SegmentStore | None = None,
+    **props_kw,
+) -> BVGraphProperties:
     """Write DataFrame[src INT, adj ARRAY<INT>] (src dense 0..n-1) to a
     BVGraph triple at ``basename``.
 
     Executor-parallel encode AND write (module docstring): job 1 encodes
-    window-isolated segments to a spill dir next to the output; job 2
-    re-phases each segment to its absolute bit base and writes its
-    byte-aligned interior as a part file plus its offsets-stream chunk;
-    the driver composes boundary bytes and splices parts in order.
+    window-isolated segments into ``store``; job 2 re-phases each segment
+    to its absolute bit base and stores its byte-aligned interior plus
+    its offsets-stream chunk; the driver composes boundary bytes and
+    splices parts in order. ``store`` defaults to a ``LocalFSStore`` next
+    to the output (requires a task/driver-shared filesystem — pass a
+    blob-backed ``SegmentStore`` on clusters without one).
     """
     n = df.count()
     spark = df.sparkSession
 
     # Contiguous ranges: src is dense 0..n-1, so the range boundaries are
-    # known exactly — partition by src // rows_per with an identity
-    # partitioner instead of repartitionByRange, whose SAMPLED boundaries
-    # made segmentation (and thus the compressed bytes) nondeterministic
-    # across runs, and which costs an extra sampling job.
+    # known exactly — group by pid = src // rows_per instead of
+    # repartitionByRange, whose SAMPLED boundaries made segmentation (and
+    # thus the compressed bytes) nondeterministic across runs, and which
+    # costs an extra sampling job. Hash-partitioning on pid keeps each
+    # range group whole within one task; which task gets which group
+    # doesn't matter (segments are keyed by pid, ordered by the driver).
     n_parts = min(max(1, spark.sparkContext.defaultParallelism), max(1, n // 64))
     rows_per = -(-n // n_parts) if n else 1  # ceil(n / n_parts)
-    ranged = df.rdd.map(
-        lambda row: (row.src // rows_per, (row.src, list(row.adj)))
-    ).partitionBy(n_parts, lambda pid: int(pid))
+    if store is None:
+        store = LocalFSStore(basename + ".spill")
 
     props_template = dict(props_kw)
-    spill = basename + ".spill"
-    os.makedirs(spill, exist_ok=True)
 
-    def encode_partition(idx, kvs):
+    ranged = df.select(
+        F.col("src").cast("long").alias("src"),
+        "adj",
+        F.expr(f"CAST(src DIV {rows_per} AS INT)").alias("pid"),
+    ).repartition(n_parts, "pid")
+
+    def encode_batches(batches):
         import numpy as np
+        import pyarrow as pa
 
-        items = sorted(item for _, item in kvs)
-        if not items:
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
             return
-        first_src = items[0][0]
-        adj = [a for _, a in items]
-        arcs = sum(len(a) for a in adj)
-        p = BVGraphProperties(nodes=len(adj), arcs=0, **props_template)
-        # C kernel when available, Python spec otherwise — bit-identical
-        # either way (refs stay inside this segment: window isolation)
-        nbits, buf, offsets = encode_segment(adj, first_src, p)
-        with open(os.path.join(spill, f"seg-{idx:05d}.raw"), "wb") as f:
-            f.write(buf[: (nbits + 7) // 8])
-        np.save(
-            os.path.join(spill, f"seg-{idx:05d}.offs.npy"),
-            np.asarray(offsets, dtype=np.int64),
+        tbl = pa.Table.from_batches(batches)
+        src = tbl.column("src").to_numpy()
+        pids = tbl.column("pid").to_numpy()
+        adj_col = tbl.column("adj").combine_chunks()
+        meta = {k: [] for k in ("pid", "first_src", "nodes", "arcs", "nbits")}
+        for pid in np.unique(pids):
+            idxs = np.nonzero(pids == pid)[0]
+            order = idxs[np.argsort(src[idxs])]
+            # columnar gather; the list column's buffers ARE the CSR the
+            # C kernel takes — no per-row Python materialization
+            sub = adj_col.take(pa.array(order, type=pa.int64()))
+            lens = pa.compute.list_value_length(sub).to_numpy().astype(np.int64)
+            list_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=list_offsets[1:])
+            values = np.asarray(
+                sub.flatten().to_numpy(zero_copy_only=False), dtype=np.int32
+            )
+            first_src = int(src[order[0]])
+            p = BVGraphProperties(nodes=len(lens), arcs=0, **props_template)
+            # C kernel when available, Python spec otherwise — bit-identical
+            # either way (refs stay inside this segment: window isolation)
+            nbits, buf, offsets = encode_segment_csr(
+                values, list_offsets, first_src, p
+            )
+            store.put(f"seg-{int(pid):05d}.raw", bytes(buf[: (nbits + 7) // 8]))
+            store.put(
+                f"seg-{int(pid):05d}.offs",
+                np.asarray(offsets, dtype=np.int64).tobytes(),
+            )
+            meta["pid"].append(int(pid))
+            meta["first_src"].append(first_src)
+            meta["nodes"].append(len(lens))
+            meta["arcs"].append(int(list_offsets[-1]))
+            meta["nbits"].append(nbits)
+        yield pa.RecordBatch.from_pydict(
+            meta,
+            schema=pa.schema(
+                [
+                    ("pid", pa.int32()),
+                    ("first_src", pa.int64()),
+                    ("nodes", pa.int64()),
+                    ("arcs", pa.int64()),
+                    ("nbits", pa.int64()),
+                ]
+            ),
         )
-        yield (idx, first_src, len(adj), arcs, nbits)
 
-    # Job 1: encode. Only a few longs per segment come back to the driver.
-    meta = sorted(ranged.mapPartitionsWithIndex(encode_partition).collect())
+    # Job 1: encode (Arrow-batched end-to-end). Only a few longs per
+    # segment come back to the driver.
+    meta_rows = ranged.mapInArrow(
+        encode_batches,
+        "pid int, first_src long, nodes long, arcs long, nbits long",
+    ).collect()
+    meta = sorted((r.pid, r.first_src, r.nodes, r.arcs, r.nbits) for r in meta_rows)
 
     # prefix-sum the bit bases; verify src density/contiguity
     expected_next = 0
@@ -238,24 +293,21 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
         import numpy as np
 
         idx, seg_base, nbits = task
-        with open(os.path.join(spill, f"seg-{idx:05d}.raw"), "rb") as f:
-            raw = f.read()
+        raw = store.get(f"seg-{idx:05d}.raw")
         if nbits < 16:  # degenerate micro-segment: driver appends inline
             return (idx, 0, raw, nbits, 0, 0, 0)
         head, interior, tail, tail_fill = _rephase_interior(raw, nbits, seg_base % 8)
-        with open(os.path.join(spill, f"seg-{idx:05d}.part"), "wb") as f:
-            f.write(interior)
+        store.put(f"seg-{idx:05d}.part", interior)
         # offsets-stream chunk: this segment's absolute offsets
         # delta-encoded against prev = seg_base (= last offset of the
         # previous segment); one C-kernel call per segment
-        offsets = np.load(os.path.join(spill, f"seg-{idx:05d}.offs.npy"))
+        offsets = np.frombuffer(store.get(f"seg-{idx:05d}.offs"), dtype=np.int64)
         ow = io.BytesIO()
         oout = _BitStreamOut(ow)
         _append_deltas(oout, (offsets[1:] + seg_base).tolist(), seg_base, p0)
         onbits = oout.nbits
         oout.close()
-        with open(os.path.join(spill, f"seg-{idx:05d}.offs.raw"), "wb") as f:
-            f.write(ow.getvalue())
+        store.put(f"seg-{idx:05d}.offs.raw", ow.getvalue())
         return (idx, head, None, nbits, tail, tail_fill, onbits)
 
     # Job 2: re-phase + part write, one task per segment.
@@ -266,60 +318,71 @@ def write_bvgraph(df: DataFrame, basename: str, **props_kw) -> BVGraphProperties
         .collect()
     )
 
-    # Compose .graph: per segment ONE boundary byte + an OS-level splice
-    # of the byte-aligned interior part. Python-side byte traffic is
-    # O(n_segments); on object storage this is a server-side multipart
-    # compose of executor-uploaded parts.
-    with open(basename + ".graph", "wb") as fh:
-        out = _BitStreamOut(fh)
-        for idx, head, raw_inline, nbits, tail, tail_fill, _ in seg_results:
-            if raw_inline is not None:  # micro-segment fallback
-                fill = nbits % 8
-                out.append_body(raw_inline[: nbits // 8])
-                if fill:
-                    out.append_bits(raw_inline[-1] >> (8 - fill), fill)
-                continue
-            k = out.fill
-            if k:
-                out.append_bits(head, 8 - k)  # completes the boundary byte
-            assert out.fill == 0
-            with open(os.path.join(spill, f"seg-{idx:05d}.part"), "rb") as pf:
-                shutil.copyfileobj(pf, fh, 1 << 20)
-                out.nbits += 8 * os.fstat(pf.fileno()).st_size
-            out.cur, out.fill = tail, tail_fill
-            out.nbits += tail_fill
-        out.close()
+    graph_composer = FileComposer(basename + ".graph", store)
+    compose_graph(seg_results, store, graph_composer)
+    graph_composer.close()
 
-    # Compose .offsets: node-0 entry, then each segment's pre-encoded
-    # chunk re-phased through the vectorized bit appender (the offsets
-    # stream is a few % of the graph bytes; the same two-job treatment
-    # would apply if it ever dominated).
-    with open(basename + ".offsets", "wb") as f:
-        offs_out = _BitStreamOut(f)
-        _append_deltas(offs_out, [0], 0, p0)  # offsets entry for node 0
-        for idx, head, raw_inline, nbits, tail, tail_fill, onbits in seg_results:
-            if raw_inline is not None:
-                import numpy as np
+    offs_composer = FileComposer(basename + ".offsets", store)
+    compose_offsets(seg_results, bases, store, offs_composer, p0)
+    offs_composer.close()
 
-                offsets = np.load(os.path.join(spill, f"seg-{idx:05d}.offs.npy"))
-                seg_base = bases[idx]
-                _append_deltas(
-                    offs_out, (offsets[1:] + seg_base).tolist(), seg_base, p0
-                )
-                continue
-            with open(os.path.join(spill, f"seg-{idx:05d}.offs.raw"), "rb") as cf:
-                chunk = cf.read()
-            fill = onbits % 8
-            offs_out.append_body(chunk[: onbits // 8])
-            if fill:
-                offs_out.append_bits(chunk[-1] >> (8 - fill), fill)
-        offs_out.close()
-
-    shutil.rmtree(spill, ignore_errors=True)
+    store.cleanup()
     p = BVGraphProperties(nodes=n, arcs=arcs_total, **props_template)
     with open(basename + ".properties", "w") as f:
         f.write(format_properties(p))
     return p
+
+
+def compose_graph(seg_results, store: SegmentStore, composer) -> None:
+    """Compose .graph from re-phased segments: per segment ONE boundary
+    byte + a splice of the byte-aligned interior part. Literal bytes go
+    through ``composer.write`` (via the bit-phase tracker), interiors via
+    ``composer.part`` — so Python-side byte traffic is O(n_segments) with
+    a FileComposer, and zero part bytes with a MultipartComposer (the
+    object-storage compose resolves part keys server-side)."""
+    out = _BitStreamOut(composer)
+    for idx, head, raw_inline, nbits, tail, tail_fill, _ in seg_results:
+        if raw_inline is not None:  # micro-segment fallback
+            fill = nbits % 8
+            out.append_body(raw_inline[: nbits // 8])
+            if fill:
+                out.append_bits(raw_inline[-1] >> (8 - fill), fill)
+            continue
+        k = out.fill
+        if k:
+            out.append_bits(head, 8 - k)  # completes the boundary byte
+        assert out.fill == 0
+        out.nbits += 8 * composer.part(f"seg-{idx:05d}.part")
+        out.cur, out.fill = tail, tail_fill
+        out.nbits += tail_fill
+    out.close()
+
+
+def compose_offsets(
+    seg_results, bases: dict, store: SegmentStore, composer, p0
+) -> None:
+    """Compose .offsets: node-0 entry, then each segment's pre-encoded
+    chunk re-phased through the vectorized bit appender (the offsets
+    stream is a few % of the graph bytes; the same part-splice treatment
+    would apply if it ever dominated)."""
+    offs_out = _BitStreamOut(composer)
+    _append_deltas(offs_out, [0], 0, p0)  # offsets entry for node 0
+    for idx, head, raw_inline, nbits, tail, tail_fill, onbits in seg_results:
+        if raw_inline is not None:
+            import numpy as np
+
+            offsets = np.frombuffer(store.get(f"seg-{idx:05d}.offs"), dtype=np.int64)
+            seg_base = bases[idx]
+            _append_deltas(
+                offs_out, (offsets[1:] + seg_base).tolist(), seg_base, p0
+            )
+            continue
+        chunk = store.get(f"seg-{idx:05d}.offs.raw")
+        fill = onbits % 8
+        offs_out.append_body(chunk[: onbits // 8])
+        if fill:
+            offs_out.append_bits(chunk[-1] >> (8 - fill), fill)
+    offs_out.close()
 
 
 def write_bvgraph_single(adjacency: list[list[int]], basename: str, **props_kw):
