@@ -2,10 +2,11 @@
 
 Media (image/audio/video) is modeled as opaque ``binary`` payloads with a
 typed metadata struct; decode / feature-extraction run as Arrow-batched
-Pandas UDFs over ``mapInPandas``. PNG and PCM16 WAV decode are REAL
-(pure-stdlib codecs in functions/codecs.py, oracle-certified pixel/sample
-features in q93/q94); formats that need external codecs (JPEG, MP3,
-video) raise NotImplementedError at the leaf decode function — real
+Pandas UDFs over ``mapInPandas``. PNG, baseline JPEG and PCM16 WAV
+decode are REAL (pure-stdlib/numpy codecs in functions/codecs.py,
+oracle-certified pixel/sample features in q93/q94/q97); formats that
+need external codecs (MP3, video containers, progressive/subsampled
+JPEG) raise NotImplementedError at the leaf decode function — real
 deployments swap in Pillow/ffmpeg there while all Spark-side plumbing
 (schemas, binary handling, batch iteration, UDF signatures) is shared
 and tested here.
@@ -33,12 +34,12 @@ FAKE_MAGIC = b"FAKEIMG0"
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Image decode -> (width, height).
 
-    PNG is decoded for real (pure-stdlib codec, functions/codecs.py);
-    the deterministic FAKEIMG0 header remains for format-agnostic
-    plumbing tests. Other formats (JPEG, ...) need an external codec —
-    real deployments plug Pillow/ffmpeg into this leaf function.
+    PNG and baseline JPEG are decoded for real (pure-stdlib codecs,
+    functions/codecs.py); the deterministic FAKEIMG0 header remains for
+    format-agnostic plumbing tests. Other formats need an external
+    codec — real deployments plug Pillow/ffmpeg into this leaf function.
     """
-    from .codecs import PNG_MAGIC, png_dims
+    from .codecs import JPEG_SOI, PNG_MAGIC, jpeg_dims, png_dims
 
     if payload[:8] == FAKE_MAGIC:
         return (
@@ -47,9 +48,11 @@ def decode_image(payload: bytes) -> tuple[int, int]:
         )
     if payload[:8] == PNG_MAGIC:
         return png_dims(payload)
+    if payload[:2] == JPEG_SOI:
+        return jpeg_dims(payload)
     raise NotImplementedError(
-        "unsupported image format (PNG + FAKEIMG0 available here; plug an "
-        "external codec for JPEG etc.)"
+        "unsupported image format (PNG + baseline JPEG + FAKEIMG0 available "
+        "here; plug an external codec for others)"
     )
 
 
@@ -209,6 +212,84 @@ def png_features(media: DataFrame) -> DataFrame:
 def q93_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = png_media_table(load(spark, sf_dir, "documents"))
     return png_features(media)
+
+
+def jpeg_media_table(docs: DataFrame) -> DataFrame:
+    """Per-doc deterministic greyscale JPEG: a 16x16 image of four
+    constant 8x8 blocks with block k's value = (doc_id*31 + k*67) % 256.
+    Constant blocks have an exactly-representable DC and zero ACs, so the
+    all-ones-quant baseline encode -> decode roundtrip is bit-exact and
+    the oracle can state the decoded pixels in closed form."""
+    import numpy as np
+
+    from .codecs import jpeg_encode_gray
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.empty((16, 16), dtype=np.uint8)
+                for k, (y, x) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+                    img[y : y + 8, x : x + 8] = (did * 31 + k * 67) % 256
+                payloads.append(jpeg_encode_gray(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.filter(F.col("doc_id") < N_MEDIA_DOCS).select("doc_id").mapInPandas(
+        encode_batch, "media_id long, payload binary"
+    )
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Decode JPEG payloads and emit (width, height, mean pixel value)."""
+    import numpy as np
+
+    from .codecs import jpeg_decode
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, means = [], [], []
+            for b in pdf["payload"]:
+                img = jpeg_decode(bytes(b))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                means.append(round(float(np.mean(img.astype(np.float64))), 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mean_px": means,
+                }
+            )
+
+    return media.mapInPandas(
+        decode_batch, "media_id long, width int, height int, mean_px double"
+    )
+
+
+@register(
+    "q97_jpeg_decode",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           round(avg(CAST((d.doc_id * 31 + k.i * 67) % 256 AS DOUBLE)), 4)
+               AS mean_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {N_MEDIA_DOCS}) d
+    CROSS JOIN (SELECT unnest(range(4)) AS i) k
+    GROUP BY d.doc_id
+    """,
+    doc="REAL JPEG decode pipeline: baseline JFIF images (numpy DCT + "
+    "Annex-K Huffman entropy coding, functions/codecs.py) are encoded and "
+    "decoded inside mapInPandas stages. The images are constant per 8x8 "
+    "block, so the lossy format roundtrips bit-exactly and the oracle "
+    "states each image's mean pixel in closed form — the hash certifies "
+    "the full Huffman+DCT encode -> decode path, not just metadata.",
+)
+def q97_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = jpeg_media_table(load(spark, sf_dir, "documents"))
+    return jpeg_features(media)
 
 
 def wav_media_table(docs: DataFrame) -> DataFrame:

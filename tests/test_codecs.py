@@ -122,3 +122,76 @@ def test_wav_roundtrip():
     rate, ch, back = wav_decode(wav_encode(s, 8000))
     assert (rate, ch) == (8000, 1)
     assert np.array_equal(back, s)
+
+
+# ---- JPEG ----
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """Constant 8x8 blocks have an integer DC and zero ACs, so the
+    all-ones-quant baseline roundtrip is bit-exact — the property the
+    q97 oracle relies on."""
+    from hadoopwebgraph_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_dims,
+        jpeg_encode_gray,
+    )
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 0, 255, 99, 181
+    enc = jpeg_encode_gray(img)
+    assert jpeg_dims(enc) == (16, 16)
+    assert np.array_equal(jpeg_decode(enc), img)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (13, 21), (1, 1), (40, 7)])
+def test_jpeg_gray_near_lossless(shape):
+    from hadoopwebgraph_spark.functions.codecs import jpeg_decode, jpeg_encode_gray
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode_gray(img))
+    assert dec.shape == shape
+    # all-ones quant: error bounded by coefficient rounding alone
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_rgb_roundtrip():
+    from hadoopwebgraph_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_dims,
+        jpeg_encode_rgb,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    enc = jpeg_encode_rgb(img)
+    assert jpeg_dims(enc) == (24, 16)
+    dec = jpeg_decode(enc)
+    assert dec.shape == (16, 24, 3)
+    # YCbCr forward/backward adds rounding on top of coefficient rounding
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_lossy_quant_decodes():
+    from hadoopwebgraph_spark.functions.codecs import jpeg_decode, jpeg_encode_gray
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode_gray(img, qtable=np.full((8, 8), 16)))
+    assert dec.shape == (24, 24)
+    # heavier quantization: still close on average
+    assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 16
+
+
+def test_jpeg_rejects_progressive_and_non_jpeg():
+    from hadoopwebgraph_spark.functions.codecs import jpeg_decode, jpeg_encode_gray
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(jpeg_encode_gray(img))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite marker: SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(enc))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01not a jpeg")
