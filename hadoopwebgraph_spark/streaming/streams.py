@@ -25,19 +25,58 @@ from pyspark.sql.types import (
 from ..catalog import EVENTS_SCHEMA, normalize_event_ts
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files, with
-    ts normalized to a microsecond event-time timestamp.
+def parse_event_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Message-bus adapter: parse a JSON payload column (the shape a
+    Kafka ``value`` or a socket line takes) into the canonical events
+    schema, then apply the same ts normalization the batch catalog uses.
+    Malformed payloads parse to all-NULL rows (from_json's PERMISSIVE
+    default) and are dropped on the NOT NULL key — at 100 TB/day a
+    poison message must not kill the query."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), EVENTS_SCHEMA).alias("e")
+    ).select("e.*")
+    return normalize_event_ts(parsed.filter(F.col("event_id").isNotNull()))
 
-    readStream requires an explicit schema; rather than hard-coding one
-    physical encoding of ``ts`` we take the schema from a driver-side batch
-    read of the same directory (one footer read — cheap even on object
-    storage) so the stream reads whatever type the files actually carry,
-    then normalize with the same dtype branch the batch catalog uses.
-    A stream may legitimately start on an EMPTY directory (files arrive
-    later); the batch read can't infer a schema from zero files, so fall
-    back to the catalog's canonical events schema in that case."""
+
+def stream_events(spark: SparkSession, source: str | dict) -> DataFrame:
+    """Events stream from a pluggable source, with ts normalized to a
+    microsecond event-time timestamp.
+
+    ``source`` is either a directory path (parquet file source — the
+    default ingestion shape) or a config dict ``{"format": ...,
+    "options": {...}}``:
+
+    - ``parquet``: same as the path form (``options.path``).
+    - ``kafka``: ``readStream.format("kafka")`` with the given options
+      (``kafka.bootstrap.servers``, ``subscribe``, ...); the message
+      ``value`` is parsed as JSON via ``parse_event_payload``. Requires
+      the spark-sql-kafka connector on the classpath (not bundled in
+      this environment — the seam is exercised with the socket source,
+      which takes the identical parse path).
+    - ``socket``: newline-delimited JSON events (``host``/``port``) —
+      the connector-free stand-in for a message bus; same parse path as
+      kafka.
+
+    For the file source: readStream requires an explicit schema; rather
+    than hard-coding one physical encoding of ``ts`` we take the schema
+    from a driver-side batch read of the same directory (one footer
+    read — cheap even on object storage) so the stream reads whatever
+    type the files actually carry, then normalize with the same dtype
+    branch the batch catalog uses. A stream may legitimately start on an
+    EMPTY directory (files arrive later); the batch read can't infer a
+    schema from zero files, so fall back to the catalog's canonical
+    events schema in that case."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if isinstance(source, dict):
+        fmt = source["format"]
+        opts = dict(source.get("options", {}))
+        if fmt == "parquet":
+            return stream_events(spark, opts["path"])
+        raw = spark.readStream.format(fmt).options(**opts).load()
+        if fmt in ("kafka", "socket"):
+            return parse_event_payload(raw, "value")
+        raise ValueError(f"unsupported events stream format {fmt!r}")
+    events_dir = source
     try:
         file_schema = spark.read.parquet(events_dir).schema
     except Exception:  # AnalysisException: unable to infer schema (no files)

@@ -58,6 +58,78 @@ def test_stream_starts_on_empty_directory(spark, sf_small, tmp_path):
         q.stop()
 
 
+def test_socket_source_matches_batch(spark, sf_small):
+    """The message-bus seam: events served as newline-delimited JSON over
+    a socket (the exact parse path a Kafka `value` takes) must produce
+    the same tumbling counts as the batch-defined plan."""
+    import socket
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_small, "events")
+    lines = [
+        r.js
+        for r in ev.select(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            ).alias("js")
+        ).collect()
+    ]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload + b"\n")  # malformed trailing line -> dropped
+        done.wait(60)  # keep the connection open while the query drains
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = streams.stream_events(
+        spark, {"format": "socket", "options": {"host": "127.0.0.1", "port": port}}
+    )
+    q = streams.run_to_memory(
+        streams.tumbling_counts(stream), "t_sock", "complete"
+    )
+    try:
+        want = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in q50_tumbling_window(spark, sf_small).collect()
+        }
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                (r.window_start, r.event_type): (r.n, r.sum_value)
+                for r in spark.sql("SELECT * FROM t_sock").collect()
+            }
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+    finally:
+        done.set()
+        q.stop()
+        srv.close()
+
+
 def test_session_stream_runs(spark, events_dir):
     ev = streams.stream_events(spark, events_dir)
     q = streams.run_to_memory(streams.session_counts(ev), "t_sess", "complete")
