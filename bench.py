@@ -54,6 +54,9 @@ HEADLINE = [
     "g13_reachability_recursive_cte",
     # round 4 additions
     "q74_sim_pq_topk",
+    # round 5 additions
+    "q76_sim_opq_topk",
+    "q97_jpeg_decode",
 ]
 
 
@@ -94,6 +97,7 @@ def main() -> None:
         # not query time — same policy as the scan warming above).
         from hadoopwebgraph_spark.functions.similarity import (
             build_ivf_index,
+            build_opq_index,
             build_pq_index,
             ivf_probe,
             pq_probe,
@@ -101,8 +105,14 @@ def main() -> None:
 
         build_ivf_index(spark, sf_dir)
         build_pq_index(spark, sf_dir)
+        build_opq_index(spark, sf_dir)
         ivf_probe(spark, "/root/testdata/sf0.001").count()
         pq_probe(spark, "/root/testdata/sf0.001").count()
+        pq_probe(
+            spark,
+            "/root/testdata/sf0.001",
+            index_path=build_opq_index(spark, "/root/testdata/sf0.001"),
+        ).count()
         # warm the brute-force two-phase top-k shape too: its enlarged
         # plan (broadcast-cross-join + double window) costs ~2s of codegen
         # compile on first run, which inflated q70 in BENCH_r04 (the r4

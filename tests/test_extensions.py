@@ -18,14 +18,18 @@ def test_decode_image_contract():
 
     from hadoopwebgraph_spark.functions.codecs import png_encode
 
+    from hadoopwebgraph_spark.functions.codecs import jpeg_encode_gray
+
     payload = FAKE_MAGIC + (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"x"
     assert decode_image(payload) == (640, 480)
-    # PNG decodes for real now
+    # PNG and baseline JPEG decode for real now
     png = png_encode(np.zeros((3, 7), dtype=np.uint8))
     assert decode_image(png) == (7, 3)
-    # formats needing external codecs still fail loudly (JPEG magic)
+    jpg = jpeg_encode_gray(np.zeros((5, 9), dtype=np.uint8))
+    assert decode_image(jpg) == (9, 5)
+    # formats needing external codecs still fail loudly (GIF magic)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0realjpegbytes")
+        decode_image(b"GIF89a\x00\x00realgifbytes")
 
 
 def test_minhash_candidates_are_similar(spark, sf_oracle):
@@ -71,6 +75,36 @@ def test_pq_recall(spark, sf_oracle):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"PQ recall {recall:.2f} below expected band"
+
+
+def test_opq_recall_beats_plain_pq(spark, sf_oracle):
+    """OPQ's learned rotation must buy recall at the SAME code budget:
+    measured 0.80 vs plain PQ's 0.72 on the fixture at a 10% scanned
+    fraction. Both pipelines are deterministic (fixed seeds/sample), so
+    the comparison is stable."""
+    from hadoopwebgraph_spark.functions.similarity import (
+        q74_sim_pq_topk,
+        q76_sim_opq_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q70_sim_bruteforce_topk(spark, sf_oracle).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in q74_sim_pq_topk(spark, sf_oracle).collect()
+    }
+    opq = {
+        (r.query_id, r.neighbor_id)
+        for r in q76_sim_opq_topk(spark, sf_oracle).collect()
+    }
+    pq_recall = len(exact & pq) / len(exact)
+    opq_recall = len(exact & opq) / len(exact)
+    assert opq_recall >= 0.75, f"OPQ recall {opq_recall:.2f} below expected band"
+    assert opq_recall >= pq_recall, (
+        f"OPQ ({opq_recall:.2f}) must not trail plain PQ ({pq_recall:.2f})"
+    )
 
 
 def test_kmeans_ivf_recall_beats_scanned_fraction(spark, sf_oracle):
