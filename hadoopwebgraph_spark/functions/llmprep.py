@@ -1,0 +1,247 @@
+"""Training-corpus preparation operators — the curation verbs a large
+LLM data pipeline runs after dedup and before assembly (SURVEY.md §2
+Tier C extensions): eval-set decontamination, PII scrubbing, repetition
+detection, and temperature-based source mixture sampling.
+
+Scale design:
+- Decontamination is the canonical n-gram overlap job: explode both
+  sides to distinct shingles and equi-join on the shingle — one shuffle
+  keyed on the n-gram, never a doc x doc comparison. The eval side is
+  tiny in practice (benchmarks), so at 100 TB it broadcasts and the
+  train side streams through map-side.
+- PII scrub and repetition are narrow per-row projections / one
+  aggregation over exploded tokens — embarrassingly parallel.
+- Mixture sampling reuses the repo's md5-band determinism (sampling.py):
+  membership is a pure function of (doc_id, source counts), so re-runs,
+  repartitions and engine changes agree bit-for-bit; the only wide stage
+  is the per-source count, whose result is a broadcast-size map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+N_EVAL_DOCS = 50  # doc_id < 50 plays the held-out eval set
+SHINGLE = 8  # decontamination n-gram width (words)
+
+EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+MIX_TEMP = 2.0  # mixture temperature: rate_s = (c_min / c_s)^(1/T)
+
+
+def word_shingles(docs: DataFrame, n: int = SHINGLE) -> DataFrame:
+    """Distinct n-word shingles per doc (word-split on single spaces,
+    matching the corpus' tokenization and the DuckDB oracle)."""
+    w = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return (
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+@register(
+    "q98_decontaminate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i.i:i.i + {SHINGLE - 1}], ' ') AS sh
+        FROM w, LATERAL (
+            SELECT unnest(range(1, len(w) - {SHINGLE - 2})) AS i
+        ) i
+        WHERE len(w) >= {SHINGLE}
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < {N_EVAL_DOCS})
+    SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS BIGINT) AS n_shared
+    FROM sh s JOIN eval_sh e USING (sh)
+    WHERE s.doc_id >= {N_EVAL_DOCS}
+    GROUP BY s.doc_id
+    """,
+    doc="Eval-set decontamination: flag training documents sharing any "
+    f"{SHINGLE}-word shingle with the held-out eval set (doc_id < "
+    f"{N_EVAL_DOCS}), with the shared-shingle count per flagged doc. "
+    "The n-gram overlap join every benchmark-hygiene pipeline runs "
+    "(GPT-3 appendix C / PaLM style). One shuffle keyed on the shingle; "
+    "the eval side broadcasts at real scale.",
+)
+def q98_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    eval_sh = sh.filter(F.col("doc_id") < N_EVAL_DOCS).select("sh").distinct()
+    train_sh = sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+
+
+@register(
+    "q99_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug_text, '{EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(aug_text, '\\+1-555-[0-9]{{4}}')) AS INTEGER)
+               AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(aug_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g')) AS scrub_md5,
+           CAST(length(regexp_replace(
+                   regexp_replace(aug_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g')) AS INTEGER)
+               AS scrub_len
+    FROM aug
+    """,
+    doc="PII scrubbing: redact emails and phone numbers with typed "
+    "placeholders and count redactions per document. The corpus carries "
+    "no real PII, so deterministic synthetic PII is appended per doc "
+    "(same closed-form construction in the oracle) and the md5 of the "
+    "scrubbed text certifies the exact redaction output, not just "
+    "counts. Pure regexp projections — no shuffle.",
+)
+def q99_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug_text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug_text, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(aug_text, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.length(scrubbed).alias("scrub_len"),
+    )
+
+
+@register(
+    "q100_repetition_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_word_frac
+    FROM wc
+    GROUP BY doc_id
+    """,
+    doc="Repetition detection (Gopher/C4-style quality signal): per-doc "
+    "duplicate-word fraction and most-frequent-word share. Degenerate "
+    "machine-generated or boilerplate text scores high on both. One "
+    "partial-aggregable explode + two-level groupBy.",
+)
+def q100_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            1.0 - F.count(F.lit(1)) / F.sum("c").cast("double"), 4
+        ).alias("dup_frac"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(
+            "top_word_frac"
+        ),
+    )
+
+
+# uniform-in-[0,256) from the first two md5 hex digits — the same
+# engine-portable determinism trick as sampling.py's hash bands
+_HEX = "0123456789abcdef"
+_U256_SPARK = (
+    f"(instr('{_HEX}', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16"
+    f" + (instr('{_HEX}', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+)
+_U256_DUCK = (
+    f"(instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    f" + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@register(
+    "q101_mixture_sample",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, count(*) AS c FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, c,
+               CAST(floor(256 * pow(
+                   (SELECT min(c) FROM src) / CAST(c AS DOUBLE),
+                   1.0 / {MIX_TEMP})) AS BIGINT) AS thresh
+        FROM src
+    )
+    SELECT d.source,
+           CAST(max(r.c) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE {_U256_DUCK} < r.thresh) AS BIGINT)
+               AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY d.source
+    """,
+    doc="Temperature-based source mixture sampling (multilingual-corpus "
+    f"style): keep rate per source = (c_min / c_source)^(1/T), T = "
+    f"{MIX_TEMP} — small sources keep everything, large sources are "
+    "flattened toward balance. Membership is md5-deterministic per doc "
+    "(integer threshold on a 256-level hash uniform), so the sample is "
+    "reproducible across engines and stable under repartitioning. The "
+    "per-source count is the only wide stage; its result broadcasts.",
+)
+def q101_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    c_min = src.agg(F.min("c")).collect()[0][0]
+    rates = src.select(
+        "source",
+        "c",
+        F.floor(
+            256
+            * F.pow(F.lit(float(c_min)) / F.col("c").cast("double"), 1.0 / MIX_TEMP)
+        ).alias("thresh"),
+    )
+    u = F.expr(_U256_SPARK)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("c").alias("n_total"),
+            F.count(F.when(u < F.col("thresh"), 1)).alias("n_kept"),
+        )
+    )
