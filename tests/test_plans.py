@@ -175,3 +175,32 @@ def test_window_single_shuffle(spark, sf_small):
     ]
     # one hash exchange for the window partitioning and nothing else
     assert len(exchanges) == 1
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_small):
+    """q98's n-gram overlap join must broadcast the (tiny) eval shingle
+    set — the train side streams map-side, never sort-merge-shuffles
+    against it."""
+    from hadoopwebgraph_spark.functions.llmprep import q98_decontaminate
+
+    plan = _plan(q98_decontaminate(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_narrow(spark, sf_small):
+    """q99 is a pure projection: no exchange anywhere in the plan."""
+    from hadoopwebgraph_spark.functions.llmprep import q99_pii_scrub
+
+    plan = _plan(q99_pii_scrub(spark, sf_small))
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_small):
+    """q101 joins each doc to its source's keep-rate: the rates map is
+    O(n_sources) and must broadcast."""
+    from hadoopwebgraph_spark.functions.llmprep import q101_mixture_sample
+
+    plan = _plan(q101_mixture_sample(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
