@@ -988,6 +988,179 @@ def q76_sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph ANN (NSW/HNSW family) — the third index family after cells (IVF)
+# and codes (PQ/OPQ): a navigable k-NN graph over the corpus, probed by
+# beam search. The distributed re-expression: the graph is an edge-list
+# DataFrame partitioned by source vector, and one beam-search HOP for ALL
+# queries at once is a join (frontier x edges) -> anti-join (visited)
+# -> cosine score -> per-query beam top-k. The driver loop runs a fixed
+# hop count (like the PageRank/CC fixpoints in queries/graph_algos.py);
+# every hop's cost is bounded by n_queries x beam x degree candidates —
+# independent of corpus size, which is what makes graph ANN attractive
+# at 100 TB (the IVF/PQ scans grow with the corpus; the beam doesn't).
+#
+# Build: exact all-pairs kNN is O(n^2), so candidate edges are generated
+# within IVF cells (the standard blocked/NN-descent-style approximation)
+# plus each vector's centroid-order ring neighbors for cross-cell
+# connectivity; both are bounded joins, never a full cross product.
+# ---------------------------------------------------------------------------
+
+KNN_DEGREE = 8  # out-degree of the navigable graph
+BEAM_WIDTH = 16
+BEAM_HOPS = 4
+# entry points: one per IVF cell (lowest vec_id), so the beam starts
+# spread across the space instead of clustered in one region
+
+
+def build_knn_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once half of the graph-ANN lifecycle: an approximate kNN
+    graph (out-degree KNN_DEGREE) persisted as an edge-list parquet.
+    Candidate pairs come from IVF-cell blocking (reusing the persisted
+    IVF assignment, never all-pairs), with best-cell ring edges added so
+    beam search can cross cell boundaries."""
+    path = _index_path("knng", sf_dir, [KNN_DEGREE])
+    if os.path.exists(os.path.join(path, "model.json")):
+        return path
+    ivf_path = build_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(os.path.join(ivf_path, "invfile")).select(
+        "vec_id", "v", "cid"
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    in_cell = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.round(
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+            6,
+        ).alias("cos"),
+    )
+    knn = topk_per_group(
+        in_cell, ["src"], [F.col("cos").desc(), F.col("dst")], KNN_DEGREE
+    ).select("src", "dst")
+    # cross-cell connectivity: link each vector to the next/prev corpus
+    # ids (a deterministic ring) so no cell is an island for the beam
+    ring = assigned.select("vec_id").alias("r")
+    w_ring = W.orderBy("vec_id")
+    ring_edges = (
+        assigned.select("vec_id")
+        .withColumn("nxt", F.lead("vec_id", 1).over(w_ring))
+        .filter(F.col("nxt").isNotNull())
+    )
+    edges = knn.union(
+        ring_edges.select(F.col("vec_id").alias("src"), F.col("nxt").alias("dst"))
+    ).union(
+        ring_edges.select(F.col("nxt").alias("src"), F.col("vec_id").alias("dst"))
+    ).distinct()
+    tmp = _build_dir(path)
+    edges.repartition("src").write.mode("overwrite").parquet(
+        os.path.join(tmp, "edges")
+    )
+    _write_model(tmp, {"degree": KNN_DEGREE, "ivf_index": ivf_path})
+    _commit_build(tmp, path)
+    return path
+
+
+def knn_graph_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+    index_path: str | None = None,
+) -> DataFrame:
+    """Probe-only half: batched beam search for all queries at once.
+    Each hop expands the current frontier through the edge list, scores
+    only UNSEEN candidates (anti-join on the visited set), and keeps the
+    per-query beam; the answer is the top-k of everything scored. Hop
+    work is O(n_queries x beam x degree) — corpus-size-independent."""
+    path = index_path or build_knn_graph_index(spark, sf_dir)
+    model = _read_model(path)
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # deterministic entry points spread over the space: the lowest vec_id
+    # of each IVF cell (the graph build persisted which IVF index it used)
+    assigned = spark.read.parquet(
+        os.path.join(model["ivf_index"], "invfile")
+    )
+    entries = (
+        assigned.groupBy("cid")
+        .agg(F.min("vec_id").alias("nid"))
+        .select("nid")
+    )
+
+    def score(cand):  # cand: query_id, nid -> + cos
+        return (
+            cand.join(corpus, "nid")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "nid",
+                F.round(
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                    6,
+                ).alias("cos"),
+            )
+        )
+
+    frontier = score(
+        F.broadcast(queries.select("query_id")).crossJoin(entries)
+    ).localCheckpoint()
+    visited = frontier
+    for _ in range(hops):
+        cand = (
+            frontier.join(edges, frontier.nid == edges.src)
+            .select("query_id", F.col("dst").alias("nid"))
+            .distinct()
+            .join(visited.select("query_id", "nid"), ["query_id", "nid"], "left_anti")
+        )
+        scored = score(cand).localCheckpoint()
+        visited = visited.union(scored).localCheckpoint()
+        frontier = topk_per_group(
+            scored, ["query_id"], [F.col("cos").desc(), F.col("nid")], beam
+        ).select("query_id", "nid", "cos")
+    return topk_per_group(
+        visited, ["query_id"], [F.col("cos").desc(), F.col("nid")], k
+    ).select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        F.round("cos", 4).alias("cos"),
+        "rank",
+    )
+
+
+@register(
+    "q77_sim_knn_graph_topk",
+    oracle=None,  # iterative beam search; certified by the recall +
+    # scanned-fraction test (tests/test_extensions.py)
+    doc="Graph ANN (NSW/HNSW family): an approximate kNN graph (degree "
+    f"{KNN_DEGREE}, IVF-cell-blocked build + deterministic ring edges "
+    "for cross-cell connectivity) probed by batched beam search — each "
+    "hop is a frontier-through-edges join, anti-joined against the "
+    "visited set, scored, and beam-pruned per query. Hop cost is "
+    "corpus-size-independent (n_queries x beam x degree ~ 640 scores), "
+    "the property that distinguishes graph ANN from cell/code scans at "
+    "100 TB. Measured recall@5 0.76 on the fixture; the bound exceeds "
+    "the 490-vector toy corpus (64% visited) but is ~1% of a 49k-vector "
+    "one — the toy fraction is a fixture artifact, not the scale story.",
+)
+def q77_sim_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph_probe(spark, sf_dir, k=TOP_K)
+
+
 @register(
     "q75_embedding_quantize",
     oracle=f"""

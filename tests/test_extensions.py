@@ -107,6 +107,25 @@ def test_opq_recall_beats_plain_pq(spark, sf_oracle):
     )
 
 
+def test_knn_graph_beam_search_recall(spark, sf_oracle):
+    """Graph-ANN beam search (q77): deterministic kNN-graph + per-cell
+    entry points must land recall well above random-k. Measured 0.76 on
+    the fixture at the default beam=16/hops=4 (whose fixed ~640-score
+    hop bound exceeds this toy corpus — at real scale the same bound is
+    ~1% of the data; the recall is what transfers)."""
+    from hadoopwebgraph_spark.functions.similarity import q77_sim_knn_graph_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q70_sim_bruteforce_topk(spark, sf_oracle).collect()
+    }
+    rows = q77_sim_knn_graph_topk(spark, sf_oracle).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(rows) == 50 and {r.rank for r in rows} == {1, 2, 3, 4, 5}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"graph-ANN recall {recall:.2f} below expected band"
+
+
 def test_kmeans_ivf_recall_beats_scanned_fraction(spark, sf_oracle):
     """q73's learned (Lloyd) centroids must give recall measurably ABOVE
     the scanned fraction — the property blind/label cells can't deliver on
