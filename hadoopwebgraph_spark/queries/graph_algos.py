@@ -375,6 +375,281 @@ def _lpa_oracle_sql(twin: str, iterations: int = 3) -> str:
     )
 
 
+def bfs_distances(
+    edges: DataFrame, source: int = 0, max_hops: int = 32
+) -> DataFrame:
+    """Single-source BFS hop distances, capped at ``max_hops``.
+
+    Frontier iteration: each round joins the current frontier against the
+    static edge table, anti-joins the visited set, and checkpoints. The
+    loop stops early when the frontier empties (one cheap ``limit(1)``
+    driver check per round — the traversal itself is fully distributed).
+
+    Scale: the edge table is hash-partitioned on src once and persisted,
+    so every hop's join reuses that partitioning and only the (small)
+    frontier side shuffles; the visited set grows monotonically but is
+    checkpointed so lineage stays O(1) per hop.
+
+    Returns DataFrame[node, d] for nodes within max_hops of source.
+    """
+    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").distinct().repartition(nshuf, "src").persist()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "node int, d int").localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).alias("d"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+@register(
+    "g16_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    walk(node, d) AS (
+        SELECT 0 AS node, 0 AS d
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+        WHERE w.d < 32
+    ),
+    dist AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
+    SELECT d, count(*) AS n_nodes FROM dist GROUP BY d
+    """,
+    doc="Single-source BFS from node 0 (<=32 hops) as a checkpointed "
+    "frontier loop; distance histogram. Oracle = recursive-CTE level "
+    "walk with min(d) per node — integer-only, exact parity.",
+)
+def g16_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = bfs_distances(edges_df(spark), source=0, max_hops=32)
+    return dist.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
+    """Synchronous k-core peeling over the symmetrized graph, run for a
+    FIXED number of rounds: every round simultaneously drops all alive
+    nodes whose undirected degree among alive nodes is < k. Fixing the
+    round count (instead of looping to convergence) makes the result an
+    exactly-oracle-able integer computation — the unrolled-CTE twin runs
+    the same peel schedule. tests assert the fixture reaches its fixpoint
+    within the default rounds, so the fixed-round output IS the k-core.
+
+    Per round: one join + count (map-side partial agg) + filter. The
+    static symmetrized edge table is hash-partitioned on dst and
+    persisted, so only the alive-set side shuffles each round.
+
+    Returns DataFrame[node, core_deg] for nodes alive after ``rounds``.
+    """
+    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))  # self-loops never count toward core
+        .distinct()
+        .repartition(nshuf, "dst")
+        .persist()
+    )
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive, sym.dst == alive.node)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        alive = (
+            alive.join(deg, alive.node == deg.src)
+            .filter(F.col("core_deg") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+    out = (
+        sym.join(alive, sym.dst == alive.node)
+        .join(alive.select(F.col("node").alias("src")), "src")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    sym.unpersist()
+    return out
+
+
+def _kcore_oracle_sql(twin: str, k: int = 2, rounds: int = 8) -> str:
+    """Unrolled-CTE oracle for g17: the same synchronous peel schedule,
+    integer-only, so parity is exact."""
+    blocks = [
+        f"""
+    e0 AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    sym AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst
+            UNION SELECT dst, src FROM e0 WHERE src <> dst),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(
+            f"""
+    d{i} AS MATERIALIZED (SELECT s.src, count(*) AS core_deg
+             FROM sym s JOIN a{i - 1} a ON a.node = s.dst
+             GROUP BY s.src),
+    a{i} AS MATERIALIZED (SELECT a.node FROM a{i - 1} a
+             JOIN d{i} d ON d.src = a.node WHERE d.core_deg >= {k})"""
+        )
+    return (
+        "WITH" + ",".join(blocks) + f"""
+    SELECT s.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM sym s
+    JOIN a{rounds} x ON x.node = s.dst
+    JOIN a{rounds} y ON y.node = s.src
+    GROUP BY s.src
+    """
+    )
+
+
+@register(
+    "g17_kcore",
+    oracle=_kcore_oracle_sql(_T),
+    doc="2-core of the symmetrized graph via 8 synchronous peeling "
+    "rounds (fixture reaches fixpoint well inside that — asserted in "
+    "tests); emits surviving nodes with their in-core degree. Oracle = "
+    "the same peel schedule unrolled into CTE blocks, exact integer "
+    "parity.",
+)
+def g17_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore(edges_df(spark), k=2, rounds=8)
+
+
+def hits(
+    edges: DataFrame, iterations: int = 5, nodes: DataFrame | None = None
+) -> DataFrame:
+    """HITS hubs-and-authorities: per iteration, authority := sum of
+    in-neighbor hub scores then L1-normalize; hub := sum of out-neighbor
+    (new) authority scores then L1-normalize. Deterministic given the
+    iteration count; float drift between engines is handled by rounding
+    in the registered query, as for PageRank.
+
+    Scale: both per-iteration joins reuse the edge table's cached hash
+    partitioning (one copy partitioned by src, one by dst); the L1
+    normalizer stays a broadcast 1-row aggregate inside the plan — no
+    driver-side collect in the loop.
+
+    Returns DataFrame[node, auth, hub].
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.persist()
+    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e_by_src = edges.select("src", "dst").repartition(nshuf, "src").persist()
+    e_by_dst = e_by_src.repartition(nshuf, "dst").persist()
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e_by_src.join(hub, e_by_src.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_sum = a_raw.agg(F.sum("raw").alias("_s"))
+        auth = (
+            nodes.join(a_raw, nodes.node == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("_s")).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e_by_dst.join(auth, e_by_dst.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h_sum = h_raw.agg(F.sum("raw").alias("_s"))
+        hub = (
+            nodes.join(h_raw, nodes.node == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("_s")).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    out = auth.join(hub, "node")
+    nodes.unpersist()
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
+    return out
+
+
+def _hits_oracle_sql(twin: str, iterations: int = 5) -> str:
+    """Unrolled-CTE oracle for g18, mirroring the Spark loop term-for-term
+    (sum of hub over in-edges, L1 normalize; then sum of auth over
+    out-edges, L1 normalize). Output rounded on both sides."""
+    blocks = [
+        f"""
+    e AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    nodes AS MATERIALIZED (SELECT src AS node FROM {twin}),
+    h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f"""
+    ar{i} AS MATERIALIZED (SELECT e.dst, sum(h.hub) AS raw
+              FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst),
+    a{i} AS MATERIALIZED (SELECT n.node,
+                    coalesce(ar{i}.raw, 0.0) / (SELECT sum(raw) FROM ar{i}) AS auth
+             FROM nodes n LEFT JOIN ar{i} ON ar{i}.dst = n.node),
+    hr{i} AS MATERIALIZED (SELECT e.src, sum(a.auth) AS raw
+              FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+    h{i} AS MATERIALIZED (SELECT n.node,
+                    coalesce(hr{i}.raw, 0.0) / (SELECT sum(raw) FROM hr{i}) AS hub
+             FROM nodes n LEFT JOIN hr{i} ON hr{i}.src = n.node)"""
+        )
+    return (
+        "WITH" + ",".join(blocks) + f"""
+    SELECT a.node, round(a.auth, 9) AS auth, round(h.hub, 9) AS hub
+    FROM a{iterations} a JOIN h{iterations} h ON h.node = a.node
+    ORDER BY round(a.auth, 9) DESC, a.node LIMIT 20
+    """
+    )
+
+
+@register(
+    "g18_hits",
+    oracle=_hits_oracle_sql(_T),
+    doc="HITS hubs & authorities (5 L1-normalized iterations) as a "
+    "checkpointed join loop; top-20 nodes by authority. Oracle = the "
+    "fixpoint unrolled into CTE blocks, rounded identically on both "
+    "sides (same discipline as g11 PageRank).",
+)
+def g18_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    nodes = graph_df(spark).select(F.col("src").alias("node"))
+    hs = hits(e, iterations=5, nodes=nodes)
+    return (
+        hs.select(
+            "node",
+            F.round("auth", 9).alias("auth"),
+            F.round("hub", 9).alias("hub"),
+        )
+        .orderBy(F.col("auth").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
 @register(
     "g15_label_propagation",
     oracle=_lpa_oracle_sql(_T),

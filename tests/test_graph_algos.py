@@ -226,3 +226,54 @@ def test_label_propagation_exact(spark):
     # deterministic: two runs agree exactly
     again = {r.node: r.label for r in label_propagation(e, iterations=3).collect()}
     assert labels == again
+
+
+def test_bfs_distances_exact(spark):
+    """Diamond + tail: hop distances are min over paths; unreachable and
+    beyond-cap nodes are absent."""
+    from hadoopwebgraph_spark.queries.graph_algos import bfs_distances
+
+    # 0->1, 0->2, 1->3, 2->3, 3->4 ; 9 isolated-from-0 (edge 9->0 only:
+    # reachability is directed, so 9 is NOT reachable from 0)
+    e = _edges_df(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (9, 0)])
+    d = {r.node: r.d for r in bfs_distances(e, source=0).collect()}
+    assert d == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    # cap: with max_hops=2 node 4 is absent
+    d2 = {r.node: r.d for r in bfs_distances(e, source=0, max_hops=2).collect()}
+    assert d2 == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_kcore_exact(spark):
+    """Triangle + pendant chain: 2-core is exactly the triangle; the
+    chain peels off over successive rounds."""
+    from hadoopwebgraph_spark.queries.graph_algos import kcore
+
+    # triangle 0-1-2 (as directed edges; kcore symmetrizes), chain 2-3-4-5
+    e = _edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)])
+    core = {r.node: r.core_deg for r in kcore(e, k=2, rounds=8).collect()}
+    assert core == {0: 2, 1: 2, 2: 2}
+    # k=3: nothing survives
+    assert kcore(e, k=3, rounds=8).count() == 0
+
+
+def test_kcore_self_loops_ignored(spark):
+    from hadoopwebgraph_spark.queries.graph_algos import kcore
+
+    # self-loops must not keep a pendant node alive
+    e = _edges_df(spark, [(0, 1), (1, 2), (2, 0), (5, 5), (5, 0)])
+    core = {r.node: r.core_deg for r in kcore(e, k=2, rounds=8).collect()}
+    assert core == {0: 2, 1: 2, 2: 2}
+
+
+def test_hits_exact_star(spark):
+    """Star: 0->{1,2,3}. Node 0 is the only hub; 1,2,3 are equal
+    authorities; scores L1-normalize to 1 on each side."""
+    from hadoopwebgraph_spark.queries.graph_algos import hits
+
+    e = _edges_df(spark, [(0, 1), (0, 2), (0, 3)])
+    rows = {r.node: (r.auth, r.hub) for r in hits(e, iterations=5).collect()}
+    assert abs(rows[0][1] - 1.0) < 1e-9 and abs(rows[0][0]) < 1e-9
+    for n in (1, 2, 3):
+        assert abs(rows[n][0] - 1.0 / 3.0) < 1e-9 and abs(rows[n][1]) < 1e-9
+    assert abs(sum(a for a, _ in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in rows.values()) - 1.0) < 1e-9
