@@ -313,3 +313,72 @@ def q42_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
         """
     )
+
+
+_Q103_SQL = """
+SELECT p.p_partkey,
+       s.s_name,
+       round(l.l_extendedprice, 2) AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size >= 40
+  AND l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice)
+      FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "q103_correlated_agg_subquery",
+    oracle=_Q103_SQL,
+    doc="TPC-H Q2-shaped correlated aggregate subquery: for each large "
+    "part, the supplier(s) selling it at its global minimum price. "
+    "Catalyst decorrelates the per-part min into an aggregate + join "
+    "(no per-row re-execution) — asserted in tests/test_plans.py; at "
+    "100 TB the rewritten plan is two shuffles on l_partkey, not an "
+    "O(parts) subquery loop.",
+)
+def q103_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q103_SQL)
+
+
+_Q104_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+GROUP BY o.o_orderpriority
+"""
+
+_Q104_DUCK = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "q104_exists_subquery",
+    oracle=_Q104_DUCK,
+    doc="TPC-H Q4-shaped correlated EXISTS: orders with at least one "
+    "late-shipping lineitem, counted by priority. Catalyst rewrites the "
+    "EXISTS into a left-semi hash join on l_orderkey with the "
+    "correlated date predicate as the join condition — bounded state, "
+    "no subquery loop.",
+)
+def q104_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q104_SQL)

@@ -162,3 +162,61 @@ def q53_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q54_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return e.select("user_id", "event_type").dropDuplicates()
+
+
+_EVID = (
+    f"(SELECT event_id, {ORACLE_EVENT_TS} AS ts, user_id, event_type, value "
+    "FROM events)"
+)
+
+
+@register(
+    "q102_stream_stream_join",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EVID}),
+    v AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id, value FROM ev
+          WHERE event_type = 'purchase')
+    SELECT p.user_id,
+           count(*)                                  AS n_pairs,
+           CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+           CAST(round(sum(p.value), 0) AS BIGINT)    AS attributed_value
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL '1 hour'
+    GROUP BY p.user_id
+    """,
+    doc="Stream-stream interval join, batch-defined: purchases attributed "
+    "to same-user views in the preceding hour, aggregated per user. The "
+    "incremental twin (streaming/streams.py purchases_after_views) runs "
+    "the identical join watermarked on both sides so per-side state is "
+    "evicted as event time advances — the canonical bounded-state "
+    "stream-stream join; stream==batch parity is asserted in "
+    "tests/test_streaming.py. Join-downstream value sums round to whole "
+    "units (both engines) per the oracle float discipline.",
+)
+def q102_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    pairs = purchases.join(
+        views,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("purchase_id").alias("n_purchases"),
+        F.round(F.sum("value"), 0).cast("bigint").alias("attributed_value"),
+    )

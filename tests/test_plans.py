@@ -204,3 +204,23 @@ def test_mixture_sample_broadcasts_rates(spark, sf_small):
     plan = _plan(q101_mixture_sample(spark, sf_small))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_correlated_agg_subquery_decorrelates(spark, sf_small):
+    """q103's per-part min must be decorrelated into an aggregate + join,
+    not re-executed per outer row (no IN/EXISTS subquery node left)."""
+    from hadoopwebgraph_spark.queries.setops_scalar import (
+        q103_correlated_agg_subquery,
+    )
+
+    plan = _plan(q103_correlated_agg_subquery(spark, sf_small))
+    assert "Subquery" not in plan  # fully rewritten into joins
+    assert "HashAggregate" in plan  # the decorrelated per-part min
+
+
+def test_exists_subquery_becomes_semi_join(spark, sf_small):
+    from hadoopwebgraph_spark.queries.setops_scalar import q104_exists_subquery
+
+    plan = _plan(q104_exists_subquery(spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
