@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from .text import STOPWORDS as _STOPWORDS
+from .text import _STOP_SQL
 
 N_EVAL_DOCS = 50  # doc_id < 50 plays the held-out eval set
 SHINGLE = 8  # decontamination n-gram width (words)
@@ -244,4 +246,78 @@ def q101_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("n_total"),
             F.count(F.when(u < F.col("thresh"), 1)).alias("n_kept"),
         )
+    )
+
+
+# Gopher-style composite quality gate: rule names in FIXED order so the
+# reasons string is deterministic and engine-portable.
+_QF_RULES_SQL = """
+           CASE WHEN n_words < 15  THEN 'too_short'     END,
+           CASE WHEN n_words > 120 THEN 'too_long'      END,
+           CASE WHEN top_word_frac > 0.15 THEN 'repetitive'   END,
+           CASE WHEN ttr < 0.5     THEN 'low_diversity' END,
+           CASE WHEN n_stop < 2    THEN 'no_stopwords'  END
+"""
+
+
+@register(
+    "q105_quality_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_word_frac,
+               round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+               CAST(count(*) FILTER (WHERE word IN {_STOP_SQL}) AS BIGINT)
+                   AS n_stop
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           concat_ws(',', {_QF_RULES_SQL}) AS reasons,
+           (concat_ws(',', {_QF_RULES_SQL}) = '') AS pass
+    FROM sig
+    """,
+    doc="Gopher-style composite quality filter: word-count bounds, "
+    "most-frequent-word share, type-token ratio, stopword presence — "
+    "each failing rule appended to a deterministic ordered reasons "
+    "string; pass = no rule fired. One explode + two-level partial-agg "
+    "groupBy (same shuffle shape as q100), thresholds applied to "
+    "4-decimal-rounded signals so both engines compare identical "
+    "doubles.",
+)
+def q105_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sig = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_word_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 4).alias("ttr"),
+        F.count(F.when(F.array_contains(stop_arr, F.col("word")), 1)).alias(
+            "n_stop"
+        ),
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_words") < 15, "too_short"),
+        F.when(F.col("n_words") > 120, "too_long"),
+        F.when(F.col("top_word_frac") > 0.15, "repetitive"),
+        F.when(F.col("ttr") < 0.5, "low_diversity"),
+        F.when(F.col("n_stop") < 2, "no_stopwords"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        reasons.alias("reasons"),
+        (reasons == "").alias("pass"),
     )

@@ -191,3 +191,33 @@ def q89_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("pack_tokens"),
     )
+
+
+@register(
+    "q107_stratified_fixed_n",
+    oracle="""
+    SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    WHERE rk <= 5
+    """,
+    doc="Fixed-SIZE stratified sample: exactly 5 docs per source stratum, "
+    "chosen by md5 order so membership is deterministic, engine-portable "
+    "and stable under repartitioning (complements q86's fixed-RATE hash "
+    "sample and q101's temperature mixture). Uses the two-phase "
+    "rank-filter (similarity.topk_per_group) so no single reducer sees a "
+    "whole stratum — the per-stratum window fan-in is the thing that "
+    "breaks at 100 TB, not the sample itself.",
+)
+def q107_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import topk_per_group
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    return topk_per_group(
+        docs, ["source"], [F.col("_h"), F.col("doc_id")], 5, rank_col="rk"
+    ).select("source", "doc_id", "rk")

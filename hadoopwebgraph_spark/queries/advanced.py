@@ -260,3 +260,55 @@ def q59_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ups = changed.union(inserted)
     survivors = target.join(ups, "o_orderkey", "left_anti")
     return ups.union(survivors)
+
+
+@register(
+    "q106_scd2_history",
+    oracle=f"""
+    WITH ev AS (
+        SELECT {ORACLE_EVENT_TS} AS ts, event_id, user_id, value
+        FROM events WHERE event_type = 'signup' OR event_type = 'purchase'
+    ),
+    dedup AS (
+        -- compress consecutive same-value rows per user (CDC echo drops)
+        SELECT * FROM (
+            SELECT ts, event_id, user_id, value,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_value
+            FROM ev)
+        WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT user_id,
+           ts  AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           round(value, 2) AS value,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
+    FROM dedup
+    """,
+    doc="SCD Type-2 history build from a CDC-style change feed: per-user "
+    "value changes become validity intervals [valid_from, valid_to) via "
+    "lead(), consecutive duplicate values compressed first, open-ended "
+    "current row flagged. Deterministic (ts, event_id) ordering. At "
+    "scale: two windows over the same (user_id, ts) sort — Catalyst "
+    "computes them in one Exchange+Sort pass.",
+)
+def q106_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dedup = (
+        e.select("ts", "event_id", "user_id", "value")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+    )
+    nxt = F.lead("ts").over(w)
+    return dedup.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.round("value", 2).alias("value"),
+        nxt.isNull().alias("is_current"),
+    )
