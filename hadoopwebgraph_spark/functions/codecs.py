@@ -614,3 +614,235 @@ def wav_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         channels = f.getnchannels()
         samples = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
     return rate, channels, samples
+
+
+# ---- GIF89a (LZW) ----
+#
+# Real animated-GIF support per the public GIF89a specification: a
+# greyscale 256-entry global color table, one image block per frame
+# (preceded by a Graphic Control Extension carrying the frame delay),
+# and genuine variable-width LZW in both directions — the encoder builds
+# the dictionary and resets on overflow with a CLEAR code; the decoder
+# implements the standard table-rebuild including the KwKwK case, so it
+# reads GIFs from any conformant encoder, not just ours.
+
+GIF_MAGIC = b"GIF89a"
+_GIF_MAX_CODE = 4096
+
+
+def _lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # GIF grows the code width when the next code to assign no
+        # longer fits; at 4096 the dictionary resets via CLEAR
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= _GIF_MAX_CODE:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+    pos = 0
+
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate, like real readers
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << code_size) - 1)
+        cur >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} out of range")
+        out += entry
+        if prev is not None and len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Chunk a byte stream into GIF <=255-byte sub-blocks + terminator."""
+    parts = []
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        parts.append(bytes([len(chunk)]) + chunk)
+    parts.append(b"\x00")
+    return b"".join(parts)
+
+
+def gif_encode(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """Animated greyscale GIF89a from a list of 2-D uint8 frames (equal
+    shapes). Global 256-entry grey color table; pixel value == palette
+    index, so decode returns the original array exactly (GIF is
+    lossless)."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    h, w = frames[0].shape
+    out = [GIF_MAGIC, struct.pack("<HH", w, h), bytes([0xF7, 0, 0])]
+    out.append(bytes(bytearray(v for i in range(256) for v in (i, i, i))))
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        # Graphic Control Extension: delay, no transparency
+        out.append(b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00")
+        # Image descriptor at (0,0), no local table, no interlace
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        out.append(bytes([8]))  # LZW minimum code size
+        payload = _lzw_compress(
+            np.ascontiguousarray(frame, dtype=np.uint8).tobytes()
+        )
+        out.append(_sub_blocks(payload))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def gif_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the logical screen descriptor (header only)."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return w, h
+
+
+def gif_frame_blocks(payload: bytes):
+    """Yield (frame_idx, fw, fh, min_code_size, lzw_bytes, palette) per
+    image block WITHOUT LZW-decoding anything — a frame sampler walks the
+    sub-block structure (cheap length hops) and pays decompression only
+    for the frames it keeps, the demuxer seek behavior q96/q108 model."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    packed, _bg, _aspect = struct.unpack_from("<BBB", payload, 10)
+    pos = 13
+    global_palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos)
+        global_palette = raw.reshape(n, 3)
+        pos += 3 * n
+    idx = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+        pos += 8
+        ipacked = payload[pos]
+        pos += 1
+        palette = global_palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            raw = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos)
+            palette = raw.reshape(n, 3)
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        if palette is None:
+            raise ValueError("GIF image block without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            n = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + n])
+            pos += 1 + n
+        pos += 1
+        yield idx, fw, fh, min_code_size, b"".join(chunks), palette
+        idx += 1
+
+
+def gif_decode_frame(
+    fw: int, fh: int, min_code_size: int, lzw: bytes, palette: np.ndarray
+) -> np.ndarray:
+    """One frame's 2-D uint8 grey array from a gif_frame_blocks record
+    (the palette's red channel — exact for grey palettes; color GIFs
+    raise NotImplementedError)."""
+    if not (palette[:, 0] == palette[:, 1]).all() or not (
+        palette[:, 1] == palette[:, 2]
+    ).all():
+        raise NotImplementedError(
+            "color GIF unsupported (greyscale palettes only)"
+        )
+    indices = np.frombuffer(_lzw_decompress(lzw, min_code_size), dtype=np.uint8)
+    if indices.size != fw * fh:
+        raise ValueError(f"GIF frame pixel count {indices.size} != {fw}x{fh}")
+    return palette[indices, 0].reshape(fh, fw)
+
+
+def gif_decode(payload: bytes) -> list[np.ndarray]:
+    """All frames of a (possibly animated) GIF as 2-D uint8 arrays."""
+    return [
+        gif_decode_frame(fw, fh, mcs, lzw, pal)
+        for _i, fw, fh, mcs, lzw, pal in gif_frame_blocks(payload)
+    ]
