@@ -1,0 +1,126 @@
+"""Z-order (Morton-curve) data layout — the multi-dimensional clustered
+write that makes min/max row-group pruning work on MORE THAN ONE filter
+column at once.
+
+A parquet file sorted by `a` prunes filters on `a` and nothing else; at
+100 TB, queries filtering on (a, b) re-read everything for the second
+dimension. Writing files clustered by the interleaved-bit Morton code of
+(a, b) makes every file/row-group a small rectangle in (a, b) space, so
+min/max statistics prune BOTH dimensions (the technique behind
+Delta/Iceberg OPTIMIZE ZORDER). The curve itself is five shift/mask
+steps per dimension — plain Catalyst built-ins inside whole-stage
+codegen, no UDF — and the write is one range repartition on the code
+(sampled range exchange) + an in-partition sort: exactly the cost of a
+single-column sorted write.
+
+The same expression runs in DuckDB (<<, &, |), so the q109 registry
+entry hash-certifies the curve itself; the layout benefit (row-group
+rectangle area, both-dimension pruning) is asserted in
+tests/test_layout.py against a one-column-sorted baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# spread the low 16 bits of v so bit i lands at bit 2i (classic
+# magic-number bit interleave, e.g. Hacker's Delight §7-2)
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(v: Column) -> Column:
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_code(x: Column, y: Column) -> Column:
+    """32-bit Morton interleave of two 16-bit-truncated non-negative
+    ints: bit i of x -> bit 2i, bit i of y -> bit 2i+1. Pure built-in
+    shift/mask expressions — stays inside whole-stage codegen."""
+    return _spread16(x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread16(y.cast("long")), 1)
+    )
+
+
+def _spread16_sql(v: str) -> str:
+    e = f"({v} & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def morton_code_sql(x: str, y: str) -> str:
+    """The identical curve as ANSI SQL (DuckDB oracle twin)."""
+    return f"({_spread16_sql(x)} | ({_spread16_sql(y)} << 1))"
+
+
+def write_zorder(
+    df: DataFrame, cols: tuple[str, str], path: str, num_files: int = 8
+) -> None:
+    """Write `df` as parquet clustered on the Morton code of two
+    columns: min/max-normalize each column to the 16-bit curve domain
+    (one tiny aggregate, broadcast back — without this a low-cardinality
+    dimension wastes its interleaved bit positions and the curve
+    degenerates to a single-column sort), range-repartition on the code
+    (one sampled range exchange — contiguous curve segments per file),
+    then sort within partitions so every row group is a tight curve
+    interval. Same shuffle budget as a plain sorted write; prunes on
+    BOTH columns at read time."""
+    a, b = cols
+    stats = df.agg(
+        F.min(a).alias("_mna"),
+        F.max(a).alias("_mxa"),
+        F.min(b).alias("_mnb"),
+        F.max(b).alias("_mxb"),
+    )
+
+    def norm(c: str, mn: str, mx: str) -> Column:
+        span = F.greatest(F.col(mx) - F.col(mn), F.lit(1)).cast("long")
+        return (F.col(c).cast("long") - F.col(mn)) * 65535 / span
+
+    z = morton_code(
+        norm(a, "_mna", "_mxa").cast("long"), norm(b, "_mnb", "_mxb").cast("long")
+    )
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_z", z)
+        .drop("_mna", "_mxa", "_mnb", "_mxb")
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "q109_zorder_curve",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {morton_code_sql("l_partkey", "l_suppkey")} AS z
+    FROM lineitem
+    """,
+    doc="The Z-order curve itself, hash-certified: 32-bit Morton "
+    "interleave of (l_partkey, l_suppkey) via five shift/mask built-in "
+    "steps per dimension (no UDF — the expression whole-stage-codegens; "
+    "asserted in tests/test_layout.py). write_zorder clusters parquet "
+    "files on this code so min/max stats prune both filter columns.",
+)
+def q109_zorder_curve(spark, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_code(F.col("l_partkey"), F.col("l_suppkey")).alias("z"),
+    )

@@ -1,0 +1,101 @@
+"""Z-order layout: curve correctness, codegen, and the actual pruning
+benefit — z-ordered row groups must be tight rectangles in both filter
+dimensions where a one-column sort leaves the second dimension
+unpruned."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from hadoopwebgraph_spark.catalog import load
+from hadoopwebgraph_spark.functions.layout import morton_code, write_zorder
+
+
+def _interleave_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_matches_bitwise_reference(spark):
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 65535) for y in (0, 1, 7, 1024)]
+    df = spark.createDataFrame(rows, "x int, y int").withColumn(
+        "z", morton_code(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r.z == _interleave_ref(r.x, r.y), (r.x, r.y)
+
+
+def test_morton_whole_stage_codegen(spark, sf_small):
+    from hadoopwebgraph_spark.functions.layout import q109_zorder_curve
+
+    df = q109_zorder_curve(spark, sf_small)
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _rowgroup_stats(path: str, col: str) -> list[tuple[int, int]]:
+    """(min, max) per row group for `col` — what a pruning reader sees."""
+    spans = []
+    ds = pq.ParquetDataset(path)
+    for piece in ds.fragments:
+        md = piece.metadata
+        i = list(md.schema.names).index(col)
+        for g in range(md.num_row_groups):
+            s = md.row_group(g).column(i).statistics
+            spans.append((s.min, s.max))
+    return spans
+
+
+def _hits(spans: list[tuple[int, int]], lo: int, hi: int) -> int:
+    return sum(1 for mn, mx in spans if mx >= lo and mn <= hi)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_small, tmp_path):
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "z")
+    npath = str(tmp_path / "naive")
+    write_zorder(li, ("l_orderkey", "l_partkey"), zpath, num_files=16)
+    # baseline: clustered on the FIRST dimension only
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(npath)
+    )
+    n_groups = len(_rowgroup_stats(npath, "l_orderkey"))
+    z_groups = len(_rowgroup_stats(zpath, "l_orderkey"))
+    assert z_groups >= 16 and n_groups >= 16
+
+    # filters on the SECOND dimension: the one-column sort can prune
+    # nothing (every group spans the whole l_partkey domain); the
+    # z-order layout must skip at least half the row groups
+    z_pk = _rowgroup_stats(zpath, "l_partkey")
+    n_pk = _rowgroup_stats(npath, "l_partkey")
+    z2 = sum(_hits(z_pk, lo, lo + 9) for lo in (0, 60, 120, 180))
+    n2 = sum(_hits(n_pk, lo, lo + 9) for lo in (0, 60, 120, 180))
+    assert n2 >= 0.9 * 4 * n_groups  # baseline really can't prune dim 2
+    assert z2 < n2 / 2, (z2, n2)
+
+    # filters on the FIRST dimension must still prune under z-order
+    # (worse than a dedicated sort, but far better than nothing)
+    z_ok = _rowgroup_stats(zpath, "l_orderkey")
+    z1 = sum(_hits(z_ok, lo, lo + 74) for lo in (0, 400, 800, 1200))
+    assert z1 < 0.6 * 4 * z_groups, z1
+
+    # and the data survives the trip
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(npath).count()
+        == li.count()
+    )
