@@ -57,6 +57,11 @@ HEADLINE = [
     # round 5 additions
     "q76_sim_opq_topk",
     "q97_jpeg_decode",
+    "g16_bfs_distances",
+    "q102_stream_stream_join",
+    "q105_quality_filter",
+    "q108_gif_frame_sample",
+    "q109_zorder_curve",
 ]
 
 

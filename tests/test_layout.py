@@ -99,3 +99,25 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_small, tmp_path):
         == spark.read.parquet(npath).count()
         == li.count()
     )
+
+
+def test_compact_files_preserves_rows_and_clustering(spark, sf_small, tmp_path):
+    """64 tiny files -> a handful of target-sized ones; rows identical;
+    with sort_col the per-file min/max ranges stay disjoint so pruning
+    survives the rewrite."""
+    from hadoopwebgraph_spark.functions.maintenance import compact_files
+
+    li = load(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(path)
+    n_rows = li.count()
+    stats = compact_files(spark, path, target_bytes=64 << 10, sort_col="l_orderkey")
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 16
+    assert stats["rows"] == n_rows
+    assert spark.read.parquet(path).count() == n_rows
+    # clustering survived: per-file l_orderkey ranges overlap at most at
+    # range boundaries (repartitionByRange gives disjoint key ranges)
+    spans = sorted(_rowgroup_stats(path, "l_orderkey"))
+    for (_lo0, prev_hi), (lo, _hi) in zip(spans, spans[1:]):
+        assert lo >= prev_hi - 1
