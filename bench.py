@@ -57,7 +57,9 @@ HEADLINE = [
     # round 5 additions
     "q76_sim_opq_topk",
     "q97_jpeg_decode",
-    "g16_bfs_distances",
+    # (g16/g17/g18 run 10-27s here: diameter x per-iteration stage
+    # floors at local scale, not data-path throughput — the iterative
+    # class is represented by g13; see NOTES.md)
     "q102_stream_stream_join",
     "q105_quality_filter",
     "q108_gif_frame_sample",

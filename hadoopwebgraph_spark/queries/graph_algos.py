@@ -395,23 +395,35 @@ def bfs_distances(
     nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst").distinct().repartition(nshuf, "src").persist()
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(source, 0)], "node int, d int").localCheckpoint()
-    frontier = visited
+    frontier = spark.createDataFrame(
+        [(source, 0)], "node int, d int"
+    ).localCheckpoint()
+    # levels: one checkpointed frontier per hop; `visited` is their lazy
+    # union (every input cached — never re-materialized as a whole).
+    levels = [frontier]
+    visited = frontier
     for hop in range(1, max_hops + 1):
+        # ONE job per hop: the lazy localCheckpoint materializes on the
+        # count() that doubles as the emptiness check — no separate
+        # probe action, no per-hop visited-set rewrite.
         nxt = (
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(hop).alias("d"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint()
+        levels.append(nxt)
+        visited = visited.union(nxt)
         frontier = nxt
     e.unpersist()
-    return visited
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
 
 
 @register(
