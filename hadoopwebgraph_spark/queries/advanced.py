@@ -312,3 +312,73 @@ def q106_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         nxt.isNull().alias("is_current"),
     )
+
+
+_Q110_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 0) AS BIGINT) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(extract(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "q110_volume_shipping",
+    oracle=_Q110_SQL,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by "
+    "year — a five-way join where the two nation dims broadcast (their "
+    "selective filters land BEFORE the fact joins) and only "
+    "lineitem⋈orders⋈customer shuffle on their keys. Join-downstream "
+    "revenue sums round to whole units per the oracle float discipline.",
+)
+def q110_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q110_SQL)
+
+
+@register(
+    "q111_latest_per_key",
+    oracle=f"""
+    SELECT user_id, event_type, ts AS latest_ts, round(value, 2) AS value
+    FROM (
+        SELECT user_id, event_type, {ORACLE_EVENT_TS} AS ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY {ORACLE_EVENT_TS} DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+    doc="Latest-value-per-key (the CDC snapshot read / compacted-topic "
+    "materialization): one row_number window ordered by (ts, event_id) "
+    "desc with a unique tiebreak. At scale this is the standard "
+    "changelog->table collapse; the window shuffles once on the key.",
+)
+def q111_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.round("value", 2).alias("value"),
+        )
+    )
