@@ -93,3 +93,36 @@ def test_partitioned_layout_prunes_partitions(spark, sf_small, tmp_path):
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_lines and "l_returnflag" in part_lines[0]
     assert df.count() == li.filter("l_returnflag = 'R'").count()
+
+
+def test_binaryfile_source_reads_media_payloads(spark, tmp_path):
+    """`spark.read.format("binaryFile")` — the ingestion path for real
+    media directories (SURVEY §2 Tier C): whole-file binary rows with
+    path/length metadata, filterable by glob, content byte-exact."""
+    import numpy as np
+
+    from hadoopwebgraph_spark.functions.codecs import gif_encode, png_encode
+
+    rng = np.random.default_rng(9)
+    blobs = {}
+    for i in range(3):
+        img = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        blob = png_encode(img)
+        (tmp_path / f"img{i}.png").write_bytes(blob)
+        blobs[f"img{i}.png"] = blob
+    (tmp_path / "anim.gif").write_bytes(
+        gif_encode([rng.integers(0, 256, (8, 8)).astype(np.uint8)])
+    )
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(str(tmp_path))
+    )
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == blobs  # glob excluded the gif; bytes exact
+    assert {f.name for f in df.schema.fields} == {
+        "path",
+        "modificationTime",
+        "length",
+        "content",
+    }
