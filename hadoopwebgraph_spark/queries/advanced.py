@@ -382,3 +382,105 @@ def q111_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "q112_gap_fill_ffill",
+    oracle=f"""
+    WITH ev AS (
+        SELECT {ORACLE_EVENT_TS} AS ts, user_id, value
+        FROM events WHERE event_type = 'purchase' AND user_id < 8
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(sum(value), 2) AS v
+        FROM ev GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(h) AS hmin, max(h) AS hmax
+        FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(hmin, hmax, INTERVAL '1 hour')) AS h
+        FROM spans
+    )
+    SELECT g.user_id,
+           CAST(g.h AS TIMESTAMP) AS hour,
+           (hr.v IS NULL) AS was_gap,
+           last_value(hr.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM grid g LEFT JOIN hourly hr
+      ON hr.user_id = g.user_id AND hr.h = g.h
+    """,
+    doc="Time-series gap fill + forward fill (the resample/ffill Spark "
+    "has no built-in for): per-user dense hourly grid via sequence() "
+    "explode between that user's first and last purchase hour, left "
+    "join of the hourly aggregate, carry-forward with "
+    "last(ignoreNulls) over an unbounded-preceding row frame. At scale "
+    "the grid is generated IN the engine (no driver loop) and every "
+    "stage shuffles once on user_id.",
+)
+def q112_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 8))
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    )
+    hourly = e.groupBy("user_id", "h").agg(F.round(F.sum("value"), 2).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+    )
+
+
+@register(
+    "q113_corr_stats",
+    oracle="""
+    WITH mu AS (SELECT avg(l_extendedprice) AS m FROM lineitem)
+    SELECT round(corr(l_extendedprice, l_quantity), 6)       AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+           round(covar_pop(l_extendedprice, l_quantity), 4)  AS covar_p,
+           round(avg(pow(l_extendedprice - mu.m, 3))
+                 / pow(avg(pow(l_extendedprice - mu.m, 2)), 1.5), 4)
+                                                             AS skew_pop,
+           round(kurtosis_pop(l_extendedprice), 4)           AS kurt_pop,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+    FROM lineitem, mu
+    GROUP BY mu.m
+    """,
+    doc="Bivariate/higher-moment aggregate battery: Pearson correlation, "
+    "sample+population covariance, population skewness and excess "
+    "kurtosis (Spark's definitions — the oracle uses kurtosis_pop and a "
+    "two-pass moment formula since DuckDB's bare skewness/kurtosis are "
+    "the bias-corrected sample versions), and a regression slope. All "
+    "single-pass partial-aggregable moment sketches on the Spark side.",
+)
+def q113_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("covar_p"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_pop"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_pop"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+    )
