@@ -846,3 +846,73 @@ def gif_decode(payload: bytes) -> list[np.ndarray]:
         gif_decode_frame(fw, fh, mcs, lzw, pal)
         for _i, fw, fh, mcs, lzw, pal in gif_frame_blocks(payload)
     ]
+
+
+# ---- WAV (G.711 mu-law, format code 7) ----
+#
+# Real compressed telephony audio per ITU-T G.711: 8-bit logarithmic
+# samples, 2x smaller than PCM16. Python's `wave` module only handles
+# WAVE_FORMAT_PCM, so the mu-law container is a hand-rolled minimal RIFF
+# (fmt + data chunks) — which also documents the WAV layout the PCM path
+# relies on. Vectorized NumPy companding in both directions.
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 -> uint8 G.711 mu-law codes (vectorized)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = (x < 0).astype(np.uint8) * 0x80
+    mag = np.clip(np.abs(x), 0, _ULAW_CLIP) + _ULAW_BIAS
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0xF
+    return (~(sign | (exp.astype(np.uint8) << 4) | mant.astype(np.uint8))) & 0xFF
+
+
+def ulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 mu-law codes -> int16 samples (vectorized)."""
+    c = (~np.asarray(codes, dtype=np.uint8)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 7
+    mant = c & 0xF
+    mag = (((mant.astype(np.int32) << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def wav_encode_ulaw(samples: np.ndarray, rate: int) -> bytes:
+    """Mono mu-law WAV bytes (format code 7) from int16 samples."""
+    data = ulaw_compress(samples).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    chunks = b"".join(
+        [
+            b"fmt ", struct.pack("<I", len(fmt)), fmt,
+            b"data", struct.pack("<I", len(data)), data,
+        ]
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_decode_ulaw(payload: bytes) -> tuple[int, np.ndarray]:
+    """(rate, int16 samples) from a mono mu-law WAV (format code 7)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            code, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if code != 7 or bits != 8 or channels != 1:
+                raise NotImplementedError(
+                    "wav_decode_ulaw handles mono 8-bit mu-law (format 7) only"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, ulaw_expand(np.frombuffer(data, dtype=np.uint8))

@@ -633,3 +633,96 @@ def sample_gif_frames(media: DataFrame, stride: int = VID_FRAME_STRIDE) -> DataF
 def q108_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = gif_media_table(load(spark, sf_dir, "documents"))
     return sample_gif_frames(media)
+
+
+def ulaw_media_table(docs: DataFrame) -> DataFrame:
+    """Per-doc deterministic G.711 mu-law WAV (format code 7): n = 100 +
+    doc_id % 50 samples of s[i] = (doc_id*7 + i*13) % 64000 - 32000."""
+    import numpy as np
+
+    from .codecs import wav_encode_ulaw
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 100 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 7 + i * 13) % 64000 - 32000).astype(np.int16)
+                payloads.append(wav_encode_ulaw(samples, WAV_RATE))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.filter(F.col("doc_id") < N_MEDIA_DOCS).select("doc_id").mapInPandas(
+        encode_batch, "media_id long, payload binary"
+    )
+
+
+def ulaw_features(media: DataFrame) -> DataFrame:
+    """Decode mu-law WAVs and aggregate the reconstructed samples."""
+    import numpy as np
+
+    from .codecs import wav_decode_ulaw
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, sums = [], []
+            for b in pdf["payload"]:
+                _rate, samples = wav_decode_ulaw(bytes(b))
+                ns.append(len(samples))
+                sums.append(int(np.abs(samples.astype(np.int64)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_abs": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        decode_batch, "media_id long, n_samples long, sum_abs long"
+    )
+
+
+# the G.711 companding pipeline in closed form: what decode(encode(x))
+# reconstructs, stated entirely in SQL over the synthesis formula
+_ULAW_SQL = """
+    SELECT d.doc_id,
+           ((((mag >> (ex + 3)) & 15) * 8 + 132) << ex) - 132 AS rec_mag,
+           sgn
+    FROM (
+        SELECT d.doc_id,
+               CASE WHEN raw < 0 THEN -1 ELSE 1 END AS sgn,
+               least(abs(raw), 32635) + 132 AS mag
+        FROM (
+            SELECT d.doc_id,
+                   (d.doc_id * 7 + s.i * 13) % 64000 - 32000 AS raw
+            FROM (SELECT doc_id FROM documents WHERE doc_id < {n_docs}) d
+            JOIN (SELECT unnest(range(150)) AS i) s
+              ON s.i < 100 + d.doc_id % 50
+        ) d
+    ) d,
+    LATERAL (SELECT CAST(least(greatest(floor(log2(mag)) - 7, 0), 7) AS INTEGER) AS ex) e
+"""
+
+
+@register(
+    "q114_ulaw_audio_decode",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(sgn * rec_mag)) AS BIGINT) AS sum_abs
+    FROM ({_ULAW_SQL.format(n_docs=N_MEDIA_DOCS)})
+    GROUP BY doc_id
+    """,
+    doc="REAL compressed-audio pipeline: G.711 mu-law WAVs (format code "
+    "7, hand-rolled RIFF container — stdlib wave is PCM-only) are "
+    "companded, written, re-read and expanded by the vectorized codec "
+    "inside mapInPandas; the oracle restates the full ITU-T companding "
+    "transfer function (bias, segment exponent, mantissa quantization) "
+    "in closed-form SQL, so the hash certifies the lossy codec "
+    "bit-for-bit.",
+)
+def q114_ulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ulaw_media_table(load(spark, sf_dir, "documents"))
+    return ulaw_features(media)

@@ -285,3 +285,42 @@ def test_gif_decoder_reads_foreign_encoder_output():
             else:
                 raise AssertionError(f"unexpected block 0x{b:02x} in {p}")
     assert checked > 0
+
+
+# ---- G.711 mu-law ----
+
+
+def test_ulaw_g711_anchors_and_fixpoints():
+    import numpy as np
+
+    from hadoopwebgraph_spark.functions.codecs import ulaw_compress, ulaw_expand
+
+    # ITU-T G.711 anchor codes
+    assert ulaw_compress(np.array([0]))[0] == 0xFF
+    assert ulaw_compress(np.array([32124]))[0] == 0x80
+    assert ulaw_compress(np.array([-32124]))[0] == 0x00
+    # every code is a fixpoint of compress∘expand (0x7F = negative zero
+    # canonicalizes to 0xFF)
+    codes = np.arange(256, dtype=np.uint8)
+    rt = ulaw_compress(ulaw_expand(codes))
+    for c, r in zip(codes, rt):
+        assert c == r or (c == 0x7F and r == 0xFF), (hex(c), hex(r))
+
+
+def test_ulaw_wav_container_roundtrip():
+    import numpy as np
+
+    from hadoopwebgraph_spark.functions.codecs import (
+        ulaw_expand,
+        ulaw_compress,
+        wav_decode_ulaw,
+        wav_encode_ulaw,
+    )
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32000, 32000, 3001).astype(np.int16)
+    rate, out = wav_decode_ulaw(wav_encode_ulaw(s, 8000))
+    assert rate == 8000 and len(out) == 3001
+    # container is transparent: decoded samples == expand(compress(s))
+    assert (out == ulaw_expand(ulaw_compress(s))).all()
+    # odd-sized data chunk exercised the RIFF 2-byte alignment path
