@@ -224,3 +224,31 @@ def test_exists_subquery_becomes_semi_join(spark, sf_small):
     plan = _plan(q104_exists_subquery(spark, sf_small))
     assert "LeftSemi" in plan
     assert "Subquery" not in plan
+
+
+def test_q110_broadcasts_nation_dims(spark, sf_small):
+    from hadoopwebgraph_spark.queries.advanced import q110_volume_shipping
+
+    plan = _plan(q110_volume_shipping(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "Subquery" not in plan
+
+
+def test_q111_single_shuffle(spark, sf_small):
+    from hadoopwebgraph_spark.queries.advanced import q111_latest_per_key
+
+    plan = _plan(q111_latest_per_key(spark, sf_small))
+    # exactly one hash exchange: the keyed window
+    assert plan.count("+- Exchange") == 1
+    # and Spark's rank-limit pushdown keeps a map-side partial top-1
+    # ahead of the exchange (WindowGroupLimit below AND above it)
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_q107_uses_two_phase_rank_filter(spark, sf_small):
+    from hadoopwebgraph_spark.functions.sampling import q107_stratified_fixed_n
+
+    plan = _plan(q107_stratified_fixed_n(spark, sf_small))
+    # phase 1 partitions by (spark_partition_id, stratum): no reducer
+    # ever sees a whole stratum
+    assert "SPARK_PARTITION_ID" in plan.upper()
