@@ -324,3 +324,55 @@ def test_stream_stream_interval_join(spark, sf_small, events_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_custom_python_stream_source_replay(spark, sf_small):
+    """The eventreplay custom DataSourceStreamReader must (a) deliver the
+    whole log across MULTIPLE micro-batches (offsets advance by
+    batchRows), (b) read ranges row-group-pruned on executors, and
+    (c) produce stream == batch aggregates."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.streaming.replay_source import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    path = f"{sf_small}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.format("eventreplay")
+        .schema(schema)
+        .option("path", path)
+        .option("batchRows", 300)
+        .option("numPartitions", 3)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id")).alias("id_sum"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_replay")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        got = {
+            r.event_type: (r.n, r.id_sum)
+            for r in spark.sql("SELECT * FROM t_replay").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.event_type: (r.n, r.id_sum)
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+        .collect()
+    }
+    assert got == want
+    assert n_batches >= 3  # 1000 rows / 300 per trigger -> >= 4 batches
