@@ -182,3 +182,68 @@ def test_rephase_interior_matches_bitstring(raw, k, drop):
     tail_bits = f"{tail:0{tail_fill}b}" if tail_fill else ""
     assert head_bits + interior_bits + tail_bits == bits
     assert (k + nbits) % 8 == tail_fill
+
+
+# ---- round-5 media codec properties ----
+
+
+def test_lzw_roundtrip_property():
+    """Any byte string survives GIF LZW compress->decompress, across
+    min code sizes (hypothesis mirrors the bvgraph codec strategy)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hadoopwebgraph_spark.functions.codecs import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(min_size=0, max_size=4000))
+    def check(data):
+        assert _lzw_decompress(_lzw_compress(data)) == data
+
+    check()
+
+
+def test_lzw_small_alphabet_min_code_sizes():
+    from hypothesis import given, settings, strategies as st
+
+    from hadoopwebgraph_spark.functions.codecs import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=7),
+        st.lists(st.integers(min_value=0, max_value=3), max_size=2000),
+    )
+    def check(mcs, vals):
+        data = bytes(vals)
+        assert _lzw_decompress(_lzw_compress(data, mcs), mcs) == data
+
+    check()
+
+
+def test_ulaw_companding_properties():
+    """Monotonicity and bounded error of the G.711 pair on arbitrary
+    int16 samples; expand∘compress is idempotent (a quantizer)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from hadoopwebgraph_spark.functions.codecs import ulaw_compress, ulaw_expand
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500))
+    def check(vals):
+        x = np.array(vals, dtype=np.int16)
+        q = ulaw_expand(ulaw_compress(x))
+        # quantizer: applying the pair twice changes nothing
+        assert (ulaw_expand(ulaw_compress(q)) == q).all()
+        # error bounded by the largest segment step (top segment: 256*4)
+        assert int(np.max(np.abs(q.astype(np.int32) - np.clip(x, -32635, 32635).astype(np.int32)))) <= 1024
+        # sign preserved (zero may go either way)
+        nz = np.abs(x.astype(np.int32)) > 132
+        assert (np.sign(q.astype(np.int32))[nz] == np.sign(x.astype(np.int32))[nz]).all()
+
+    check()
