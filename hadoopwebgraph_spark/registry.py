@@ -54,6 +54,7 @@ def _load_all_modules() -> None:
     from .queries import motif  # noqa: F401
     from .functions import dedup  # noqa: F401
     from .functions import layout  # noqa: F401
+    from .functions import bpe  # noqa: F401
     from .functions import llmprep  # noqa: F401
     from .functions import sampling  # noqa: F401
     from .functions import similarity  # noqa: F401

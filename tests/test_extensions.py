@@ -171,3 +171,32 @@ def test_kmeans_ivf_recall_beats_scanned_fraction(spark, sf_oracle):
         f"k-means IVF recall {recall:.2f} not above scanned fraction "
         f"<= {max_scanned:.2f}"
     )
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE trainer must learn the identical merge table
+    (order and pairs) as the pure-Python reference on the same word
+    histogram, including tie-breaks."""
+    from hadoopwebgraph_spark.functions.bpe import bpe_reference, bpe_train
+
+    counts = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "lowest": 4, "new": 7, "west": 1, "aa": 2,
+    }
+    want = bpe_reference(counts, 8)
+    words = spark.createDataFrame(list(counts.items()), "word string, c long")
+    got = [(a, b) for a, b, _n in bpe_train(words, n_merges=8)]
+    assert got == want, (got, want)
+
+
+def test_bpe_query_runs(spark, sf_small):
+    from hadoopwebgraph_spark.functions.bpe import q115_bpe_train
+
+    df = q115_bpe_train(spark, sf_small).collect()
+    assert len(df) == 8
+    # merges are learned in non-increasing pair-count order only when no
+    # later merge creates a more frequent pair — but every count is > 0
+    assert all(r.pair_count > 0 for r in df)
+    # deterministic: second run learns the identical table
+    again = q115_bpe_train(spark, sf_small).collect()
+    assert [tuple(r) for r in df] == [tuple(r) for r in again]
