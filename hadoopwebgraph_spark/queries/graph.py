@@ -271,3 +271,103 @@ def g09_src_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.filter((F.col("src") >= 100) & (F.col("src") <= 299))
         .select("src", F.size("adj").alias("outdeg"))
     )
+
+
+@register(
+    "g19_clustering_coefficient",
+    oracle=f"""
+    WITH e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    sym AS (SELECT src, dst FROM e0 WHERE src <> dst
+            UNION SELECT dst, src FROM e0 WHERE src <> dst),
+    deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+    rk AS (SELECT node, d, d * 4294967296 + node AS r FROM deg),
+    oriented AS (
+        SELECT s.src, s.dst, rb.r AS dst_r
+        FROM sym s
+        JOIN rk ra ON ra.node = s.src
+        JOIN rk rb ON rb.node = s.dst
+        WHERE ra.r < rb.r
+    ),
+    tri AS (
+        SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+        FROM oriented o1
+        JOIN oriented o2 ON o2.src = o1.src AND o1.dst_r < o2.dst_r
+        JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+    ),
+    corners AS (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+    ),
+    tcount AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
+    SELECT d.node,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.d >= 2
+                THEN round(2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1)), 4)
+                ELSE 0.0 END AS coeff
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """,
+    doc="Per-node clustering coefficient via degree-ordered triangle "
+    "enumeration: undirected edges oriented from lower to higher "
+    "(degree, id) rank, so each triangle is found exactly once from its "
+    "lowest-rank corner and — the 100 TB point — every wedge fan-out is "
+    "bounded by the ORIENTED out-degree, O(sqrt(m)) on skewed graphs "
+    "instead of the hub degree. Two self-joins on the oriented edges, "
+    "corner explode, one count shuffle.",
+)
+def g19_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = edges_df(spark).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e0.select("src", "dst")
+        .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # one decode feeds degree + both join sides
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    rk = deg.select(
+        "node", "d", (F.col("d") * F.lit(4294967296) + F.col("node")).alias("r")
+    )
+    oriented = (
+        sym.join(rk.select(F.col("node").alias("src"), F.col("r").alias("src_r")), "src")
+        .join(rk.select(F.col("node").alias("dst"), F.col("r").alias("dst_r")), "dst")
+        .filter(F.col("src_r") < F.col("dst_r"))
+        .select("src", "dst", "dst_r")
+        .localCheckpoint()
+    )
+    o1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_r").alias("b_r")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("dst_r").alias("c_r")
+    )
+    o3 = oriented.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    tri = (
+        o1.join(o2, (F.col("a") == F.col("a2")) & (F.col("b_r") < F.col("c_r")))
+        .join(o3, (F.col("b2") == F.col("b")) & (F.col("c2") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.join(tcount, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("t"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    4,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("coeff"),
+        )
+    )

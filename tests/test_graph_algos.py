@@ -277,3 +277,32 @@ def test_hits_exact_star(spark):
         assert abs(rows[n][0] - 1.0 / 3.0) < 1e-9 and abs(rows[n][1]) < 1e-9
     assert abs(sum(a for a, _ in rows.values()) - 1.0) < 1e-9
     assert abs(sum(h for _, h in rows.values()) - 1.0) < 1e-9
+
+
+def test_clustering_coefficient_exact(spark, monkeypatch, tmp_path):
+    """Triangle + pendant: triangle corners have coeff 1.0 (and the
+    corner attached to the pendant 2*1/(3*2)=1/3... computed by hand):
+    nodes 0,1,2 form a triangle; 2-3 pendant edge."""
+    from hadoopwebgraph_spark.bvgraph.codec import BVGraphFiles, encode_graph
+    from hadoopwebgraph_spark.queries import graph as G
+
+    base = str(tmp_path / "cc")
+    g, o, pr = encode_graph([[1, 2], [2], [3], []])
+    BVGraphFiles(base).write(g, o, pr)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    twin = str(tmp_path / "cc.parquet")
+    pq.write_table(
+        pa.table({"src": [0, 1, 2, 3], "adj": [[1, 2], [2], [3], []]}), twin
+    )
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BASENAME", base)
+    got = {
+        r.node: (r.degree, r.triangles, r.coeff)
+        for r in G.g19_clustering_coefficient(spark, "unused").collect()
+    }
+    # undirected degrees: 0:2, 1:2, 2:3, 3:1; one triangle (0,1,2)
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, round(2 * 1 / (3 * 2), 4))
+    assert got[3] == (1, 0, 0.0)
