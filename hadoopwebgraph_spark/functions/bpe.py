@@ -133,3 +133,41 @@ def q115_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_idx int, left string, right string, pair_count long",
     )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize ``DataFrame[doc_id, text]`` with a learned merge table:
+    split to characters, apply the merges in learned order per word
+    (Arrow-batched; the merge list broadcasts with the task closure).
+    Returns DataFrame[doc_id, n_tokens, n_chars] — the compression the
+    vocabulary buys, per document."""
+
+    pairs = list(merges)
+
+    def encode(batches):
+        for pdf in batches:
+            n_tokens, n_chars = [], []
+            for text in pdf["text"]:
+                total = 0
+                chars = 0
+                for w in str(text).split(" "):
+                    if not w:
+                        continue
+                    toks = [*w]
+                    for a, b in pairs:
+                        toks = _merge_pair(toks, a, b)
+                    total += len(toks)
+                    chars += len(w)
+                n_tokens.append(total)
+                n_chars.append(chars)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "n_chars": pd.Series(n_chars, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode, "doc_id long, n_tokens long, n_chars long"
+    )

@@ -371,3 +371,42 @@ def g19_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coeff"),
         )
     )
+
+
+@register(
+    "g20_degree_assortativity",
+    oracle=f"""
+    WITH e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    sym AS (SELECT src, dst FROM e0 WHERE src <> dst
+            UNION SELECT dst, src FROM e0 WHERE src <> dst),
+    deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src)
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(corr(ds.d, dd.d), 6) AS assortativity
+    FROM sym s
+    JOIN deg ds ON ds.node = s.src
+    JOIN deg dd ON dd.node = s.dst
+    """,
+    doc="Degree assortativity (Newman's r): Pearson correlation of "
+    "endpoint degrees over directed edge instances of the symmetrized "
+    "graph — do hubs attach to hubs? Two broadcastable degree joins + "
+    "one single-pass moment aggregate; no O(n^2) anywhere.",
+)
+def g20_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = edges_df(spark).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e0.select("src", "dst")
+        .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
+    return (
+        sym.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"),
+        )
+    )

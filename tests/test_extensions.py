@@ -200,3 +200,33 @@ def test_bpe_query_runs(spark, sf_small):
     # deterministic: second run learns the identical table
     again = q115_bpe_train(spark, sf_small).collect()
     assert [tuple(r) for r in df] == [tuple(r) for r in again]
+
+
+def test_bpe_encode_compresses_with_learned_merges(spark):
+    from hadoopwebgraph_spark.functions.bpe import (
+        _merge_pair,
+        bpe_encode,
+        bpe_reference,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "banana banana bandana"), (1, "nan ban ana")],
+        "doc_id long, text string",
+    )
+    words = {"banana": 2, "bandana": 1, "nan": 1, "ban": 1, "ana": 1}
+    wdf = spark.createDataFrame(list(words.items()), "word string, c long")
+    merges = [(a, b) for a, b, _ in bpe_train(wdf, n_merges=4)]
+    assert merges == bpe_reference(words, 4)
+    out = {r.doc_id: (r.n_tokens, r.n_chars) for r in bpe_encode(docs, merges).collect()}
+    # reference tokenization per doc
+    for did, text in [(0, "banana banana bandana"), (1, "nan ban ana")]:
+        want = 0
+        for w in text.split(" "):
+            toks = [*w]
+            for a, b in merges:
+                toks = _merge_pair(toks, a, b)
+            want += len(toks)
+        assert out[did][0] == want
+        assert out[did][1] == sum(len(w) for w in text.split(" "))
+        assert out[did][0] < out[did][1]  # merges actually compress
