@@ -252,3 +252,33 @@ def test_q107_uses_two_phase_rank_filter(spark, sf_small):
     # phase 1 partitions by (spark_partition_id, stratum): no reducer
     # ever sees a whole stratum
     assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_q106_windows_share_one_sort(spark, sf_small):
+    """The SCD2 build's lag-compress and lead-interval windows use the
+    same (user_id, ts, event_id) ordering, so Catalyst must plan ONE
+    exchange and ONE sort for both."""
+    from hadoopwebgraph_spark.queries.advanced import q106_scd2_history
+
+    plan = _plan(q106_scd2_history(spark, sf_small))
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("+- Sort") == 1
+
+
+def test_q113_single_pass_partial_agg(spark, sf_small):
+    """All six moment aggregates compute in one scan with map-side
+    partials: one exchange, two HashAggregate levels."""
+    from hadoopwebgraph_spark.queries.advanced import q113_corr_stats
+
+    plan = _plan(q113_corr_stats(spark, sf_small))
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q114_no_shuffle(spark, sf_small):
+    """The mu-law pipeline is a pure mapInPandas chain: encode and
+    decode stay in the same stage — zero exchanges."""
+    from hadoopwebgraph_spark.functions.multimodal import q114_ulaw_audio_decode
+
+    plan = _plan(q114_ulaw_audio_decode(spark, sf_small))
+    assert plan.count("+- Exchange") == 0
