@@ -220,3 +220,98 @@ def q102_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("purchase_id").alias("n_purchases"),
         F.round(F.sum("value"), 0).cast("bigint").alias("attributed_value"),
     )
+
+
+@register(
+    "q116_funnel_analysis",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV}),
+    steps AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'  THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view'    THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM ev GROUP BY user_id
+    ),
+    flags AS (
+        SELECT user_id,
+               (t_signup IS NOT NULL) AS s1,
+               (t_signup IS NOT NULL AND t_view > t_signup) AS s2,
+               (t_signup IS NOT NULL AND t_view > t_signup
+                AND t_purchase > t_view) AS s3
+        FROM steps
+    )
+    SELECT CAST(count(*) FILTER (WHERE s1) AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE s2) AS BIGINT) AS n_then_view,
+           CAST(count(*) FILTER (WHERE s3) AS BIGINT) AS n_then_purchase
+    FROM flags
+    """,
+    doc="Ordered funnel analysis (signup -> first later view -> first "
+    "later purchase, per user): one conditional-min aggregation per "
+    "user then ordered-step flags — no joins, no windows, one shuffle "
+    "on user_id with map-side partials. NULL comparisons make "
+    "out-of-order or missing steps fall out of the funnel in both "
+    "engines identically.",
+)
+def q116_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    steps = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_view"))
+    return steps.agg(
+        F.count(F.when(s1, 1)).alias("n_signup"),
+        F.count(F.when(s2, 1)).alias("n_then_view"),
+        F.count(F.when(s3, 1)).alias("n_then_purchase"),
+    )
+
+
+@register(
+    "q117_retention_cohorts",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV}),
+    first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM ev GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk
+        FROM ev e
+    )
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+           CAST(datediff('week', f.cohort, a.wk) AS INTEGER) AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM first_seen f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users grouped by first-seen week, "
+    "counted distinct-active per subsequent week offset. Two shuffles "
+    "on user_id (first-seen agg + the cohort join — co-partitioned, so "
+    "AQE plans them back-to-back without a third exchange), then one "
+    "small matrix aggregation.",
+)
+def q117_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
