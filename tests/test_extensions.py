@@ -230,3 +230,25 @@ def test_bpe_encode_compresses_with_learned_merges(spark):
         assert out[did][0] == want
         assert out[did][1] == sum(len(w) for w in text.split(" "))
         assert out[did][0] < out[did][1]  # merges actually compress
+
+
+def test_cli_list_oracle_and_unknown():
+    """The CLI's driver-free commands work in-process: list filters,
+    oracle prints SQL, unknown names exit 2."""
+    import contextlib
+    import io
+
+    from hadoopwebgraph_spark.__main__ import main
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["list", "--filter", "q01"]) == 0
+    assert "q01_pricing_summary" in out.getvalue()
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["oracle", "q01_pricing_summary"]) == 0
+    assert "l_returnflag" in out.getvalue()
+
+    assert main(["oracle", "nope"]) == 2
+    assert main(["oracle", "q115_bpe_train"]) == 1  # rows-only
