@@ -1,0 +1,202 @@
+"""Scale-technique operators: the physical-plan patterns a 100 TB join
+or aggregation actually needs, each certified EXACT against a plain-SQL
+oracle (the technique must never change the answer, only the plan).
+
+The reference hands Spark an RDD and stops (reference README.md:17-23);
+these are the engine-side techniques its users would rely on at web-graph
+corpus scale:
+
+- **Runtime bloom-filter join pruning** (q118): when neither join side is
+  broadcast-able, Catalyst can build a bloom filter over the selective
+  (creation) side's join keys inside a one-row aggregate subquery and
+  semi-filter the large (application) side BEFORE its shuffle — the
+  shuffle then moves only rows that can match. This is Spark's built-in
+  `InjectRuntimeFilter` rewrite; the query runs on an isolated
+  `spark.newSession()` with broadcast disabled so the injection is
+  deterministic at test scale without perturbing any other query's plan
+  (at 100 TB both sides exceed the broadcast threshold naturally and the
+  same plan appears with stock confs). tests/test_plans.py asserts
+  `might_contain` + `bloom_filter_agg` in the physical plan.
+- **Salted exact count-distinct** (q124): sharding the distinct-value
+  space by `hash(value) % n_salts` keeps per-salt distinct sets disjoint,
+  so exact per-salt counts SUM to the true count while a hot key's work
+  spreads over n_salts reducers (functions/skew.py).
+- **Single-pass table profiling** (q120): per-column count / nulls /
+  distincts / min / max / mean for a whole table in ONE scan — all
+  measures are computed in a single aggregate row, then unpivoted with
+  `stack()`. A profiler that scans once per column reads 100 TB four
+  times; this reads it once.
+- **Equi-width histogram** (q123): global min/max from a one-row
+  aggregate (broadcast back), bucket index by pure arithmetic — two scans
+  total, no per-bucket passes, identical bucket math on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.skew import salted_count_distinct
+from ..registry import register
+
+
+@register(
+    "q118_bloom_filter_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.5) AS BIGINT)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority, date_trunc('month', o.o_orderdate)
+    """,
+    doc="Runtime bloom-filter join pruning: the selective orders side "
+    "builds a bloom filter over its join keys; lineitem is semi-filtered "
+    "by might_contain() BEFORE its shuffle, so only potentially-matching "
+    "rows move. Exact (bloom false positives are removed by the real "
+    "join); plan-asserted in tests/test_plans.py. Runs on an isolated "
+    "newSession() so the injection confs never leak into other queries.",
+)
+def q118_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Isolated session: shares the JVM/SparkContext but not runtime confs.
+    # At 100 TB neither side is broadcast-able and stock Spark injects the
+    # bloom filter by itself; at test scale we disable broadcast inside
+    # this session only to get the same (shuffle-join + bloom) physical
+    # plan Catalyst would pick there.
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    orders = load(s, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = load(s, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 0.5)
+            .cast("bigint")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q124_salted_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="Salted exact count-distinct (functions/skew.py): value space "
+    "sharded by hash(user_id) % 16 so per-salt distinct sets are disjoint "
+    "and their exact counts sum to the true count — a hot event_type's "
+    "distinct work spreads over 16 reducers instead of one. Result is "
+    "EXACT; oracle is the plain COUNT(DISTINCT).",
+)
+def q124_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return salted_count_distinct(ev, "event_type", "user_id", n_salts=16).select(
+        F.col("event_type"), F.col("n_distinct")
+    )
+
+
+# Profiled columns: name -> (is-what the mean rounds to). All four are
+# 2-decimal-quantized or small-range measures, so min/max hash exactly and
+# the mean rounds to 4 decimals on both engines.
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_oracle() -> str:
+    blocks = [
+        f"""
+    SELECT '{c}' AS column_name,
+           count({c}) AS n,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           round(min({c}), 2) AS min_value,
+           round(max({c}), 2) AS max_value,
+           round(avg({c}), 4) AS mean_value
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "q120_table_profile",
+    oracle=_profile_oracle(),
+    doc="Single-pass data profiling: per-column count/nulls/distincts/"
+    "min/max/mean for four lineitem measures computed in ONE scan (one "
+    "aggregate row holding all 24 measures, then stack() to long form). "
+    "The naive per-column loop would scan a 100 TB table four times; "
+    "this reads it once. Oracle restates it as a UNION ALL of per-column "
+    "aggregates.",
+)
+def q120_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}_n"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}_nnull"),
+            F.countDistinct(F.col(c)).alias(f"{c}_nd"),
+            F.round(F.min(F.col(c)), 2).alias(f"{c}_min"),
+            F.round(F.max(F.col(c)), 2).alias(f"{c}_max"),
+            F.round(F.avg(F.col(c)), 4).alias(f"{c}_mean"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_n, {c}_nnull, {c}_nd, {c}_min, {c}_max, {c}_mean"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n, n_null, n_distinct, min_value, max_value, mean_value)"
+        )
+    )
+
+
+_N_BUCKETS = 20
+
+
+@register(
+    "q123_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    )
+    SELECT CAST(least(floor((l_extendedprice - lo) / (hi - lo) * {_N_BUCKETS}),
+                      {_N_BUCKETS - 1}) AS BIGINT) AS bucket,
+           count(*) AS n_rows
+    FROM lineitem CROSS JOIN bounds
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram of l_extendedprice in 20 buckets: global "
+    "min/max from a one-row aggregate broadcast back over the scan, "
+    "bucket index by pure arithmetic (identical IEEE ops on both "
+    "engines), one shuffle on 20 keys. Two scans total regardless of "
+    "bucket count.",
+)
+def q123_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    x = F.col("l_extendedprice")
+    bucket = F.least(
+        F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * _N_BUCKETS),
+        F.lit(_N_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

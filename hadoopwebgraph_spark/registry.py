@@ -49,6 +49,7 @@ def _load_all_modules() -> None:
     from .queries import windows  # noqa: F401
     from .queries import setops_scalar  # noqa: F401
     from .queries import streaming_batch  # noqa: F401
+    from .queries import scale_ops  # noqa: F401
     from .queries import graph  # noqa: F401
     from .queries import graph_algos  # noqa: F401
     from .queries import motif  # noqa: F401

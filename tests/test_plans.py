@@ -282,3 +282,40 @@ def test_q114_no_shuffle(spark, sf_small):
 
     plan = _plan(q114_ulaw_audio_decode(spark, sf_small))
     assert plan.count("+- Exchange") == 0
+
+
+def test_q118_injects_runtime_bloom_filter(spark, sf_small):
+    """The selective orders side builds a bloom filter aggregate and
+    lineitem is semi-filtered by might_contain BEFORE its shuffle — the
+    InjectRuntimeFilter rewrite a 100 TB fact-fact join depends on."""
+    from hadoopwebgraph_spark.queries.scale_ops import q118_bloom_filter_join
+
+    plan = _plan(q118_bloom_filter_join(spark, sf_small))
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # and the parent session's confs were not perturbed
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_q120_profile_single_scan(spark, sf_small):
+    """All 24 profile measures come from ONE scan of lineitem: exactly
+    one FileScan node in the plan."""
+    from hadoopwebgraph_spark.queries.scale_ops import q120_table_profile
+
+    import re
+
+    plan = _plan(q120_table_profile(spark, sf_small))
+    # node-detail headers, one per physical scan (the tree line and the
+    # detail section both mention the node, so count headers not substrings)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_q123_histogram_broadcasts_bounds(spark, sf_small):
+    """The one-row min/max aggregate joins back via broadcast — the big
+    scan never shuffles before bucketing (single exchange: the 20-key
+    final agg)."""
+    from hadoopwebgraph_spark.queries.scale_ops import q123_histogram
+
+    plan = _plan(q123_histogram(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
