@@ -439,3 +439,127 @@ def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.groupBy(F.col("component").alias("keep_doc_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicated n-gram span) detection
+# ---------------------------------------------------------------------------
+
+_GRAM = 8  # tokens per gram; Lee et al. use 50 on BPE tokens — same machinery
+
+
+@register(
+    "q119_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text <> ''
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {_GRAM}),
+    pos AS (SELECT doc_id, n, t, unnest(range(1, n - {_GRAM - 2})) AS p FROM sized),
+    grams AS (
+        SELECT doc_id, n, p,
+               md5(array_to_string(t[p:p + {_GRAM - 1}], ' ')) AS g
+        FROM pos
+    ),
+    counted AS (
+        SELECT doc_id, n, count(*) OVER (PARTITION BY g) AS cnt FROM grams
+    )
+    SELECT doc_id,
+           CAST(max(n) - {_GRAM - 1} AS BIGINT) AS n_grams,
+           sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_grams,
+           round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
+                 / (max(n) - {_GRAM - 1}), 4) AS dup_ratio
+    FROM counted
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Exact duplicated-substring detection (the Lee et al. 'Deduplicating "
+    "Training Data' span-dedup shape): every 8-token gram of every document, "
+    "hashed; a gram occurring >= 2 times ANYWHERE in the corpus marks its "
+    "position as duplicated text. Per doc: gram count, duplicated-gram "
+    "count, duplicated ratio. One shuffle on the gram hash (window count — "
+    "no self-join), one on doc_id; gram strings never shuffle, only their "
+    "md5. At 100 TB this is the standard alternative to a distributed "
+    "suffix array: candidate spans exact, memory bounded per partition.",
+)
+def q119_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _spread(load(spark, sf_dir, "documents")).filter(F.col("text") != "")
+    sized = d.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t")).filter(F.col("n") >= _GRAM)
+    pos = sized.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.col("n") - F.lit(_GRAM - 1))).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id",
+        "n",
+        F.md5(F.array_join(F.slice("t", F.col("p"), _GRAM), " ")).alias("g"),
+    )
+    counted = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            (F.max("n") - F.lit(_GRAM - 1)).cast("bigint").alias("n_grams"),
+            dup.alias("n_dup_grams"),
+            F.round(dup / (F.max("n") - F.lit(_GRAM - 1)), 4).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_grams") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# string-similarity (edit distance) join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q122_editdist_join",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Blocked string-similarity join: part-name pairs within edit "
+    "distance 2, blocked by p_brand so the pair space is per-block "
+    "bounded (never a global cross join), pre-filtered by the length-"
+    "difference lower bound |len(a)-len(b)| <= d before any edit-distance "
+    "work, then the exact Levenshtein filter with an early-exit threshold "
+    "(Spark's 3-arg levenshtein stops once the distance exceeds d). The "
+    "equi-join on the block key is one shuffle; AQE splits skewed blocks.",
+)
+def q122_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, "brand").filter(
+        (F.col("part_a") < F.col("part_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+    )
+    # 3-arg levenshtein: returns -1 as soon as the distance exceeds the
+    # threshold — O(d*min(m,n)) instead of O(m*n) per pair
+    d = F.levenshtein("name_a", "name_b", 2)
+    return (
+        pairs.withColumn("distance", d)
+        .filter(F.col("distance") >= 0)
+        .select("part_a", "part_b", "distance")
+    )
