@@ -221,3 +221,46 @@ def q107_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         docs, ["source"], [F.col("_h"), F.col("doc_id")], 5, rank_col="rk"
     ).select("source", "doc_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (priority sampling, Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 50
+
+
+@register(
+    "q121_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars, round(priority, 4) AS priority
+    FROM (
+        SELECT doc_id, n_chars,
+               n_chars / ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 0.5) / 4294967296.0) AS priority
+        FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT {_PRIORITY_K}
+    """,
+    doc="Weighted sample without replacement via PRIORITY SAMPLING "
+    "(Duffield, Lund & Thorup, JACM 2007): per-row priority = weight / u "
+    "with u a deterministic md5-derived uniform in (0,1); the top-k rows "
+    "by priority are a weighted sample supporting unbiased subset-sum "
+    "estimation. Deterministic (content-hashed u, no RNG state), "
+    "engine-portable (only IEEE *, / — no ln/pow whose last-ULP varies "
+    "by libm), and one TakeOrderedAndProject pass: every executor keeps "
+    "a local top-k heap, the driver merges k rows per partition — no "
+    "global sort at 100 TB. Weight here is n_chars (sample long docs "
+    "proportionally more).",
+)
+def q121_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    v = F.conv(F.substring(_hash_col(), 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    return (
+        d.select("doc_id", "n_chars", (F.col("n_chars") / u).alias("priority"))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_PRIORITY_K)
+        .withColumn("priority", F.round("priority", 4))
+    )

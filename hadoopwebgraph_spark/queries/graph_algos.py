@@ -209,22 +209,22 @@ def _pagerank_oracle_sql(twin: str, iterations: int = 10, damping: float = 0.85)
     d = repr(damping)
     blocks = [
         f"""
-    e AS (SELECT src, unnest(adj) AS dst FROM {twin}),
-    nodes AS (SELECT src AS node FROM {twin}),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
-    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    e AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    nodes AS MATERIALIZED (SELECT src AS node FROM {twin}),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+    pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
     ]
     for i in range(1, iterations + 1):
         blocks.append(
             f"""
-    d{i} AS (SELECT coalesce(sum(p.rank), 0.0) AS dm FROM pr{i - 1} p
+    d{i} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS dm FROM pr{i - 1} p
              WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)),
-    s{i} AS (SELECT e.dst, sum(p.rank / o.od) AS in_sum
+    s{i} AS MATERIALIZED (SELECT e.dst, sum(p.rank / o.od) AS in_sum
              FROM e JOIN pr{i - 1} p ON e.src = p.node
              JOIN outdeg o ON o.src = e.src
              GROUP BY e.dst),
-    pr{i} AS (SELECT n.node,
+    pr{i} AS MATERIALIZED (SELECT n.node,
                      {base} + {d} * (d{i}.dm / nn.n
                                      + coalesce(s{i}.in_sum, 0.0)) AS rank
               FROM nodes n CROSS JOIN d{i} CROSS JOIN nn
@@ -351,22 +351,22 @@ def _lpa_oracle_sql(twin: str, iterations: int = 3) -> str:
     parity is exact (no float drift across engines)."""
     blocks = [
         f"""
-    e AS (SELECT src, unnest(adj) AS dst FROM {twin}),
-    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    e AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)"""
     ]
     for i in range(1, iterations + 1):
         blocks.append(
             f"""
-    c{i} AS (SELECT s.src, l.label, count(*) AS cnt
+    c{i} AS MATERIALIZED (SELECT s.src, l.label, count(*) AS cnt
              FROM sym s JOIN l{i - 1} l ON l.node = s.dst
              GROUP BY s.src, l.label),
-    m{i} AS (SELECT src, label AS new_label FROM (
+    m{i} AS MATERIALIZED (SELECT src, label AS new_label FROM (
                  SELECT src, label,
                         row_number() OVER (PARTITION BY src
                                            ORDER BY cnt DESC, label) AS rn
                  FROM c{i}) WHERE rn = 1),
-    l{i} AS (SELECT l.node, coalesce(m.new_label, l.label) AS label
+    l{i} AS MATERIALIZED (SELECT l.node, coalesce(m.new_label, l.label) AS label
              FROM l{i - 1} l LEFT JOIN m{i} m ON m.src = l.node)"""
         )
     return (
@@ -673,3 +673,154 @@ def g18_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g15_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_df(spark)
     return label_propagation(e, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the seed set
+    (uniformly over seeds) instead of uniformly over all nodes — the
+    random-walk-with-restart relevance score used for seed-relative
+    ranking (SALSA-style related-page queries on web graphs, node
+    recommendation). Dangling mass also restarts at the seeds.
+
+    edges: DataFrame[src, dst]; seeds: DataFrame[node]; nodes:
+    DataFrame[node] (full vertex set). Returns DataFrame[node, rank],
+    sum(rank) == 1. Same loop shape as :func:`pagerank`: the static
+    contribution edges are hash-partitioned on src once and reused every
+    iteration; only the rank side shuffles per round; localCheckpoint
+    truncates lineage.
+    """
+    nodes = nodes.persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    contrib_edges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", F.col("outdeg").cast("double").alias("od"))
+        .repartition(nshuf, "src")
+        .persist()
+    )
+    n_seeds = seeds.count()
+    # seed indicator with the teleport share baked in: sv = 1/|S| on seeds
+    sv = nodes.join(
+        seeds.select(F.col("node").alias("_s")), nodes.node == F.col("_s"), "left"
+    ).select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.lit(1.0) / F.lit(float(n_seeds)))
+        .otherwise(F.lit(0.0))
+        .alias("sv"),
+    ).persist()
+
+    ranks = sv.select("node", F.col("sv").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = ranks.join(outdeg, ranks.node == outdeg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+        )
+        ranks = (
+            sv.join(contribs, sv.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("sv")
+                    + F.lit(damping)
+                    * (
+                        F.col("_dangling") * F.col("sv")
+                        + F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    outdeg.unpersist()
+    contrib_edges.unpersist()
+    sv.unpersist()
+    return ranks
+
+
+_PPR_SEED_MOD = 50  # seed set: every 50th node — spread across the graph
+
+
+def _ppr_oracle_sql(
+    twin: str, iterations: int = 10, damping: float = 0.85
+) -> str:
+    """Unrolled-CTE fixpoint oracle for g21 (same scheme as g11's:
+    SQL forbids aggregates over a recursive member, so each iteration is
+    its own CTE block; constants as Python float reprs and contributions
+    as single divisions so both engines compute bit-identical doubles).
+    The teleport vector sv = 1/|S| on seeds, 0 elsewhere; dangling mass
+    restarts at the seeds (dm * sv), not uniformly."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    blocks = [
+        f"""
+    e AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    nodes AS MATERIALIZED (SELECT src AS node FROM {twin}),
+    seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node % {_PPR_SEED_MOD} = 0),
+    ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+    outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+    svx AS MATERIALIZED (SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS sv
+            FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON s.node = n.node),
+    pr0 AS MATERIALIZED (SELECT node, sv AS rank FROM svx)"""
+    ]
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f"""
+    d{i} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS dm FROM pr{i - 1} p
+             WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)),
+    s{i} AS MATERIALIZED (SELECT e.dst, sum(p.rank / o.od) AS in_sum
+             FROM e JOIN pr{i - 1} p ON e.src = p.node
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst),
+    pr{i} AS MATERIALIZED (SELECT v.node,
+                     {base} * v.sv + {d} * (d{i}.dm * v.sv
+                                            + coalesce(s{i}.in_sum, 0.0)) AS rank
+              FROM svx v CROSS JOIN d{i}
+              LEFT JOIN s{i} ON s{i}.dst = v.node)"""
+        )
+    return (
+        "WITH" + ",".join(blocks) + f"""
+    SELECT node, round(rank, 9) AS rank FROM pr{iterations}
+    WHERE round(rank, 9) > 0
+    ORDER BY round(rank, 9) DESC, node LIMIT 20
+    """
+    )
+
+
+@register(
+    "g21_personalized_pagerank",
+    oracle=_ppr_oracle_sql(_T),
+    doc="Personalized PageRank (10 iterations, damping 0.85, teleport + "
+    "dangling restart to the seed set node%50==0): random-walk-with-"
+    "restart relevance from the seeds, the web-graph related-page/node-"
+    "recommendation primitive. Top-20 nodes by rank. Oracle = the same "
+    "fixpoint unrolled into 10 CTE blocks over the parquet twin.",
+)
+def g21_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    nodes = graph_df(spark).select(F.col("src").alias("node"))
+    seeds = nodes.filter(F.col("node") % _PPR_SEED_MOD == 0)
+    pr = personalized_pagerank(e, seeds, nodes, iterations=10)
+    return (
+        pr.select("node", F.round("rank", 9).alias("rank"))
+        .filter(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )
