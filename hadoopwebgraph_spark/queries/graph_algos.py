@@ -824,3 +824,84 @@ def g21_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction (common neighbors / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g22_link_prediction",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {_T}),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e0 WHERE src <> dst
+        UNION
+        SELECT dst, src FROM e0 WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+    cn AS MATERIALIZED (
+        SELECT s1.dst AS a, s2.dst AS b, count(*) AS common
+        FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+        GROUP BY s1.dst, s2.dst
+    )
+    SELECT a, b, common,
+           round(common / (da.d + db.d - common), 6) AS jaccard
+    FROM cn
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    WHERE NOT EXISTS (SELECT 1 FROM sym WHERE src = a AND dst = b)
+    ORDER BY round(common / (da.d + db.d - common), 6) DESC, a, b
+    LIMIT 50
+    """,
+    doc="Link prediction over the undirected graph: unlinked node pairs "
+    "ranked by neighbor-set Jaccard (common / (deg_a + deg_b - common)) — "
+    "the classic related-page / suggested-link primitive. One wedge join "
+    "on the shared neighbor (the same shuffle shape as triangle "
+    "counting), degrees broadcast-joined back, existing edges removed by "
+    "anti-join, top-50 via TakeOrderedAndProject. At 100 TB the wedge "
+    "fan-out of hub nodes is the scale hazard — AQE skew-split handles "
+    "moderate hubs; beyond that the standard mitigation is a degree cap "
+    "on the wedge center (documented, not applied here to keep the "
+    "oracle exact).",
+)
+def g22_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        # one decode+distinct shared by all four consumers (deg, both wedge
+        # sides, the anti-join); localCheckpoint frees with the DataFrame
+        # instead of leaking a persist across queries (g05 pattern)
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.select(F.col("src").alias("n"), F.col("dst").alias("a"))
+    s2 = sym.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+    cn = (
+        s1.join(s2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    linked = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    res = (
+        cn.join(linked, ["a", "b"], "left_anti")
+        .join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(50)
+    )
+    return res
