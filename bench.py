@@ -64,6 +64,10 @@ HEADLINE = [
     "q105_quality_filter",
     "q108_gif_frame_sample",
     "q109_zorder_curve",
+    # round 5, second batch: scale-technique + corpus ops
+    "q118_bloom_filter_join",
+    "q119_substring_dedup",
+    "q121_weighted_sample",
 ]
 
 
