@@ -484,3 +484,118 @@ def q113_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_pop"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
     )
+
+
+@register(
+    "q125_market_share",
+    oracle="""
+    SELECT yr,
+           round(sum(CASE WHEN nation = 'CHINA' THEN volume ELSE 0.0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    doc="TPC-H Q8 shape (national market share): 8-table star join — "
+    "PROMO-part order volume shipped into ASIA customers, per order "
+    "year, with the share supplied from CHINA. All five dimension "
+    "tables (part-filter aside) broadcast; only orders x lineitem "
+    "shuffles. Share = ratio of two sums computed in one aggregate "
+    "pass (conditional sum / total sum), rounded on both engines.",
+)
+def q125_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        joined.groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "CHINA", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q126_returned_item_reporting",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.5) AS BIGINT)
+               AS lost_revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): revenue lost to "
+    "returns per customer over one year, top-20. The returnflag filter "
+    "pushes into the lineitem scan, the date filter into orders; nation "
+    "broadcasts; one shuffle joins the two facts, one aggregates per "
+    "customer; TakeOrderedAndProject caps the output.",
+)
+def q126_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 0.5)
+            .cast("bigint")
+            .alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -410,3 +410,43 @@ def g20_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"),
         )
     )
+
+
+@register(
+    "g23_reciprocity",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {_T}),
+    e AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst)
+    SELECT count(*) AS n_edges,
+           CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+           round(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+           ) THEN 1 ELSE 0 END) / count(*), 6) AS reciprocity
+    FROM e
+    """,
+    doc="Edge reciprocity — the fraction of directed arcs (u,v) with a "
+    "reverse arc (v,u), a standard web-graph shape statistic (WebGraph "
+    "publishes it for its datasets). One self-semi-join on the reversed "
+    "key: the probe side is the same decoded edge table localCheckpointed "
+    "once, so the graph decodes once, shuffles once on (src,dst).",
+)
+def g23_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        edges_df(spark)
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).distinct()
+    marked = e.join(rev, ["src", "dst"], "left_semi")
+    total = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    recip = marked.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    return (
+        total.crossJoin(recip)
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).alias("reciprocity"),
+        )
+    )
