@@ -319,3 +319,51 @@ def test_q123_histogram_broadcasts_bounds(spark, sf_small):
     plan = _plan(q123_histogram(spark, sf_small))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q119_gram_count_without_self_join(spark, sf_small):
+    """The corpus-wide gram count is a window over the gram hash — no
+    grams-to-grams self-join; exactly the Window + two aggregates."""
+    from hadoopwebgraph_spark.functions.dedup import q119_substring_dedup
+
+    plan = _plan(q119_substring_dedup(spark, sf_small))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q121_priority_sample_topk(spark, sf_small):
+    """Priority sampling's top-k is a TakeOrderedAndProject: per-partition
+    heaps, k rows per partition to the driver — no global sort."""
+    from hadoopwebgraph_spark.functions.sampling import q121_weighted_sample
+
+    plan = _plan(q121_weighted_sample(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q122_editdist_join_is_equi_blocked(spark, sf_small):
+    """The pair space is an equi-join on the p_brand block key — never a
+    cartesian product."""
+    from hadoopwebgraph_spark.functions.dedup import q122_editdist_join
+
+    plan = _plan(q122_editdist_join(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q125_broadcasts_all_dims(spark, sf_small):
+    """TPC-H Q8 shape: all five dimension sides broadcast; only the two
+    fact tables (orders x lineitem) meet in a shuffle."""
+    from hadoopwebgraph_spark.queries.advanced import q125_market_share
+
+    plan = _plan(q125_market_share(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q126_pushes_filters_into_both_facts(spark, sf_small):
+    """Q10 shape: the returnflag filter reaches the lineitem scan and the
+    date range reaches the orders scan."""
+    from hadoopwebgraph_spark.queries.advanced import q126_returned_item_reporting
+
+    plan = _plan(q126_returned_item_reporting(spark, sf_small))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
