@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import ORACLE_EVENT_TS, load
 from ..registry import register
 
 
@@ -203,4 +203,39 @@ def q26_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
+
+
+@register(
+    "q27_rolling_time_window",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, {ORACLE_EVENT_TS} AS ts, user_id, value FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 2)     AS sum_last_hour
+    FROM ev
+    WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling event-time window: per user, count and value sum over "
+    "the trailing 1 hour at every event (RANGE frame with a time "
+    "interval bound — peers at the same timestamp included by both "
+    "engines). One hash exchange on user_id; the frame is evaluated "
+    "with a sliding two-pointer pass inside each sorted partition, "
+    "never by self-joining events to events (the O(n * window) trap).",
+)
+def q27_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.expr(f"count(*) OVER ({w})").cast("bigint").alias("n_last_hour"),
+        F.round(F.expr(f"sum(value) OVER ({w})"), 2).alias("sum_last_hour"),
     )
