@@ -450,3 +450,57 @@ def g23_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).alias("reciprocity"),
         )
     )
+
+
+@register(
+    "g24_transpose_roundtrip",
+    oracle=f"""
+    WITH e AS MATERIALIZED (SELECT src AS u, unnest(adj) AS v FROM {_T}),
+    tr AS MATERIALIZED (
+        SELECT v AS src, list_sort(list(DISTINCT u)) AS adj FROM e GROUP BY v
+    ),
+    nodes AS (SELECT src FROM {_T})
+    SELECT n.src,
+           CAST(coalesce(len(t.adj), 0) AS INTEGER) AS outdeg,
+           coalesce(array_to_string(t.adj, ','), '') AS adj_str
+    FROM nodes n LEFT JOIN tr t ON t.src = n.src
+    """,
+    doc="Graph transpose THROUGH the sink+source: explode to edges, "
+    "reverse, rebuild adjacency (sorted successor lists over the full "
+    "dense node range), write a real BVGraph triple with the "
+    "executor-parallel sink, re-read it through the DataSource, and "
+    "emit the g01 adjacency shape. The driver's hash against the "
+    "parquet-twin transpose certifies encoder, offsets writer, "
+    "properties, decoder, and split planning in one query — the "
+    "WebGraph `Transform.transpose` equivalent as a distributed "
+    "write/read pipeline. One shuffle builds the transpose (groupBy "
+    "dst), the sink's two jobs write segments executor-parallel.",
+)
+def g24_transpose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..bvgraph.datasource import read_bvgraph
+    from ..bvgraph.sink import write_bvgraph
+
+    g = graph_df(spark)
+    e = g.select(F.col("src").alias("u"), F.explode("adj").alias("v"))
+    nodes = g.select("src")
+    tr = (
+        e.groupBy(F.col("v").alias("src"))
+        .agg(F.sort_array(F.collect_set("u")).alias("adj"))
+    )
+    full = (
+        nodes.join(tr, "src", "left")
+        .select(
+            F.col("src").cast("int").alias("src"),
+            F.coalesce("adj", F.array().cast("array<int>")).alias("adj"),
+        )
+    )
+    basename = tempfile.mkdtemp(prefix="hwg_g24_") + "/transpose"
+    write_bvgraph(full, basename)
+    back = read_bvgraph(spark, basename, num_splits=8)
+    return back.select(
+        "src",
+        F.size("adj").alias("outdeg"),
+        F.concat_ws(",", F.col("adj")).alias("adj_str"),
+    )

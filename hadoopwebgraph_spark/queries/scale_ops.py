@@ -200,3 +200,38 @@ def q123_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q127_salted_hot_join",
+    oracle="""
+    SELECT s.s_name,
+           round(sum(l.l_quantity), 2) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+    doc="Salted hot-key join (functions/skew.py): the big side's key is "
+    "extended with hash(all columns) % 16 and the small side replicated "
+    "once per salt, so one hot supplier's rows spread over 16 reducers "
+    "instead of one — the streaming-safe skew mitigation for joins where "
+    "AQE's runtime skew split is unavailable. Result EXACT; oracle is "
+    "the plain join.",
+)
+def q127_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, s, "l_suppkey", n_salts=16)
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_name")
+    )
