@@ -1,0 +1,156 @@
+"""Unit tests for the round-5 scale-technique / graph operators beyond
+their oracle parity: hand-computed fixtures, invariants (mass
+conservation, partition-count independence), and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_mass_conserved(spark):
+    """Teleport + dangling both restart at the seeds, so total rank mass
+    stays exactly 1 every iteration."""
+    from hadoopwebgraph_spark.queries.graph_algos import personalized_pagerank
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])  # 3 dangles
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    pr = personalized_pagerank(e, seeds, nodes, iterations=5)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_ppr_unreachable_nodes_get_zero(spark):
+    """A node not reachable from the seed set (and not a seed) must end
+    with rank exactly 0 — personalization localizes the walk."""
+    from hadoopwebgraph_spark.queries.graph_algos import personalized_pagerank
+
+    # component {0,1} and disconnected component {2,3}; seed = 0
+    e = _edges(spark, [(0, 1), (1, 0), (2, 3), (3, 2)])
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    pr = personalized_pagerank(e, seeds, nodes, iterations=4)
+    by_node = {r["node"]: r["rank"] for r in pr.collect()}
+    assert by_node[2] == 0.0 and by_node[3] == 0.0
+    assert by_node[0] > 0.0 and by_node[1] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# link prediction (hand-computed Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_hand_computed(spark, monkeypatch):
+    """Square 0-1-2-3-0: opposite corners share BOTH neighbors and are
+    unlinked -> Jaccard 2/2 = 1.0 for (0,2) and (1,3); no other unlinked
+    pair shares a neighbor."""
+    import hadoopwebgraph_spark.queries.graph_algos as ga
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    monkeypatch.setattr(ga, "edges_df", lambda s: e)
+    out = ga.g22_link_prediction(spark, "unused")
+    rows = {(r["a"], r["b"]): (r["common"], r["jaccard"]) for r in out.collect()}
+    assert rows == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_reciprocity_hand_computed(spark, monkeypatch):
+    """Arcs 0->1, 1->0, 1->2 (plus a self loop that must be ignored):
+    2 of 3 arcs reciprocated."""
+    import hadoopwebgraph_spark.queries.graph as gq
+
+    e = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 2)])
+    monkeypatch.setattr(gq, "edges_df", lambda s: e)
+    row = gq.g23_reciprocity(spark, "unused").collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_reciprocal"] == 2
+    assert abs(row["reciprocity"] - round(2 / 3, 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling: partition-count invariance
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_partition_invariant(spark, sf_small):
+    """The priority sample is a pure function of content (md5), so the
+    selected set must not change with the physical partitioning."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.sampling import q121_weighted_sample
+
+    base = {r["doc_id"] for r in q121_weighted_sample(spark, sf_small).collect()}
+
+    docs = load(spark, sf_small, "documents").repartition(17)
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    reparted = {
+        r["doc_id"]
+        for r in docs.select("doc_id", (F.col("n_chars") / u).alias("priority"))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(50)
+        .collect()
+    }
+    assert base == reparted
+
+
+def test_substring_dedup_flags_planted_duplicate(spark, tmp_path, monkeypatch):
+    """Two docs sharing an 8-token span are both flagged; a doc with no
+    shared span is not."""
+    import hadoopwebgraph_spark.functions.dedup as dd
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"unique one {span} tail tokens here now"),
+        (2, f"other head words {span} and a different ending"),
+        (3, "completely different text with eight plus tokens in it ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(
+        dd, "load", lambda spark, sf_dir, name: df
+    )
+    out = {r["doc_id"]: r["n_dup_grams"] for r in
+           dd.q119_substring_dedup(spark, "unused").collect()}
+    assert 1 in out and 2 in out and 3 not in out
+    assert out[1] >= 1 and out[2] >= 1
+
+
+# ---------------------------------------------------------------------------
+# salted operators agree with unsalted under every salt count
+# ---------------------------------------------------------------------------
+
+
+def test_salted_count_distinct_matches_plain(spark, sf_small):
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.skew import salted_count_distinct
+
+    ev = load(spark, sf_small, "events")
+    plain = {
+        (r["event_type"], r["n"]) for r in
+        ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for n_salts in (1, 7, 64):
+        salted = {
+            (r["event_type"], r["n_distinct"]) for r in
+            salted_count_distinct(ev, "event_type", "user_id", n_salts).collect()
+        }
+        assert salted == plain, f"n_salts={n_salts}"
+
+
+def test_bloom_join_confs_do_not_leak(spark, sf_small):
+    """q118 runs on an isolated newSession: the calling session's
+    broadcast threshold and bloom confs stay untouched afterward."""
+    from hadoopwebgraph_spark.queries.scale_ops import q118_bloom_filter_join
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    q118_bloom_filter_join(spark, sf_small).collect()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
