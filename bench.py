@@ -200,10 +200,19 @@ def main() -> None:
 
         from hadoopwebgraph_spark.bvgraph.sink import write_bvgraph
 
+        # node count from the fixture's .properties — skips the count()
+        # job (a full second decode just to size the segments)
+        from hadoopwebgraph_spark.bvgraph.properties import parse_properties
+
+        with open(xl + ".properties") as f:
+            xl_nodes = parse_properties(f.read()).nodes
+
         with tempfile.TemporaryDirectory() as td:
             t0 = time.perf_counter()
             pw = write_bvgraph(
-                read_bvgraph(spark, xl, num_splits=32), os.path.join(td, "xlw")
+                read_bvgraph(spark, xl, num_splits=32),
+                os.path.join(td, "xlw"),
+                n_nodes=xl_nodes,
             )
             dt_w = time.perf_counter() - t0
         timings["gXL_sink_write"] = round(dt_w, 3)

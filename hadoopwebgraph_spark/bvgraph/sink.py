@@ -175,6 +175,7 @@ def write_bvgraph(
     df: DataFrame,
     basename: str,
     store: SegmentStore | None = None,
+    n_nodes: int | None = None,
     **props_kw,
 ) -> BVGraphProperties:
     """Write DataFrame[src INT, adj ARRAY<INT>] (src dense 0..n-1) to a
@@ -187,8 +188,13 @@ def write_bvgraph(
     splices parts in order. ``store`` defaults to a ``LocalFSStore`` next
     to the output (requires a task/driver-shared filesystem — pass a
     blob-backed ``SegmentStore`` on clusters without one).
+
+    ``n_nodes``: pass the (dense) node count when the caller already
+    knows it — e.g. from the source graph's ``.properties`` — to skip
+    the ``df.count()`` job, which for a graph-source input is a full
+    second decode of the graph just to size the segments.
     """
-    n = df.count()
+    n = int(n_nodes) if n_nodes is not None else df.count()
     spark = df.sparkSession
 
     # Contiguous ranges: src is dense 0..n-1, so the range boundaries are
