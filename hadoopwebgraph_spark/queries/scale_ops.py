@@ -173,14 +173,17 @@ _N_BUCKETS = 20
         SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         FROM lineitem
     )
-    SELECT CAST(least(floor((l_extendedprice - lo) / (hi - lo) * {_N_BUCKETS}),
+    SELECT CAST(least(floor((l_extendedprice - lo)
+                            / greatest(hi - lo, 1e-12) * {_N_BUCKETS}),
                       {_N_BUCKETS - 1}) AS BIGINT) AS bucket,
            count(*) AS n_rows
     FROM lineitem CROSS JOIN bounds
     GROUP BY 1
     """,
     doc="Equi-width histogram of l_extendedprice in 20 buckets: global "
-    "min/max from a one-row aggregate broadcast back over the scan, "
+    "min/max from a one-row aggregate broadcast back over the scan "
+    "(greatest(range, 1e-12) guards a constant column identically on "
+    "both engines — the q75 precedent), "
     "bucket index by pure arithmetic (identical IEEE ops on both "
     "engines), one shuffle on 20 keys. Two scans total regardless of "
     "bucket count.",
@@ -192,7 +195,11 @@ def q123_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = F.col("l_extendedprice")
     bucket = F.least(
-        F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * _N_BUCKETS),
+        F.floor(
+            (x - F.col("lo"))
+            / F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12))
+            * _N_BUCKETS
+        ),
         F.lit(_N_BUCKETS - 1),
     ).cast("bigint")
     return (
