@@ -235,13 +235,19 @@ _PRIORITY_K = 50
     oracle=f"""
     SELECT doc_id, n_chars, round(priority, 4) AS priority
     FROM (
-        SELECT doc_id, n_chars,
-               n_chars / ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                                AS BIGINT) + 0.5) / 4294967296.0) AS priority
-        FROM documents
+        SELECT doc_id, n_chars, priority
+        FROM (
+            SELECT doc_id, n_chars,
+                   n_chars / ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                    AS BIGINT) + 0.5) / 4294967296.0) AS priority
+            FROM documents
+        )
+        -- order/limit on the UNROUNDED priority (inner column), matching the
+        -- Spark side; an outer ORDER BY priority would capture the rounded
+        -- output alias and could flip the cut at the LIMIT boundary
+        ORDER BY priority DESC, doc_id
+        LIMIT {_PRIORITY_K}
     )
-    ORDER BY priority DESC, doc_id
-    LIMIT {_PRIORITY_K}
     """,
     doc="Weighted sample without replacement via PRIORITY SAMPLING "
     "(Duffield, Lund & Thorup, JACM 2007): per-row priority = weight / u "

@@ -490,7 +490,7 @@ def q113_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q125_market_share",
     oracle="""
     SELECT yr,
-           round(sum(CASE WHEN nation = 'CHINA' THEN volume ELSE 0.0 END)
+           round(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0.0 END)
                  / sum(volume), 6) AS mkt_share
     FROM (
         SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS yr,
@@ -511,7 +511,7 @@ def q113_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 shape (national market share): 8-table star join — "
     "PROMO-part order volume shipped into ASIA customers, per order "
-    "year, with the share supplied from CHINA. All five dimension "
+    "year, with the share supplied from NATION_9 (the fixture's top ASIA-PROMO supplier nation, so the conditional-sum branch is exercised with a non-zero share). All five dimension "
     "tables (part-filter aside) broadcast; only orders x lineitem "
     "shuffles. Share = ratio of two sums computed in one aggregate "
     "pass (conditional sum / total sum), rounded on both engines.",
@@ -546,7 +546,7 @@ def q125_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("yr")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "CHINA", F.col("volume")).otherwise(0.0))
+                F.sum(F.when(F.col("nation") == "NATION_9", F.col("volume")).otherwise(0.0))
                 / F.sum("volume"),
                 6,
             ).alias("mkt_share")

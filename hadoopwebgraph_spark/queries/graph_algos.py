@@ -699,8 +699,14 @@ def personalized_pagerank(
     contribution edges are hash-partitioned on src once and reused every
     iteration; only the rank side shuffles per round; localCheckpoint
     truncates lineage.
+
+    Deliberately a separate loop from :func:`pagerank` rather than a
+    shared parameterized one: the two oracles pin different float
+    expressions term-for-term (base + d*(dm/n + s) vs base*sv +
+    d*(dm*sv + s)), and folding standard PR into the sv form would
+    change its last-ULP results (dm*(1/n) != dm/n) and break g11's
+    pinned oracle. Keep edits to the loop bodies in sync by hand.
     """
-    nodes = nodes.persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     contrib_edges = (
@@ -747,7 +753,6 @@ def personalized_pagerank(
             )
             .localCheckpoint()
         )
-    nodes.unpersist()
     outdeg.unpersist()
     contrib_edges.unpersist()
     sv.unpersist()
