@@ -563,3 +563,58 @@ def q122_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("distance") >= 0)
         .select("part_a", "part_b", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-vs-batch) dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q128_incremental_dedup",
+    oracle="""
+    WITH prev AS (
+        SELECT sha256(text) AS h FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+    ),
+    batch AS (
+        SELECT doc_id, source, sha256(text) AS h FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              NOT IN ('0','1','2','3','4','5','6','7')
+    ),
+    survivors AS (
+        SELECT b.doc_id, b.source FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.h = b.h)
+    )
+    SELECT source,
+           count(*) AS n_new,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM survivors
+    GROUP BY source
+    """,
+    doc="Incremental corpus-refresh dedup: an incoming batch (md5 band "
+    "8-f of documents, standing in for today's crawl) is deduped against "
+    "the existing corpus snapshot (band 0-7) by content hash — one "
+    "left-anti join on sha256(text), the recurring production shape "
+    "where a full re-dedup of 100 TB per ingest would be absurd. Only "
+    "the 256-bit digests shuffle, never document text; at scale the "
+    "snapshot side is a bucketed digest table so the anti-join "
+    "co-locates without reshuffling the corpus. Output: surviving new "
+    "docs per source.",
+)
+def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    band = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    prev_bands = list("01234567")
+    prev = d.filter(band.isin(prev_bands)).select(
+        F.sha2("text", 256).alias("h")
+    )
+    batch = d.filter(~band.isin(prev_bands)).select(
+        "doc_id", "source", F.sha2("text", 256).alias("h")
+    )
+    survivors = batch.join(prev, "h", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
