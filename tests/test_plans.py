@@ -367,3 +367,14 @@ def test_q126_pushes_filters_into_both_facts(spark, sf_small):
     plan = _plan(q126_returned_item_reporting(spark, sf_small))
     assert "EqualTo(l_returnflag,R)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q128_incremental_dedup_anti_join(spark, sf_small):
+    """Snapshot-vs-batch dedup is a LeftAnti join on the content digest —
+    never a cartesian pairing, and the join key is the 64-char hash
+    column (document text itself stays out of the join)."""
+    from hadoopwebgraph_spark.functions.dedup import q128_incremental_dedup
+
+    plan = _plan(q128_incremental_dedup(spark, sf_small))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
