@@ -618,3 +618,56 @@ def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    snapshot_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming corpus-refresh dedup (the q128 shape as an always-on
+    ingestion job): watch ``incoming_dir`` for new document files; each
+    micro-batch is content-hashed, left-anti joined against the persisted
+    digest snapshot at ``snapshot_dir``, the survivors appended to
+    ``out_dir`` AND their digests appended to the snapshot — so later
+    batches dedup against everything already accepted (exactly-once via
+    the checkpoint; within-batch duplicates collapse to the first doc_id).
+
+    Scale design: the snapshot holds only 32-byte digests (~0.03% of a
+    text corpus), the per-batch anti-join shuffles digests, never text;
+    at 100 TB the snapshot is a bucketed table so the join co-locates.
+    Returns the StreamingQuery."""
+    import os as _os
+
+    try:
+        file_schema = spark.read.parquet(incoming_dir).schema
+    except Exception:  # empty watch dir at stream start — files arrive later
+        file_schema = (
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+    stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
+    digests = _os.path.join(snapshot_dir, "digests")
+
+    def dedup_batch(batch_df, batch_id):
+        b = batch_df.withColumn("h", F.sha2("text", 256))
+        # collapse within-batch duplicates deterministically (keep-first)
+        w_first = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        b = b.join(w_first, ["h", "doc_id"], "left_semi")
+        spark_l = b.sparkSession
+        try:
+            prev = spark_l.read.parquet(digests)
+            fresh = b.join(prev, "h", "left_anti")
+        except Exception:  # first batch: no snapshot yet
+            fresh = b
+        fresh.persist()
+        fresh.drop("h").write.mode("append").parquet(out_dir)
+        fresh.select("h").write.mode("append").parquet(digests)
+        fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

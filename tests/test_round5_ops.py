@@ -154,3 +154,51 @@ def test_bloom_join_confs_do_not_leak(spark, sf_small):
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     q118_bloom_filter_join(spark, sf_small).collect()
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Two micro-batches through the streaming corpus-refresh dedup:
+    batch 2's duplicates of batch 1 (and of the pre-seeded snapshot) are
+    dropped; within-batch duplicates collapse to the first doc_id."""
+    import os
+
+    from hadoopwebgraph_spark.functions.dedup import incremental_dedup_stream
+
+    incoming = str(tmp_path / "incoming")
+    snapshot = str(tmp_path / "snap")
+    out = str(tmp_path / "out")
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha text", "en", "web", 10),
+            (2, "beta text", "en", "web", 9),
+            (3, "alpha text", "en", "web", 10),  # within-batch dup of 1
+        ],
+        schema,
+    )
+    # micro-batch files go directly into the watched directory (the file
+    # source treats non-k=v subdirectories as opaque, not as new files)
+    b1.write.mode("append").parquet(incoming)
+
+    q = incremental_dedup_stream(
+        spark, incoming, snapshot, out, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [
+                (10, "beta text", "en", "web", 9),   # dup of accepted doc 2
+                (11, "gamma text", "en", "web", 10),  # genuinely new
+            ],
+            schema,
+        )
+        b2.write.mode("append").parquet(incoming)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 11}
+    n_digests = spark.read.parquet(os.path.join(snapshot, "digests")).count()
+    assert n_digests == 3  # alpha, beta, gamma
