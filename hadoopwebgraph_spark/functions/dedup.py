@@ -90,10 +90,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig): md5-based min-hash per seed, concatenated into
     band signatures.
 
-    One shingle explode, then ALL N_HASHES min-hashes as parallel aggregates
-    of a single groupBy (map-side combined) — no seed explosion, so the
-    shuffle carries one row per (doc, shingle) instead of N_HASHES of them.
-    Bands unpivot via stack() (no second shuffle)."""
+    Fully row-local: shingle -> digest -> per-seed min entirely inside
+    array expressions (one md5 per shingle, `array_min` over a rotated
+    view per seed) — NO explode and NO shuffle before banding. The old
+    formulation exploded shingles and ran a groupBy(doc_id) with 8 min
+    aggregates: correct, but it shuffled one row per (doc, shingle);
+    this one shuffles nothing until the (band, sig) bucket groupBy,
+    whose input is one row per doc. Per-seed orderings are hex rotations
+    of the digest (cheap codegen'd substr+concat instead of N_HASHES md5
+    calls; slight inter-seed correlation is an accepted LSH trade-off)."""
     w = F.split("text", " ")
     shingles = F.array_distinct(
         F.transform(
@@ -101,20 +106,26 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
         )
     )
-    sh = _spread(docs.filter(F.size(w) >= SHINGLE_K)).select(
-        "doc_id", F.explode(shingles).alias("s")
-    )
-    # one md5 per shingle; the per-seed orderings are hex rotations of the
-    # digest (cheap codegen'd substr+concat instead of N_HASHES md5 calls;
-    # slight inter-seed correlation is an accepted LSH trade-off)
-    h = F.md5("s")
-    def rot(seed: int):
+
+    def rot(h, seed: int):
         if seed == 0:
             return h
-        return F.concat(F.substring(h, 4 * seed + 1, 32 - 4 * seed), F.substring(h, 1, 4 * seed))
+        return F.concat(
+            F.substring(h, 4 * seed + 1, 32 - 4 * seed), F.substring(h, 1, 4 * seed)
+        )
 
-    mins = sh.groupBy("doc_id").agg(
-        *[F.min(rot(seed)).alias(f"mh{seed}") for seed in range(N_HASHES)]
+    digests = F.transform(shingles, lambda s: F.md5(s))
+    base = _spread(docs.filter(F.size(w) >= SHINGLE_K)).select(
+        "doc_id", digests.alias("_d")
+    )
+    def seed_min(seed: int):
+        # NB: a default-arg lambda (lambda d, _s=seed: ...) is wrong here —
+        # pyspark passes the element INDEX to two-arg transform lambdas
+        return F.array_min(F.transform(F.col("_d"), lambda d: rot(d, seed)))
+
+    mins = base.select(
+        "doc_id",
+        *[seed_min(seed).alias(f"mh{seed}") for seed in range(N_HASHES)],
     )
     n_bands = N_HASHES // BAND_SIZE
     stack_args = ", ".join(
