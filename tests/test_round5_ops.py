@@ -202,3 +202,60 @@ def test_incremental_dedup_stream(spark, tmp_path):
     assert got == {1, 2, 11}
     n_digests = spark.read.parquet(os.path.join(snapshot, "digests")).count()
     assert n_digests == 3  # alpha, beta, gamma
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """Randomized cross-check of q119 against a pure-Python gram counter:
+    tiny 3-letter vocabulary so 8-gram collisions actually occur."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import hadoopwebgraph_spark.functions.dedup as dd
+
+    token = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(token, min_size=0, max_size=14).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=8)
+
+    orig_load = dd.load
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus)
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        dd.load = lambda spark, sf_dir, name: df
+        try:
+            got = {
+                r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+                for r in dd.q119_substring_dedup(spark, "unused").collect()
+            }
+        finally:
+            dd.load = orig_load
+        # python reference (split(' ') keeps empty tokens, like both engines)
+        gram_count = Counter()
+        per_doc = {}
+        for i, t in rows:
+            if t == "":
+                continue
+            toks = t.split(" ")
+            if len(toks) < 8:
+                continue
+            grams = [
+                " ".join(toks[p : p + 8]) for p in range(len(toks) - 7)
+            ]
+            per_doc[i] = grams
+            gram_count.update(grams)
+        want = {}
+        for i, grams in per_doc.items():
+            dups = sum(1 for g in grams if gram_count[g] >= 2)
+            if dups > 0:
+                want[i] = (len(grams), dups)
+        assert got == want
+
+    check()
