@@ -259,3 +259,50 @@ def test_substring_dedup_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_salted_join_matches_plain(spark):
+    """salted_join must equal the plain inner join row-for-row, including
+    under duplicate keys on both sides."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoopwebgraph_spark.functions.skew import salted_join
+
+    keys = st.integers(min_value=0, max_value=4)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.tuples(keys, st.integers(0, 99)), min_size=0, max_size=20),
+        st.lists(st.tuples(keys, st.integers(0, 99)), min_size=0, max_size=8),
+    )
+    def check(big_rows, small_rows):
+        big = spark.createDataFrame(big_rows, "k int, v int") if big_rows else \
+            spark.createDataFrame([], "k int, v int")
+        small = spark.createDataFrame(small_rows, "k int, w int") if small_rows else \
+            spark.createDataFrame([], "k int, w int")
+        plain = sorted(tuple(r) for r in big.join(small, "k").collect())
+        salted = sorted(tuple(r) for r in salted_join(big, small, "k").collect())
+        assert salted == plain
+
+    check()
+
+
+def test_table_profile_counts_nulls(spark, monkeypatch):
+    """q120's n/n_null/n_distinct account for NULLs the way the oracle's
+    count(col)/count(*) difference does."""
+    import hadoopwebgraph_spark.queries.scale_ops as so
+
+    rows = [(1.0, 2.0, None, 0.1), (None, 2.0, None, 0.1), (3.0, None, None, 0.2)]
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double, l_discount double, l_tax double"
+    )
+    monkeypatch.setattr(so, "load", lambda spark, sf_dir, name: df)
+    got = {
+        r["column_name"]: (r["n"], r["n_null"], r["n_distinct"])
+        for r in so.q120_table_profile(spark, "unused").collect()
+    }
+    assert got["l_quantity"] == (2, 1, 2)
+    assert got["l_extendedprice"] == (2, 1, 1)
+    assert got["l_discount"] == (0, 3, 0)
+    assert got["l_tax"] == (3, 0, 2)
