@@ -585,12 +585,12 @@ def q122_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q128_incremental_dedup",
     oracle="""
     WITH prev AS (
-        SELECT sha256(text) AS h FROM documents
+        SELECT sha256(coalesce(text, '')) AS h FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
               IN ('0','1','2','3','4','5','6','7')
     ),
     batch AS (
-        SELECT doc_id, source, sha256(text) AS h FROM documents
+        SELECT doc_id, source, sha256(coalesce(text, '')) AS h FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
               NOT IN ('0','1','2','3','4','5','6','7')
     ),
@@ -618,17 +618,58 @@ def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     band = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     prev_bands = list("01234567")
-    prev = d.filter(band.isin(prev_bands)).select(
-        F.sha2("text", 256).alias("h")
-    )
+    # NULL text hashes as '' (identically in the oracle and the streaming
+    # twin _dedup_one_batch) — no NULL join keys, defined dedup semantics
+    h = F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+    prev = d.filter(band.isin(prev_bands)).select(h.alias("h"))
     batch = d.filter(~band.isin(prev_bands)).select(
-        "doc_id", "source", F.sha2("text", 256).alias("h")
+        "doc_id", "source", h.alias("h")
     )
     survivors = batch.join(prev, "h", "left_anti")
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_new"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+def _dedup_one_batch(batch_df: DataFrame, batch_id: int, digests: str, out_dir: str):
+    """One micro-batch of the incremental dedup (module-level so replay
+    semantics are unit-testable). Idempotent under batch replay: both
+    writes target a ``batch_id=<id>`` partition directory with
+    mode("overwrite"), so a crash between the two writes followed by a
+    checkpoint replay REPLACES the partial output instead of appending a
+    duplicate — the standard foreachBatch idempotency pattern.
+
+    NULL text hashes as the empty string (coalesce) so no NULL join keys
+    exist: a NULL-text row dedups like an empty document instead of
+    silently vanishing through a never-matching equi-join."""
+    import os as _os
+
+    b = batch_df.withColumn("h", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+    # collapse within-batch duplicates deterministically: one row per
+    # digest (keep-first doc_id); dropDuplicates also collapses exact
+    # repeats of the SAME (h, doc_id) row (producer retries)
+    w_first = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    b = b.dropDuplicates(["h", "doc_id"]).join(w_first, ["h", "doc_id"], "left_semi")
+    spark_l = b.sparkSession
+    # only a genuinely absent snapshot means "first batch"; any OTHER
+    # read failure (corrupt footer, transient FS error) must propagate so
+    # the checkpoint retries rather than re-admitting known duplicates
+    if _os.path.isdir(digests):
+        prev = spark_l.read.parquet(digests).select("h")
+        fresh = b.join(prev, "h", "left_anti")
+    else:
+        fresh = b
+    fresh.persist()
+    try:
+        fresh.drop("h").write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        fresh.select("h").write.mode("overwrite").parquet(
+            _os.path.join(digests, f"batch_id={batch_id}")
+        )
+    finally:
+        fresh.unpersist()
 
 
 def incremental_dedup_stream(
@@ -641,10 +682,12 @@ def incremental_dedup_stream(
     """Streaming corpus-refresh dedup (the q128 shape as an always-on
     ingestion job): watch ``incoming_dir`` for new document files; each
     micro-batch is content-hashed, left-anti joined against the persisted
-    digest snapshot at ``snapshot_dir``, the survivors appended to
-    ``out_dir`` AND their digests appended to the snapshot — so later
-    batches dedup against everything already accepted (exactly-once via
-    the checkpoint; within-batch duplicates collapse to the first doc_id).
+    digest snapshot at ``snapshot_dir``, the survivors written to
+    ``out_dir`` AND their digests to the snapshot — so later batches
+    dedup against everything already accepted. Within-batch duplicates
+    collapse to the first doc_id; batch replay after a crash is
+    idempotent (see :func:`_dedup_one_batch` — per-batch partition
+    overwrite, not blind append).
 
     Scale design: the snapshot holds only 32-byte digests (~0.03% of a
     text corpus), the per-batch anti-join shuffles digests, never text;
@@ -661,24 +704,12 @@ def incremental_dedup_stream(
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     digests = _os.path.join(snapshot_dir, "digests")
 
-    def dedup_batch(batch_df, batch_id):
-        b = batch_df.withColumn("h", F.sha2("text", 256))
-        # collapse within-batch duplicates deterministically (keep-first)
-        w_first = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        b = b.join(w_first, ["h", "doc_id"], "left_semi")
-        spark_l = b.sparkSession
-        try:
-            prev = spark_l.read.parquet(digests)
-            fresh = b.join(prev, "h", "left_anti")
-        except Exception:  # first batch: no snapshot yet
-            fresh = b
-        fresh.persist()
-        fresh.drop("h").write.mode("append").parquet(out_dir)
-        fresh.select("h").write.mode("append").parquet(digests)
-        fresh.unpersist()
-
     return (
-        stream.writeStream.foreachBatch(dedup_batch)
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _dedup_one_batch(
+                batch_df, batch_id, digests, out_dir
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

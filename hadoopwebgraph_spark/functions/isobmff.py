@@ -50,12 +50,16 @@ def write_mp4(
     timescale: int = 1000,
     frame_duration: int = 40,
     chunk_size: int = 3,
+    audio_decoy: bool = False,
 ) -> bytes:
     """Serialize opaque frame payloads as a one-track ISO-BMFF file.
 
     Samples are grouped into chunks of ``chunk_size`` (the last chunk may
     be short) so ``stsc`` has a real chunk-run table; ``stco`` stores one
-    file-absolute offset per chunk.
+    file-absolute offset per chunk. ``audio_decoy`` prepends a minimal
+    empty audio (`hdlr` = soun) trak BEFORE the video trak — the layout
+    of a typical phone recording — to exercise the parser's
+    handler-based track selection.
     """
     if not frames:
         raise ValueError("mp4 needs at least one sample")
@@ -170,8 +174,47 @@ def write_mp4(
         + bytes(24)
         + _U32.pack(2),  # next track id
     )
-    moov = _box(b"moov", mvhd + trak)
+    traks = (_audio_decoy_trak(timescale) if audio_decoy else b"") + trak
+    moov = _box(b"moov", mvhd + traks)
     return ftyp + mdat + moov
+
+
+def _audio_decoy_trak(timescale: int) -> bytes:
+    """A structurally valid zero-sample audio trak (hdlr 'soun')."""
+    empty32 = _U32.pack(0)
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, empty32)
+        + _full(b"stts", 0, 0, empty32)
+        + _full(b"stsc", 0, 0, empty32)
+        + _full(b"stsz", 0, 0, empty32 * 2)
+        + _full(b"stco", 0, 0, empty32),
+    )
+    url_ = _full(b"url ", 0, 1, b"")
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, _U32.pack(1) + url_))
+    smhd = _full(b"smhd", 0, 0, _U32.pack(0))
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdhd = _full(
+        b"mdhd",
+        0,
+        0,
+        empty32 * 2 + _U32.pack(timescale) + empty32 + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", 0, 0, empty32 + b"soun" + bytes(12) + b"audio\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        0,
+        7,
+        empty32 * 2
+        + _U32.pack(9)  # decoy track id
+        + empty32 * 2
+        + bytes(8)
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _unity_matrix()
+        + empty32 * 2,
+    )
+    return _box(b"trak", tkhd + mdia)
 
 
 def _unity_matrix() -> bytes:
@@ -225,14 +268,36 @@ class SampleTable:
     durations: list[int]  # in timescale units
 
 
+def _video_trak(data: bytes, moov_s: int, moov_e: int) -> tuple[int, int]:
+    """First trak whose mdia/hdlr handler is 'vide' (a typical phone
+    file puts the audio trak first — blindly taking trak #1 would demux
+    AAC packets as frames); falls back to the first trak when no
+    handler says video."""
+    first = None
+    for btype, ps, pe in _iter_boxes(data, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        if first is None:
+            first = (ps, pe)
+        try:
+            h_s, h_e = _find(data, ps, pe, b"mdia", b"hdlr")
+        except ValueError:
+            continue
+        # full-box payload: version/flags(4) + pre_defined(4) + handler(4)
+        if data[h_s + 8 : h_s + 12] == b"vide":
+            return ps, pe
+    if first is None:
+        raise ValueError("no trak box in moov")
+    return first
+
+
 def sample_table(data: bytes) -> SampleTable:
     """Resolve the per-sample byte ranges from the real sample tables —
     the demux step every MP4 reader performs; no codec work."""
     moov_s, moov_e = _find(data, 0, len(data), b"moov")
-    stbl_s, stbl_e = _find(
-        data, moov_s, moov_e, b"trak", b"mdia", b"minf", b"stbl"
-    )
-    mdhd_s, _ = _find(data, moov_s, moov_e, b"trak", b"mdia", b"mdhd")
+    trak_s, trak_e = _video_trak(data, moov_s, moov_e)
+    stbl_s, stbl_e = _find(data, trak_s, trak_e, b"mdia", b"minf", b"stbl")
+    mdhd_s, _ = _find(data, trak_s, trak_e, b"mdia", b"mdhd")
     version = data[mdhd_s]
     timescale = _U32.unpack_from(data, mdhd_s + (20 if version == 1 else 12))[0]
 

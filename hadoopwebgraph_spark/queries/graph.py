@@ -500,10 +500,14 @@ def g24_transpose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("adj", F.array().cast("array<int>")).alias("adj"),
         )
     )
-    # fixed scratch location wiped per run: repeated invocations (driver
-    # rounds, bench, CLI) keep exactly one graph copy on disk instead of
-    # leaking a mkdtemp triple + spill dir every call
-    out_dir = os.path.join(tempfile.gettempdir(), "hwg_g24_transpose")
+    # per-PROCESS scratch dir wiped per run: repeated invocations in one
+    # process (driver rounds, bench, CLI) keep one graph copy instead of
+    # leaking a mkdtemp triple per call, while concurrent processes
+    # (pytest-xdist, bench alongside CLI) can't rmtree each other's
+    # in-flight files
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hwg_g24_transpose.{os.getpid()}"
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     basename = os.path.join(out_dir, "transpose")

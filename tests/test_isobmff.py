@@ -107,3 +107,12 @@ def test_spark_frame_sampling_over_mp4(spark):
             px = (did * 31 + f * 7 + base) % 256
             want[(did, f)] = round(float(np.mean(px.astype(np.float64))), 4)
     assert got == want
+
+
+def test_video_track_selected_over_leading_audio_trak():
+    """A decoy audio trak BEFORE the video trak (the typical phone-file
+    layout) must not be demuxed: handler-based selection picks 'vide'."""
+    frames = [b"video-frame-%d" % i for i in range(4)]
+    data = write_mp4(frames, chunk_size=2, audio_decoy=True)
+    t = sample_table(data)
+    assert [data[o : o + s] for o, s in zip(t.offsets, t.sizes)] == frames
