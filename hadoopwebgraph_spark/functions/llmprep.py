@@ -321,3 +321,48 @@ def q105_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reasons"),
         (reasons == "").alias("pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG / training-window preprocessing)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the RAG /
+    context-window preprocessing staple.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and span up to
+    ``chunk_tokens`` tokens; the final chunk may be shorter, and a
+    trailing start position that would duplicate a fully-covered suffix
+    is still emitted only if it contributes new tokens (start < n).
+    Chunk identity is (doc_id, chunk_idx) — stable under corpus growth
+    because it derives only from the document itself.
+
+    Scale design: pure array expressions (split / sequence / slice /
+    array_join) inside one narrow projection + explode — no shuffle at
+    all; the explode fan-out is len/stride rows per doc, each carrying
+    only its own chunk text. Returns DataFrame[doc_id, chunk_idx,
+    chunk_text, n_chunk_tokens].
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split("text", " ")
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # built from the projected "w" column — the source "text" column is
+    # gone after the first select
+    chunk = F.slice(F.col("w"), F.col("start") + 1, chunk_tokens)
+    return (
+        docs.filter(F.col("text") != "")
+        .select("doc_id", w.alias("w"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("int").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )

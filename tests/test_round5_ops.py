@@ -306,3 +306,58 @@ def test_table_profile_counts_nulls(spark, monkeypatch):
     assert got["l_extendedprice"] == (2, 1, 1)
     assert got["l_discount"] == (0, 3, 0)
     assert got["l_tax"] == (3, 0, 2)
+
+
+def test_chunk_documents_hand_computed(spark):
+    from hadoopwebgraph_spark.functions.llmprep import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # stride 3: starts 0,3,6 for the 7-token doc
+    assert out == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("d e f g", 4),
+        (1, 2): ("g", 1),
+        (2, 0): ("x y", 2),
+    }
+
+
+def test_chunk_documents_properties(spark):
+    """Every token position is covered; consecutive chunks overlap by
+    exactly `overlap` except at the tail; chunking is shuffle-free."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hadoopwebgraph_spark.functions.llmprep import chunk_documents
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.integers(min_value=1, max_value=30))
+    def check(n_tokens):
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        chunks = sorted(
+            (r["chunk_idx"], r["chunk_text"].split(" "))
+            for r in chunk_documents(docs, chunk_tokens=8, overlap=3).collect()
+        )
+        covered = [t for _, toks in chunks for t in toks]
+        assert set(covered) == {f"t{i}" for i in range(n_tokens)}
+        for (i1, t1), (i2, t2) in zip(chunks, chunks[1:]):
+            assert i2 == i1 + 1
+            if len(t1) == 8:  # full chunk: next starts stride=5 later
+                assert t1[5:] == t2[: len(t1[5:])]
+
+    check()
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
