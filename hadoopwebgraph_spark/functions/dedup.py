@@ -479,8 +479,8 @@ _GRAM = 8  # tokens per gram; Lee et al. use 50 on BPE tokens — same machinery
     SELECT doc_id,
            CAST(max(n) - {_GRAM - 1} AS BIGINT) AS n_grams,
            sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_grams,
-           round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
-                 / (max(n) - {_GRAM - 1}), 4) AS dup_ratio
+           CAST((10000 * sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END))
+                // (max(n) - {_GRAM - 1}) AS BIGINT) AS dup_ratio_bp
     FROM counted
     GROUP BY doc_id
     HAVING sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) > 0
@@ -489,7 +489,9 @@ _GRAM = 8  # tokens per gram; Lee et al. use 50 on BPE tokens — same machinery
     "Training Data' span-dedup shape): every 8-token gram of every document, "
     "hashed; a gram occurring >= 2 times ANYWHERE in the corpus marks its "
     "position as duplicated text. Per doc: gram count, duplicated-gram "
-    "count, duplicated ratio. One shuffle on the gram hash (window count — "
+    "count, duplicated ratio in integer basis points (integer division on "
+    "both engines — no float round, so the driver hash cannot tie-break "
+    "differently). One shuffle on the gram hash (window count — "
     "no self-join), one on doc_id; gram strings never shuffle, only their "
     "md5. At 100 TB this is the standard alternative to a distributed "
     "suffix array: candidate spans exact, memory bounded per partition.",
@@ -521,7 +523,12 @@ def q119_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.max("n") - F.lit(_GRAM - 1)).cast("bigint").alias("n_grams"),
             dup.alias("n_dup_grams"),
-            F.round(dup / (F.max("n") - F.lit(_GRAM - 1)), 4).alias("dup_ratio"),
+        )
+        # integer-exact basis points: `div` is Spark's integer division,
+        # `//` DuckDB's — identical results, no float rounding anywhere.
+        .withColumn(
+            "dup_ratio_bp",
+            F.expr("CAST((10000 * n_dup_grams) div n_grams AS BIGINT)"),
         )
         .filter(F.col("n_dup_grams") > 0)
     )

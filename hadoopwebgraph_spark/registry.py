@@ -144,6 +144,36 @@ _DRIVER_GREEN.update(
         ).split()
     }
 )
+# Round 5's 50-row window (CORRECTNESS_r05.json): every row green — 46
+# hash-matched, q115/q76/q77 rows-only by design — EXCEPT
+# q119_substring_dedup (hash mismatch: float-round tie-breaking; fixed in
+# round 6 by emitting the ratio as integer basis points). q119 is left
+# UNstamped so it sorts first into round 6's driver window.
+_DRIVER_GREEN.update(
+    {
+        name: 5
+        for name in (
+            "g16_bfs_distances g17_kcore g18_hits g19_clustering_coefficient "
+            "g20_degree_assortativity g21_personalized_pagerank "
+            "g22_link_prediction g23_reciprocity g24_transpose_roundtrip "
+            "q100_repetition_stats q101_mixture_sample "
+            "q102_stream_stream_join q103_correlated_agg_subquery "
+            "q104_exists_subquery q105_quality_filter q106_scd2_history "
+            "q107_stratified_fixed_n q108_gif_frame_sample q109_zorder_curve "
+            "q110_volume_shipping q111_latest_per_key q112_gap_fill_ffill "
+            "q113_corr_stats q114_ulaw_audio_decode q115_bpe_train "
+            "q116_funnel_analysis q117_retention_cohorts "
+            "q118_bloom_filter_join q120_table_profile q121_weighted_sample "
+            "q122_editdist_join q123_histogram q124_salted_count_distinct "
+            "q125_market_share q126_returned_item_reporting "
+            "q127_salted_hot_join q128_incremental_dedup "
+            "q27_rolling_time_window q76_sim_opq_topk q77_sim_knn_graph_topk "
+            "q97_jpeg_decode q98_decontaminate q99_pii_scrub q47_unpivot "
+            "q48_inmemory_scan q49_collect_agg q56_shipping_priority "
+            "q57_local_supplier_volume q58_pure_theta"
+        ).split()
+    }
+)
 
 
 def all_queries() -> dict[str, Query]:
