@@ -478,7 +478,7 @@ _GRAM = 8  # tokens per gram; Lee et al. use 50 on BPE tokens — same machinery
     )
     SELECT doc_id,
            CAST(max(n) - {_GRAM - 1} AS BIGINT) AS n_grams,
-           sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_grams,
+           CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
            CAST((10000 * sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END))
                 // (max(n) - {_GRAM - 1}) AS BIGINT) AS dup_ratio_bp
     FROM counted
