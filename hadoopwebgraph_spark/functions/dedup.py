@@ -645,7 +645,11 @@ def _dedup_one_batch(batch_df: DataFrame, batch_id: int, digests: str, out_dir: 
     writes target a ``batch_id=<id>`` partition directory with
     mode("overwrite"), so a crash between the two writes followed by a
     checkpoint replay REPLACES the partial output instead of appending a
-    duplicate — the standard foreachBatch idempotency pattern.
+    duplicate — the standard foreachBatch idempotency pattern. The
+    snapshot read excludes the in-flight ``batch_id`` partition, so a
+    replay that happens AFTER the digest write still sees exactly the
+    pre-batch snapshot instead of anti-joining the batch against itself
+    (which would silently erase it).
 
     NULL text hashes as the empty string (coalesce) so no NULL join keys
     exist: a NULL-text row dedups like an empty document instead of
@@ -659,14 +663,35 @@ def _dedup_one_batch(batch_df: DataFrame, batch_id: int, digests: str, out_dir: 
     w_first = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     b = b.dropDuplicates(["h", "doc_id"]).join(w_first, ["h", "doc_id"], "left_semi")
     spark_l = b.sparkSession
-    # only a genuinely absent snapshot means "first batch"; any OTHER
-    # read failure (corrupt footer, transient FS error) must propagate so
-    # the checkpoint retries rather than re-admitting known duplicates
-    if _os.path.isdir(digests):
-        prev = spark_l.read.parquet(digests).select("h")
-        fresh = b.join(prev, "h", "left_anti")
-    else:
-        fresh = b
+    # Snapshot existence is probed by ATTEMPTING the read, not by a
+    # driver-local os.path check (snapshot_dir may be HDFS/S3 where the
+    # local check is always False and would silently skip dedup forever).
+    # Only a genuinely absent path means "first batch"; any OTHER read
+    # failure (corrupt footer, transient FS error) must propagate so the
+    # checkpoint retries rather than re-admitting known duplicates.
+    from pyspark.errors import AnalysisException
+
+    prev = None
+    try:
+        # Crash-replay safety: a crash AFTER the digest write but BEFORE
+        # the batch commit replays this batch_id with its own digests
+        # already in the snapshot — anti-joining against them would empty
+        # the batch and the overwrite below would destroy it. Partition
+        # discovery exposes batch_id; exclude the in-flight batch.
+        prev = (
+            spark_l.read.parquet(digests)
+            .filter(F.col("batch_id") != F.lit(batch_id))
+            .select("h")
+        )
+        prev.schema  # force analysis so a missing path raises HERE
+    except AnalysisException as exc:
+        get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
+        cls = get_cls() or str(exc)
+        if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+            prev = None  # first batch ever — nothing to dedup against
+        else:
+            raise
+    fresh = b if prev is None else b.join(prev, "h", "left_anti")
     fresh.persist()
     try:
         fresh.drop("h").write.mode("overwrite").parquet(

@@ -81,6 +81,80 @@ def test_link_prediction_cap_deterministic_under_repartition(spark):
     assert a == b and len(a) > 0
 
 
+# ---------------------------------------------------------------------------
+# streaming dedup: crash-replay idempotency
+# ---------------------------------------------------------------------------
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_dedup_batch_replay_after_digest_write_is_idempotent(spark, tmp_path):
+    """Crash scenario: batch N committed its digest partition but crashed
+    before the checkpoint commit, so foreachBatch replays the SAME
+    batch_id. The replay must not anti-join the batch against its own
+    digests (which would overwrite the batch's output and digests with
+    empty data) — re-invoking _dedup_one_batch twice with the same
+    batch_id must leave exactly the same non-empty output."""
+    import os
+
+    from hadoopwebgraph_spark.functions.dedup import _dedup_one_batch
+
+    digests = str(tmp_path / "snap" / "digests")
+    out = str(tmp_path / "out")
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text", "en", "web", 10), (2, "beta text", "en", "web", 9)],
+        _DOC_SCHEMA,
+    )
+    _dedup_one_batch(b1, 0, digests, out)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    # replay batch 0 (digests for batch_id=0 are already on disk)
+    _dedup_one_batch(b1, 0, digests, out)
+    replayed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert replayed == [1, 2], "replay must not erase the batch"
+    n_digests = spark.read.parquet(digests).count()
+    assert n_digests == 2
+
+    # a LATER batch still dedups against batch 0's digests
+    b2 = spark.createDataFrame(
+        [(10, "beta text", "en", "web", 9), (11, "gamma text", "en", "web", 10)],
+        _DOC_SCHEMA,
+    )
+    _dedup_one_batch(b2, 1, digests, out)
+    final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 11]
+
+    # and replaying the later batch is idempotent too
+    _dedup_one_batch(b2, 1, digests, out)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 11]
+    assert spark.read.parquet(digests).count() == 3
+    assert os.path.isdir(os.path.join(digests, "batch_id=1"))
+
+
+def test_dedup_batch_missing_snapshot_vs_other_errors(spark, tmp_path):
+    """A genuinely absent snapshot path means 'first batch' (no error); a
+    corrupt snapshot file must PROPAGATE, not silently re-admit dups."""
+    import pytest
+
+    from hadoopwebgraph_spark.functions.dedup import _dedup_one_batch
+
+    digests = str(tmp_path / "never_created" / "digests")
+    out = str(tmp_path / "out")
+    b = spark.createDataFrame([(1, "alpha", "en", "web", 5)], _DOC_SCHEMA)
+    _dedup_one_batch(b, 0, digests, out)  # must not raise
+    assert spark.read.parquet(out).count() == 1
+
+    # corrupt parquet in the snapshot -> the batch must fail loudly
+    bad = tmp_path / "badsnap" / "digests" / "batch_id=0"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"PAR1 this is not parquet")
+    with pytest.raises(Exception):
+        _dedup_one_batch(b, 1, str(tmp_path / "badsnap" / "digests"), str(tmp_path / "out2"))
+    assert not (tmp_path / "out2" / "batch_id=1").exists()
+
+
 def test_g22_fixture_degree_under_cap(spark):
     """The registered g22 is oracle-exact only while the fixture's max
     symmetric degree stays under the cap — pin that invariant."""
