@@ -335,11 +335,14 @@ def chunk_documents(
     context-window preprocessing staple.
 
     Chunks start every ``chunk_tokens - overlap`` tokens and span up to
-    ``chunk_tokens`` tokens; the final chunk may be shorter, and a
-    trailing start position that would duplicate a fully-covered suffix
-    is still emitted only if it contributes new tokens (start < n).
-    Chunk identity is (doc_id, chunk_idx) — stable under corpus growth
-    because it derives only from the document itself.
+    ``chunk_tokens`` tokens; the final chunk may be shorter. A trailing
+    start position is emitted only if it contributes new tokens: a start
+    ``s`` adds tokens beyond the previous chunk's span iff
+    ``s < n - overlap``, so the start sequence is capped at
+    ``n - overlap - 1`` — no fully-redundant tail chunk is ever emitted
+    (the first chunk, start 0, always is). Chunk identity is
+    (doc_id, chunk_idx) — stable under corpus growth because it derives
+    only from the document itself.
 
     Scale design: pure array expressions (split / sequence / slice /
     array_join) inside one narrow projection + explode — no shuffle at
@@ -352,7 +355,11 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     w = F.split("text", " ")
     n = F.size(w)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # cap at the last start that adds new tokens (s < n - overlap); the
+    # chunk there still reaches the end: s + chunk_tokens >= n by stride
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
     # built from the projected "w" column — the source "text" column is
     # gone after the first select
     chunk = F.slice(F.col("w"), F.col("start") + 1, chunk_tokens)

@@ -41,6 +41,32 @@ from ..functions.skew import salted_count_distinct
 from ..registry import register
 
 
+_BLOOM_SESSION: SparkSession | None = None
+
+
+def _bloom_session(spark: SparkSession) -> SparkSession:
+    """One isolated session per SparkContext, created lazily and REUSED —
+    spark.newSession() per invocation would accumulate session state
+    (temp catalogs, conf maps) in the JVM for the process lifetime when
+    driver rounds / bench loops call q118 repeatedly."""
+    global _BLOOM_SESSION
+    s = _BLOOM_SESSION
+    if s is None or s.sparkContext is not spark.sparkContext:
+        s = spark.newSession()
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        s.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        _BLOOM_SESSION = s
+    return s
+
+
 @register(
     "q118_bloom_filter_join",
     oracle="""
@@ -58,7 +84,9 @@ from ..registry import register
     "by might_contain() BEFORE its shuffle, so only potentially-matching "
     "rows move. Exact (bloom false positives are removed by the real "
     "join); plan-asserted in tests/test_plans.py. Runs on an isolated "
-    "newSession() so the injection confs never leak into other queries.",
+    "session (one per SparkContext, cached) so the injection confs never "
+    "leak into other queries and repeated invocations don't accumulate "
+    "JVM session state.",
 )
 def q118_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Isolated session: shares the JVM/SparkContext but not runtime confs.
@@ -66,13 +94,7 @@ def q118_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bloom filter by itself; at test scale we disable broadcast inside
     # this session only to get the same (shuffle-join + bloom) physical
     # plan Catalyst would pick there.
-    s = spark.newSession()
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-    )
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s = _bloom_session(spark)
     orders = load(s, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     li = load(s, sf_dir, "lineitem")
     return (

@@ -319,11 +319,12 @@ def test_chunk_documents_hand_computed(spark):
         (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
         for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
     }
-    # stride 3: starts 0,3,6 for the 7-token doc
+    # stride 3: starts 0,3 for the 7-token doc. Start 6 is NOT emitted:
+    # 6 >= n - overlap = 6, so the "g" chunk would duplicate tokens the
+    # (1,1) chunk already covers without adding any new ones.
     assert out == {
         (1, 0): ("a b c d", 4),
         (1, 1): ("d e f g", 4),
-        (1, 2): ("g", 1),
         (2, 0): ("x y", 2),
     }
 
@@ -351,6 +352,11 @@ def test_chunk_documents_properties(spark):
         )
         covered = [t for _, toks in chunks for t in toks]
         assert set(covered) == {f"t{i}" for i in range(n_tokens)}
+        # every chunk contributes at least one NEW token (no redundant tail)
+        seen: set[str] = set()
+        for _, toks in chunks:
+            assert not set(toks) <= seen
+            seen |= set(toks)
         for (i1, t1), (i2, t2) in zip(chunks, chunks[1:]):
             assert i2 == i1 + 1
             if len(t1) == 8:  # full chunk: next starts stride=5 later

@@ -82,6 +82,20 @@ def test_link_prediction_cap_deterministic_under_repartition(spark):
 
 
 # ---------------------------------------------------------------------------
+# q118 isolated session is cached, not recreated per call
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_session_reused_across_invocations(spark):
+    from hadoopwebgraph_spark.queries import scale_ops
+
+    s1 = scale_ops._bloom_session(spark)
+    s2 = scale_ops._bloom_session(spark)
+    assert s1 is s2
+    assert s1 is not spark  # still isolated from the caller's confs
+
+
+# ---------------------------------------------------------------------------
 # streaming dedup: crash-replay idempotency
 # ---------------------------------------------------------------------------
 
