@@ -47,6 +47,18 @@ def read_bytes_range(path: str, start: int, length: int) -> bytes:
         return f.read(length)
 
 
+def write_bytes(path: str, data: bytes) -> None:
+    """Write a whole small file, local path or filesystem URI (driver-side:
+    the sink's ``.properties``)."""
+    if "://" in path:
+        filesystem, fs_path = _fs_path(path)
+        with filesystem.open_output_stream(fs_path) as f:
+            f.write(data)
+        return
+    with open(path, "wb") as f:
+        f.write(data)
+
+
 def file_stat(path: str) -> tuple[int, float]:
     """(size_bytes, mtime_epoch) for cache keys; works on local + URIs."""
     if "://" in path:

@@ -51,8 +51,9 @@ from pyspark.sql import functions as F
 
 from .bitio import BitWriter
 from .codec import BVGraphFiles, encode_graph, encode_segment_csr
+from .io import write_bytes
 from .properties import BVGraphProperties, format_properties
-from .storage import FileComposer, LocalFSStore, SegmentStore
+from .storage import FileComposer, SegmentStore, store_for
 
 
 def _append_deltas(out: "_BitStreamOut", values, prev: int, p) -> None:
@@ -185,9 +186,15 @@ def write_bvgraph(
     window-isolated segments into ``store``; job 2 re-phases each segment
     to its absolute bit base and stores its byte-aligned interior plus
     its offsets-stream chunk; the driver composes boundary bytes and
-    splices parts in order. ``store`` defaults to a ``LocalFSStore`` next
-    to the output (requires a task/driver-shared filesystem — pass a
-    blob-backed ``SegmentStore`` on clusters without one).
+    splices parts in order.
+
+    Topology contract: ``store`` defaults to ``storage.store_for(basename)``
+    — a plain path or ``file://`` basename spills to a ``LocalFSStore``
+    next to the output and therefore REQUIRES a filesystem every task and
+    the driver share (local mode, NFS, FUSE-mounted object storage); an
+    ``s3://`` / ``gs://`` / ``hdfs://`` basename routes spill artifacts
+    and the final triple through ``pyarrow.fs``, so no shared POSIX mount
+    is assumed on a real cluster. Pass ``store`` explicitly to override.
 
     ``n_nodes``: pass the (dense) node count when the caller already
     knows it — e.g. from the source graph's ``.properties`` — to skip
@@ -207,7 +214,7 @@ def write_bvgraph(
     n_parts = min(max(1, spark.sparkContext.defaultParallelism), max(1, n // 64))
     rows_per = -(-n // n_parts) if n else 1  # ceil(n / n_parts)
     if store is None:
-        store = LocalFSStore(basename + ".spill")
+        store = store_for(basename)
 
     props_template = dict(props_kw)
 
@@ -334,8 +341,7 @@ def write_bvgraph(
 
     store.cleanup()
     p = BVGraphProperties(nodes=n, arcs=arcs_total, **props_template)
-    with open(basename + ".properties", "w") as f:
-        f.write(format_properties(p))
+    write_bytes(basename + ".properties", format_properties(p).encode("utf-8"))
     return p
 
 

@@ -93,6 +93,76 @@ class LocalFSStore(SegmentStore):
         shutil.rmtree(self.root, ignore_errors=True)
 
 
+class PyArrowFSStore(SegmentStore):
+    """Segment artifacts as objects under a URI root (``s3://``, ``gs://``,
+    ``hdfs://``, ``file://``) via ``pyarrow.fs`` — the blob-store
+    implementation for clusters WITHOUT a task/driver-shared POSIX
+    filesystem. Picklable by construction: only the root URI ships to
+    executors; the FileSystem handle is re-resolved lazily per process
+    (pyarrow FileSystem objects don't survive pickling into tasks)."""
+
+    def __init__(self, root_uri: str):
+        self.root = root_uri.rstrip("/")
+        self._fs = None
+        self._base: str | None = None
+
+    def _resolve(self):
+        if self._fs is None:
+            from pyarrow import fs as pafs
+
+            self._fs, self._base = pafs.FileSystem.from_uri(self.root)
+        return self._fs, self._base
+
+    def __getstate__(self):
+        return {"root": self.root}
+
+    def __setstate__(self, state):
+        self.root = state["root"]
+        self._fs = None
+        self._base = None
+
+    def put(self, key: str, data: bytes) -> None:
+        fs, base = self._resolve()
+        fs.create_dir(base, recursive=True)
+        with fs.open_output_stream(f"{base}/{key}") as f:
+            f.write(data)
+
+    def get(self, key: str) -> bytes:
+        fs, base = self._resolve()
+        with fs.open_input_stream(f"{base}/{key}") as f:
+            return f.read()
+
+    def open_read(self, key: str) -> BinaryIO:
+        fs, base = self._resolve()
+        return fs.open_input_stream(f"{base}/{key}")
+
+    def size(self, key: str) -> int:
+        fs, base = self._resolve()
+        return fs.get_file_info(f"{base}/{key}").size
+
+    def cleanup(self) -> None:
+        fs, base = self._resolve()
+        try:
+            fs.delete_dir(base)
+        except FileNotFoundError:
+            pass
+
+
+def store_for(basename: str) -> SegmentStore:
+    """Select the segment store from the output basename's scheme — the
+    topology contract of the distributed sink. A plain path or ``file://``
+    URI assumes a filesystem shared by every task and the driver (local
+    mode, NFS, FUSE-mounted object storage) and spills next to the
+    output; any other scheme (``s3://``, ``gs://``, ``hdfs://``) routes
+    spill artifacts through ``pyarrow.fs`` so no shared POSIX mount is
+    silently assumed."""
+    if "://" in basename and not basename.startswith("file://"):
+        return PyArrowFSStore(basename + ".spill")
+    if basename.startswith("file://"):
+        return LocalFSStore(basename[len("file://") :] + ".spill")
+    return LocalFSStore(basename + ".spill")
+
+
 class MemoryStore(SegmentStore):
     """Dict-backed store: the single-process mock of an object store for
     compose tests (and usable directly when encode/re-phase/compose all
@@ -123,7 +193,13 @@ class FileComposer:
     from the store with an OS-level copy."""
 
     def __init__(self, path: str, store: SegmentStore):
-        self.fh = open(path, "wb")
+        if "://" in path:
+            from pyarrow import fs as pafs
+
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            self.fh = filesystem.open_output_stream(fs_path)
+        else:
+            self.fh = open(path, "wb")
         self.store = store
 
     def write(self, b: bytes) -> None:
