@@ -121,3 +121,49 @@ def test_compact_files_preserves_rows_and_clustering(spark, sf_small, tmp_path):
     spans = sorted(_rowgroup_stats(path, "l_orderkey"))
     for (_lo0, prev_hi), (lo, _hi) in zip(spans, spans[1:]):
         assert lo >= prev_hi - 1
+
+
+def test_date_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    """A month filter on the hive-partitioned layout must (1) land in the
+    scan's PartitionFilters (planning-time pruning, no data files
+    opened for other months), (2) actually shrink the scanned file set
+    to the one month's directory, and (3) lose no rows end-to-end."""
+    from hadoopwebgraph_spark.functions.layout import write_date_partitioned
+
+    orders = load(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_by_month")
+    write_date_partitioned(orders, "o_orderdate", path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()  # nothing lost in the layout
+
+    one_month = back.filter(F.col("p_month") == "1995-03")
+    plan = one_month._sc._jvm.PythonSQLUtils.explainString(
+        one_month._jdf.queryExecution(), "formatted"
+    )
+    # the month predicate must be a PARTITION filter (directory-level),
+    # not a data filter evaluated per row after opening files
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "p_month" in pf[0], plan
+
+    # executed-plan metric: only the one directory's file(s) are read
+    one_month.collect()
+    scan = one_month._jdf.queryExecution().executedPlan().collectLeaves().head()
+    files_read = scan.metrics().apply("numFiles").value()
+    total_files = len(back.inputFiles())
+    assert files_read < total_files, (files_read, total_files)
+    assert files_read >= 1
+
+    # one compact file per month: no small-file spray from the write
+    import os
+    month_dirs = [d for d in os.listdir(path) if d.startswith("p_month=")]
+    assert len(month_dirs) > 12
+    for d in month_dirs:
+        n = len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+        assert n == 1, (d, n)
+
+    # row parity for the filtered month against the unpartitioned source
+    expected = orders.filter(
+        F.date_format("o_orderdate", "yyyy-MM") == "1995-03"
+    ).count()
+    assert one_month.count() == expected > 0
