@@ -306,14 +306,11 @@ def write_bvgraph(
         import numpy as np
 
         idx, seg_base, nbits = task
-        raw = store.get(f"seg-{idx:05d}.raw")
-        if nbits < 16:  # degenerate micro-segment: driver appends inline
-            return (idx, 0, raw, nbits, 0, 0, 0)
-        head, interior, tail, tail_fill = _rephase_interior(raw, nbits, seg_base % 8)
-        store.put(f"seg-{idx:05d}.part", interior)
         # offsets-stream chunk: this segment's absolute offsets
         # delta-encoded against prev = seg_base (= last offset of the
-        # previous segment); one C-kernel call per segment
+        # previous segment); one C-kernel call per segment. Encoded for
+        # EVERY segment (micro ones too) so the offsets compose below
+        # knows every chunk's bit length up front.
         offsets = np.frombuffer(store.get(f"seg-{idx:05d}.offs"), dtype=np.int64)
         ow = io.BytesIO()
         oout = _BitStreamOut(ow)
@@ -321,6 +318,11 @@ def write_bvgraph(
         onbits = oout.nbits
         oout.close()
         store.put(f"seg-{idx:05d}.offs.raw", ow.getvalue())
+        raw = store.get(f"seg-{idx:05d}.raw")
+        if nbits < 16:  # degenerate micro-segment: driver appends inline
+            return (idx, 0, raw, nbits, 0, 0, onbits)
+        head, interior, tail, tail_fill = _rephase_interior(raw, nbits, seg_base % 8)
+        store.put(f"seg-{idx:05d}.part", interior)
         return (idx, head, None, nbits, tail, tail_fill, onbits)
 
     # Job 2: re-phase + part write, one task per segment.
@@ -331,12 +333,29 @@ def write_bvgraph(
         .collect()
     )
 
+    # Job 3: the offsets stream gets the same executor-side re-phase the
+    # graph stream has — chunk bit-bases are the prefix sums of the
+    # chunk lengths job 2 reported (after the driver-encoded node-0
+    # entry), so each chunk's byte-aligned interior is computed in a
+    # task and the driver only splices boundary bytes.
+    entry0, n0bits = _encode_offsets_entry0(p0)
+    obase = n0bits
+    otasks = []
+    for idx, _h, _ri, _nb, _t, _tf, onbits in seg_results:
+        otasks.append((idx, obase, onbits))
+        obase += onbits
+    oseg_results = sorted(
+        spark.sparkContext.parallelize(otasks, max(len(otasks), 1))
+        .map(lambda t: _rephase_offsets_one(t, store))
+        .collect()
+    )
+
     graph_composer = FileComposer(basename + ".graph", store)
     compose_graph(seg_results, store, graph_composer)
     graph_composer.close()
 
     offs_composer = FileComposer(basename + ".offsets", store)
-    compose_offsets(seg_results, bases, store, offs_composer, p0)
+    compose_offsets(oseg_results, entry0, n0bits, store, offs_composer)
     offs_composer.close()
 
     store.cleanup()
@@ -370,31 +389,59 @@ def compose_graph(seg_results, store: SegmentStore, composer) -> None:
     out.close()
 
 
-def compose_offsets(
-    seg_results, bases: dict, store: SegmentStore, composer, p0
-) -> None:
-    """Compose .offsets: node-0 entry, then each segment's pre-encoded
-    chunk re-phased through the vectorized bit appender (the offsets
-    stream is a few % of the graph bytes; the same part-splice treatment
-    would apply if it ever dominated)."""
-    offs_out = _BitStreamOut(composer)
-    _append_deltas(offs_out, [0], 0, p0)  # offsets entry for node 0
-    for idx, head, raw_inline, nbits, tail, tail_fill, onbits in seg_results:
-        if raw_inline is not None:
-            import numpy as np
+def _encode_offsets_entry0(p0) -> tuple[bytes, int]:
+    """Driver-side encode of the offsets stream's node-0 entry (a few
+    bits); its exact bit length anchors the chunk bit-base prefix sums."""
+    ow = io.BytesIO()
+    o = _BitStreamOut(ow)
+    _append_deltas(o, [0], 0, p0)
+    n0 = o.nbits
+    o.close()
+    return ow.getvalue(), n0
 
-            offsets = np.frombuffer(store.get(f"seg-{idx:05d}.offs"), dtype=np.int64)
-            seg_base = bases[idx]
-            _append_deltas(
-                offs_out, (offsets[1:] + seg_base).tolist(), seg_base, p0
-            )
+
+def _rephase_offsets_one(task, store: SegmentStore):
+    """Executor-side re-phase of one segment's offsets chunk to its
+    absolute bit base (job 3's map function; module-level so the compose
+    tests run it without a Spark job)."""
+    idx, obase, onbits = task
+    raw = store.get(f"seg-{idx:05d}.offs.raw")
+    if onbits < 16:  # micro-chunk: driver appends the literal bits inline
+        return (idx, 0, raw, onbits, 0, 0)
+    head, interior, tail, tail_fill = _rephase_interior(raw, onbits, obase % 8)
+    store.put(f"seg-{idx:05d}.offs.part", interior)
+    return (idx, head, None, onbits, tail, tail_fill)
+
+
+def compose_offsets(
+    oseg_results, entry0: bytes, n0bits: int, store: SegmentStore, composer
+) -> None:
+    """Compose .offsets exactly like compose_graph: the driver writes the
+    node-0 entry bits plus ONE boundary byte per segment; the
+    byte-aligned chunk interiors (re-phased executor-side by job 3) are
+    spliced via ``composer.part`` — driver byte traffic is O(n_segments)
+    for this stream too, instead of shifting every chunk byte through
+    the driver's vectorized appender."""
+    out = _BitStreamOut(composer)
+    fill0 = n0bits % 8
+    out.append_body(entry0[: n0bits // 8])
+    if fill0:
+        out.append_bits(entry0[-1] >> (8 - fill0), fill0)
+    for idx, head, raw_inline, onbits, tail, tail_fill in oseg_results:
+        if raw_inline is not None:  # micro-chunk fallback
+            f2 = onbits % 8
+            out.append_body(raw_inline[: onbits // 8])
+            if f2:
+                out.append_bits(raw_inline[-1] >> (8 - f2), f2)
             continue
-        chunk = store.get(f"seg-{idx:05d}.offs.raw")
-        fill = onbits % 8
-        offs_out.append_body(chunk[: onbits // 8])
-        if fill:
-            offs_out.append_bits(chunk[-1] >> (8 - fill), fill)
-    offs_out.close()
+        k = out.fill
+        if k:
+            out.append_bits(head, 8 - k)  # completes the boundary byte
+        assert out.fill == 0
+        out.nbits += 8 * composer.part(f"seg-{idx:05d}.offs.part")
+        out.cur, out.fill = tail, tail_fill
+        out.nbits += tail_fill
+    out.close()
 
 
 def write_bvgraph_single(adjacency: list[list[int]], basename: str, **props_kw):

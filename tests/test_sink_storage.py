@@ -16,7 +16,9 @@ from hadoopwebgraph_spark.bvgraph.properties import BVGraphProperties
 from hadoopwebgraph_spark.bvgraph.sink import (
     _append_deltas,
     _BitStreamOut,
+    _encode_offsets_entry0,
     _rephase_interior,
+    _rephase_offsets_one,
     compose_graph,
     compose_offsets,
 )
@@ -77,25 +79,37 @@ def _build_segments(stores, n_nodes=300, n_segs=3):
             st.put(f"seg-{idx:05d}.offs.raw", ow.getvalue())
         seg_results.append((idx, head, None, nbits, tail, tail_fill, onbits))
         base += nbits
-    return adj, p0, seg_results, bases
+    # job-3 equivalent: re-phase each offsets chunk to its absolute base
+    entry0, n0bits = _encode_offsets_entry0(p0)
+    obase = n0bits
+    oseg_results = []
+    for idx, _h, _ri, _nb, _t, _tf, onbits in seg_results:
+        res = None
+        for st in stores:  # parts must land in every store under test
+            res = _rephase_offsets_one((idx, obase, onbits), st)
+        oseg_results.append(res)
+        obase += onbits
+    return adj, p0, seg_results, bases, entry0, n0bits, oseg_results
 
 
 def test_compose_multipart_matches_file(tmp_path):
     fs_store = LocalFSStore(str(tmp_path / "spill"))
     blob_store = MemoryStore()
-    adj, p0, seg_results, bases = _build_segments([fs_store, blob_store])
+    adj, p0, seg_results, bases, entry0, n0bits, oseg = _build_segments(
+        [fs_store, blob_store]
+    )
 
     fc = FileComposer(str(tmp_path / "out.graph"), fs_store)
     compose_graph(seg_results, fs_store, fc)
     fc.close()
     fo = FileComposer(str(tmp_path / "out.offsets"), fs_store)
-    compose_offsets(seg_results, bases, fs_store, fo, p0)
+    compose_offsets(oseg, entry0, n0bits, fs_store, fo)
     fo.close()
 
     mg = MultipartComposer(blob_store)
     compose_graph(seg_results, blob_store, mg)
     mo = MultipartComposer(blob_store)
-    compose_offsets(seg_results, bases, blob_store, mo, p0)
+    compose_offsets(oseg, entry0, n0bits, blob_store, mo)
 
     with open(tmp_path / "out.graph", "rb") as f:
         g_file = f.read()
@@ -118,9 +132,16 @@ def test_compose_micro_segment_inline(tmp_path):
     # one node, empty adjacency -> a few bits only
     nbits, buf, offsets = encode_segment([[]], 0, BVGraphProperties(nodes=1, arcs=0))
     raw = bytes(buf[: (nbits + 7) // 8])
-    store.put("seg-00000.offs", np.asarray(offsets, dtype=np.int64).tobytes())
-    seg_results = [(0, 0, raw, nbits, 0, 0, 0)]
-    bases = {0: 0}
+    offs = np.asarray(offsets, dtype=np.int64)
+    store.put("seg-00000.offs", offs.tobytes())
+    # job-2 equivalent for the micro segment: encode its offsets chunk
+    ow = io.BytesIO()
+    oout = _BitStreamOut(ow)
+    _append_deltas(oout, (offs[1:] + 0).tolist(), 0, p0)
+    onbits = oout.nbits
+    oout.close()
+    store.put("seg-00000.offs.raw", ow.getvalue())
+    seg_results = [(0, 0, raw, nbits, 0, 0, onbits)]
 
     fc = FileComposer(str(tmp_path / "m.graph"), store)
     compose_graph(seg_results, store, fc)
@@ -130,10 +151,13 @@ def test_compose_micro_segment_inline(tmp_path):
     with open(tmp_path / "m.graph", "rb") as f:
         assert mg.result() == f.read()
 
+    entry0, n0bits = _encode_offsets_entry0(p0)
+    oseg = [_rephase_offsets_one((0, n0bits, onbits), store)]
+    assert oseg[0][2] is not None  # micro-chunk takes the inline path
     fo = FileComposer(str(tmp_path / "m.offsets"), store)
-    compose_offsets(seg_results, bases, store, fo, p0)
+    compose_offsets(oseg, entry0, n0bits, store, fo)
     fo.close()
     mo = MultipartComposer(store)
-    compose_offsets(seg_results, bases, store, mo, p0)
+    compose_offsets(oseg, entry0, n0bits, store, mo)
     with open(tmp_path / "m.offsets", "rb") as f:
         assert mo.result() == f.read()
