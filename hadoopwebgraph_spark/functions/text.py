@@ -291,3 +291,45 @@ def q85_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", F.round("s", 4).alias("bm25"))
     )
+
+
+@register(
+    "q130_ngram_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents WHERE text <> ''
+    ),
+    sized AS (SELECT t, len(t) AS n FROM toks WHERE len(t) >= 3),
+    pos AS (SELECT t, unnest(range(1, n - 1)) AS p FROM sized),
+    grams AS (SELECT array_to_string(t[p:p + 2], ' ') AS gram FROM pos)
+    SELECT gram, count(*) AS n_occurrences
+    FROM grams
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 50
+    """,
+    doc="Corpus-wide n-gram frequency (trigrams): the language-model "
+    "data-analysis staple behind contamination scans, boilerplate "
+    "detection and tokenizer diagnostics. Narrow projection -> explode "
+    "positions -> one partial-agg'd groupBy on the gram text, then "
+    "TakeOrderedAndProject for the global top-50 (count desc, gram asc "
+    "tiebreak so the cut is deterministic). One shuffle; map-side "
+    "combine collapses repeated grams before they move. At 100 TB swap "
+    "the gram text for its 64-bit hash in the shuffle key and join the "
+    "top hashes back for display (the q119 discipline).",
+)
+def q130_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text") != "")
+    sized = d.select(F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") >= 3)
+    pos = sized.select(
+        "t", F.explode(F.sequence(F.lit(1), F.col("n") - 2)).alias("p")
+    )
+    grams = pos.select(F.array_join(F.slice("t", F.col("p"), 3), " ").alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(50)
+    )

@@ -599,3 +599,61 @@ def q126_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q131_disjunctive_predicate_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.5)
+                AS BIGINT) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q19 shape (disjunctive pressure on the optimizer): an "
+    "OR-of-ANDs predicate spanning both join sides. Catalyst must (a) "
+    "extract the common per-side conjuncts from the disjunction and push "
+    "them below the join — p_brand IN (...) and p_size/l_quantity range "
+    "hulls reach the parquet scans as PushedFilters (plan-asserted in "
+    "tests/test_plans.py) — and (b) keep the residual cross-side OR as "
+    "the post-join filter. At 100 TB the pushed brand/range hulls prune "
+    "row groups on BOTH scans before any shuffle.",
+)
+def q131_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 0.5)
+            .cast("bigint")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

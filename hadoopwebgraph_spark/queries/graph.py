@@ -518,3 +518,36 @@ def g24_transpose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("adj").alias("outdeg"),
         F.concat_ws(",", F.col("adj")).alias("adj_str"),
     )
+
+
+@register(
+    "g25_host_graph",
+    oracle=f"""
+    WITH e AS (SELECT src, unnest(adj) AS dst FROM {_T})
+    SELECT CAST(src // 50 AS BIGINT) AS host_src,
+           CAST(dst // 50 AS BIGINT) AS host_dst,
+           count(*) AS weight
+    FROM e
+    GROUP BY 1, 2
+    """,
+    doc="Host-graph contraction (the WebGraph-ecosystem quotient-graph "
+    "primitive: collapse page nodes into their site/host and keep "
+    "weighted inter-host arcs). The fixture carries no URLs, so the "
+    "stand-in host map is node DIV 50 — the operator under test is the "
+    "contraction itself: decode -> explode -> map both endpoints -> one "
+    "partial-agg'd groupBy. Intra-host arcs survive as host self-loop "
+    "weight (the standard convention). At 100 TB this is the cheapest "
+    "graph summarization there is: the only shuffle carries (host_src, "
+    "host_dst) pairs AFTER map-side combine has collapsed each "
+    "partition's duplicate host pairs.",
+)
+def g25_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_df(spark)
+    return (
+        e.select(
+            F.expr("CAST(src div 50 AS BIGINT)").alias("host_src"),
+            F.expr("CAST(dst div 50 AS BIGINT)").alias("host_dst"),
+        )
+        .groupBy("host_src", "host_dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

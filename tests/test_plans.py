@@ -378,3 +378,20 @@ def test_q128_incremental_dedup_anti_join(spark, sf_small):
     plan = _plan(q128_incremental_dedup(spark, sf_small))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q131_disjunction_pushes_per_side_hulls(spark, sf_small):
+    """Catalyst must extract the per-side implications of the OR-of-ANDs:
+    the part scan gets the brand IN-set / size hull, the lineitem scan
+    the l_quantity range hull, BEFORE the join; the exact cross-side OR
+    stays as a post-join (or post-scan residual) filter."""
+    from hadoopwebgraph_spark.queries.advanced import (
+        q131_disjunctive_predicate_join,
+    )
+
+    plan = _plan(q131_disjunctive_predicate_join(spark, sf_small))
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "p_brand" in pushed, plan         # brand disjunction hull on part
+    assert "l_quantity" in pushed, plan      # quantity range hull on lineitem
+    # the residual OR must still be evaluated (it's not fully pushable)
+    assert "Or(" in plan or " OR " in plan, plan
