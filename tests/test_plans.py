@@ -395,3 +395,29 @@ def test_q131_disjunction_pushes_per_side_hulls(spark, sf_small):
     assert "l_quantity" in pushed, plan      # quantity range hull on lineitem
     # the residual OR must still be evaluated (it's not fully pushable)
     assert "Or(" in plan or " OR " in plan, plan
+
+
+def test_q130_partial_agg_and_topk(spark, sf_small):
+    """Corpus n-gram counting must combine map-side (partial+final
+    HashAggregate) and take the global top-50 without a global sort."""
+    from hadoopwebgraph_spark.functions.text import q130_ngram_counts
+
+    plan = _plan(q130_ngram_counts(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_g25_host_graph_single_shuffle(spark):
+    """Host-graph contraction: exactly one Exchange (the host-pair
+    groupBy), with map-side combine collapsing duplicate pairs first."""
+    from hadoopwebgraph_spark.queries.graph import g25_host_graph
+
+    import re
+
+    df = g25_host_graph(spark, "unused")
+    plan = _plan(df)
+    # count Exchange NODES (formatted explain lists each node twice:
+    # once in the tree, once as a "(n) Exchange" detail header)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert "partial_count" in plan, plan  # map-side combine before it
