@@ -71,3 +71,57 @@ def compact_files(
         "bytes": total,
         "rows": rows,
     }
+
+
+def compact_digest_snapshot(
+    spark: SparkSession, digests_dir: str, target_bytes: int = 128 << 20
+) -> dict:
+    """Compact the incremental-dedup digest snapshot
+    (``functions/dedup.py::incremental_dedup_stream``).
+
+    The stream appends one ``batch_id=<n>`` partition per micro-batch, so
+    after weeks of ingestion the per-batch anti-join reads thousands of
+    KB-sized digest files. This maintenance job folds every partition
+    into ONE deduplicated ``batch_id=-1`` partition and drops the
+    per-batch directories. Run it while the stream is STOPPED (the
+    standard maintenance-window contract, same as checkpoint cleanup):
+
+    - ``-1`` can never collide with a real foreachBatch batch_id (those
+      are non-negative), so `_dedup_one_batch`'s replay-exclusion filter
+      ``batch_id != current`` keeps working unchanged afterwards.
+    - Crash safety: the compacted partition is written FIRST (into a
+      staging dir, renamed in), the old partitions removed after. A
+      crash in between leaves digests duplicated between ``batch_id=-1``
+      and the old partitions — harmless: the anti-join semantics of a
+      digest SUPERSET are identical, and re-running the compaction
+      converges.
+
+    Returns {"files_before", "files_after", "digests"}.
+    """
+    import uuid as _uuid
+
+    total, before = _dir_parquet_bytes(digests_dir)
+    # size the compacted partition from on-disk bytes, like compact_files
+    # (a billion-digest snapshot must not funnel through one task)
+    n_out = max(1, math.ceil(total / target_bytes))
+    distinct = spark.read.parquet(digests_dir).select("h").distinct()
+    staging = f"{digests_dir}.compact-{_uuid.uuid4().hex[:8]}"
+    distinct.repartition(n_out).write.mode("overwrite").parquet(staging)
+    n_digests = spark.read.parquet(staging).count()
+    # install the compacted partition, then drop the per-batch ones (a
+    # batch_id=-1 left by a PREVIOUS compaction is shelved aside first so
+    # the rename target is free; it is removed with the rest)
+    os.rename(staging, os.path.join(digests_dir, "batch_id=-1.tmp"))
+    prev = os.path.join(digests_dir, "batch_id=-1")
+    if os.path.isdir(prev):
+        os.rename(prev, prev + f".old-{_uuid.uuid4().hex[:8]}")
+    old = [
+        d
+        for d in os.listdir(digests_dir)
+        if d.startswith("batch_id=") and not d.endswith(".tmp")
+    ]
+    os.rename(os.path.join(digests_dir, "batch_id=-1.tmp"), prev)
+    for d in old:
+        shutil.rmtree(os.path.join(digests_dir, d))
+    _total, after = _dir_parquet_bytes(digests_dir)
+    return {"files_before": before, "files_after": after, "digests": n_digests}

@@ -169,6 +169,61 @@ def test_dedup_batch_missing_snapshot_vs_other_errors(spark, tmp_path):
     assert not (tmp_path / "out2" / "batch_id=1").exists()
 
 
+def test_compact_digest_snapshot(spark, tmp_path):
+    """Fold the per-batch digest partitions into one batch_id=-1
+    partition: digest set unchanged, file count down, later batches still
+    dedup correctly, and a replayed batch stays idempotent (its own
+    partition is gone but -1 != batch_id so the exclusion filter holds).
+    Re-compaction after more batches must also converge."""
+    import os
+
+    from hadoopwebgraph_spark.functions.dedup import _dedup_one_batch
+    from hadoopwebgraph_spark.functions.maintenance import (
+        compact_digest_snapshot,
+    )
+
+    digests = str(tmp_path / "snap" / "digests")
+    out = str(tmp_path / "out")
+    for i, texts in enumerate([["a", "b"], ["b", "c"], ["c", "d"]]):
+        b = spark.createDataFrame(
+            [(10 * i + j, t, "en", "web", len(t)) for j, t in enumerate(texts)],
+            _DOC_SCHEMA,
+        )
+        _dedup_one_batch(b, i, digests, out)
+
+    before = {r["h"] for r in spark.read.parquet(digests).collect()}
+    assert len(before) == 4  # a b c d
+    stats = compact_digest_snapshot(spark, digests)
+    assert stats["digests"] == 4
+    assert stats["files_after"] <= stats["files_before"]
+    assert os.listdir(digests) == ["batch_id=-1"]
+    assert {r["h"] for r in spark.read.parquet(digests).collect()} == before
+
+    # a later batch dedups against the compacted snapshot
+    b3 = spark.createDataFrame(
+        [(30, "d", "en", "web", 1), (31, "e", "en", "web", 1)], _DOC_SCHEMA
+    )
+    _dedup_one_batch(b3, 3, digests, out)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "batch_id=3")).collect()
+    )
+    assert got == [31]  # "d" is a dup of batch 2's doc
+
+    # replay of batch 3 is still idempotent post-compaction
+    _dedup_one_batch(b3, 3, digests, out)
+    got2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "batch_id=3")).collect()
+    )
+    assert got2 == [31]
+
+    # second compaction (now batch_id=-1 already exists) converges
+    stats2 = compact_digest_snapshot(spark, digests)
+    assert stats2["digests"] == 5  # a b c d e
+    assert os.listdir(digests) == ["batch_id=-1"]
+
+
 # ---------------------------------------------------------------------------
 # sink storage routing by basename scheme
 # ---------------------------------------------------------------------------
