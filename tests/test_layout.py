@@ -167,3 +167,66 @@ def test_date_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
         F.date_format("o_orderdate", "yyyy-MM") == "1995-03"
     ).count()
     assert one_month.count() == expected > 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_small, tmp_path):
+    """Joining the date-partitioned fact to a FILTERED dimension on the
+    partition column must prune the fact scan AT RUNTIME (dynamic
+    partition pruning): the dim's surviving months are computed first and
+    only those directories' files are read — the 100 TB star-join
+    pattern where the calendar filter carries no fact-table literal.
+    Asserted from the executed scan's metrics (numFiles vs
+    staticFilesNum), not just the planned expression."""
+    from hadoopwebgraph_spark.functions.layout import write_date_partitioned
+
+    path = str(tmp_path / "orders_by_month")
+    write_date_partitioned(load(spark, sf_small, "orders"), "o_orderdate", path)
+    # dim as a real scan (a filtered in-memory LocalRelation gets
+    # constant-folded and Spark drops the runtime filter as not
+    # worthwhile; a parquet dim is the realistic star shape anyway)
+    dimpath = str(tmp_path / "months_dim")
+    spark.createDataFrame(
+        [(f"1995-0{i}", "target" if i == 3 else "other") for i in range(1, 10)],
+        "p_month string, tag string",
+    ).write.parquet(dimpath)
+    fact = spark.read.parquet(path)
+    dim = spark.read.parquet(dimpath).filter(F.col("tag") == "target")
+    j = fact.join(dim, "p_month").groupBy("o_orderpriority").count()
+
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan, plan
+
+    j.collect()
+    scans = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if "FileSourceScan" in name:
+            m = node.metrics()
+            it = m.toList()
+            scans.append(
+                {it.apply(i)._1(): it.apply(i)._2().value() for i in range(it.size())}
+            )
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            walk(sq.apply(i))
+
+    walk(j._jdf.queryExecution().executedPlan())
+    pruned = [s for s in scans if "staticFilesNum" in s]
+    assert pruned, scans  # the fact scan carries DPP metrics
+    m = pruned[0]
+    assert m["numFiles"] < m["staticFilesNum"], m  # runtime-pruned file set
+    # only the one month's rows ever left the scan
+    expected = fact.filter(F.col("p_month") == "1995-03").count()
+    assert m["numOutputRows"] == expected > 0, m

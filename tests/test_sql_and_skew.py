@@ -65,3 +65,39 @@ def test_in_filter_pruning():
     pruned = len(reader2.partitions())
     assert pruned < full
     assert reader2.from_node == 5 and reader2.to_node_excl == 43
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The runtime half of the skew story (salting is the static half):
+    with AQE skew-join on, a hot key whose shuffle partition dwarfs the
+    median must be SPLIT at runtime — the final plan shows
+    SortMergeJoin(skew=true) reading a 'skewed' AQEShuffleRead — and the
+    join stays exact. Thresholds are lowered to make the 200k-row hot
+    key register at test scale; at 100 TB the defaults (256 MB / 5x
+    median) trigger on real hubs with no query change."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()  # conf isolation, q118 pattern
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        s.conf.set(k, v)
+    left = s.range(0, 220000).select(
+        F.when(F.col("id") < 200000, 0)
+        .otherwise((F.col("id") % 200) + 1)
+        .alias("k"),
+        F.concat(F.lit("payloadpayloadpayload-"), F.col("id")).alias("v"),
+    )
+    right = s.range(0, 201).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+    j = left.join(right, "k")
+    assert len(j.collect()) == 220000  # exact despite the split
+    ep = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in ep, ep
+    assert "AQEShuffleRead skewed" in ep, ep
