@@ -159,18 +159,19 @@ def main() -> None:
             continue
         try:
             loads[name] = round(os.getloadavg()[0], 1)
-            best = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 n = q.fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 assert n >= 0
-                best = dt if best is None else min(best, dt)
+                # record after EACH success: a transient failure on the
+                # retry must not discard a measurement we already have
+                timings[name] = round(min(dt, timings.get(name, dt)), 3)
                 if dt > 10.0:
                     break  # expensive query: don't double the bench budget
-            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            if name not in timings:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Kernel-scale scan measurement: the committed 739k-arc fixture decodes
     # in milliseconds on 32 cores, so the graph-scan number comes from the
@@ -202,7 +203,10 @@ def main() -> None:
         scan(32)  # worker-pool warm pass for this plan shape
         dt1, m1, w1 = scan(32)
         dt1b, m1b, w1b = scan(32)  # best-of-2, same de-noising as above
-        if (m1b, w1b) == (m1, w1):
+        # a same-split-count checksum mismatch is a decode-nondeterminism
+        # red flag — surface it in the JSON, never swallow it
+        rerun_consistent = (m1b, w1b) == (m1, w1)
+        if rerun_consistent:
             dt1 = min(dt1, dt1b)
         dt2, m2, w2 = scan(57)
         timings["gXL_graph_scan"] = round(dt1, 3)
@@ -243,7 +247,9 @@ def main() -> None:
         scan_stats = {
             "graph_scan_arcs": m1,
             "graph_scan_arcs_per_sec": round(m1 / dt1),
-            "graph_scan_partition_invariant": (m1, w1) == (m2, w2),
+            "graph_scan_partition_invariant": (m1, w1) == (m2, w2)
+            and rerun_consistent,
+            "graph_scan_rerun_consistent": rerun_consistent,
             "graph_sink_arcs_per_sec": round(pw.arcs / dt_w),
         }
     except Exception as exc:  # noqa: BLE001

@@ -47,15 +47,20 @@ def read_bytes_range(path: str, start: int, length: int) -> bytes:
         return f.read(length)
 
 
+def open_output(path: str):
+    """Writable stream for a local path or filesystem URI — the single
+    place the ``'://' -> pyarrow.fs`` output branching lives (used by
+    ``write_bytes`` and the sink's ``FileComposer``)."""
+    if "://" in path:
+        filesystem, fs_path = _fs_path(path)
+        return filesystem.open_output_stream(fs_path)
+    return open(path, "wb")
+
+
 def write_bytes(path: str, data: bytes) -> None:
     """Write a whole small file, local path or filesystem URI (driver-side:
     the sink's ``.properties``)."""
-    if "://" in path:
-        filesystem, fs_path = _fs_path(path)
-        with filesystem.open_output_stream(fs_path) as f:
-            f.write(data)
-        return
-    with open(path, "wb") as f:
+    with open_output(path) as f:
         f.write(data)
 
 

@@ -105,6 +105,7 @@ class PyArrowFSStore(SegmentStore):
         self.root = root_uri.rstrip("/")
         self._fs = None
         self._base: str | None = None
+        self._dir_ok = False  # root dir created once per process, not per put
 
     def _resolve(self):
         if self._fs is None:
@@ -120,10 +121,13 @@ class PyArrowFSStore(SegmentStore):
         self.root = state["root"]
         self._fs = None
         self._base = None
+        self._dir_ok = False
 
     def put(self, key: str, data: bytes) -> None:
         fs, base = self._resolve()
-        fs.create_dir(base, recursive=True)
+        if not self._dir_ok:
+            fs.create_dir(base, recursive=True)
+            self._dir_ok = True
         with fs.open_output_stream(f"{base}/{key}") as f:
             f.write(data)
 
@@ -193,13 +197,9 @@ class FileComposer:
     from the store with an OS-level copy."""
 
     def __init__(self, path: str, store: SegmentStore):
-        if "://" in path:
-            from pyarrow import fs as pafs
+        from .io import open_output
 
-            filesystem, fs_path = pafs.FileSystem.from_uri(path)
-            self.fh = filesystem.open_output_stream(fs_path)
-        else:
-            self.fh = open(path, "wb")
+        self.fh = open_output(path)
         self.store = store
 
     def write(self, b: bytes) -> None:

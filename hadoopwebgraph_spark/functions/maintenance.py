@@ -82,46 +82,57 @@ def compact_digest_snapshot(
     The stream appends one ``batch_id=<n>`` partition per micro-batch, so
     after weeks of ingestion the per-batch anti-join reads thousands of
     KB-sized digest files. This maintenance job folds every partition
-    into ONE deduplicated ``batch_id=-1`` partition and drops the
-    per-batch directories. Run it while the stream is STOPPED (the
-    standard maintenance-window contract, same as checkpoint cleanup):
+    into ONE deduplicated partition under a fresh NEGATIVE batch id
+    (-1 for the first compaction, -2 for the next, ...) and drops the
+    rest. Run it while the stream is STOPPED (the standard
+    maintenance-window contract, same as checkpoint cleanup).
 
-    - ``-1`` can never collide with a real foreachBatch batch_id (those
-      are non-negative), so `_dedup_one_batch`'s replay-exclusion filter
-      ``batch_id != current`` keeps working unchanged afterwards.
-    - Crash safety: the compacted partition is written FIRST (into a
-      staging dir, renamed in), the old partitions removed after. A
-      crash in between leaves digests duplicated between ``batch_id=-1``
-      and the old partitions — harmless: the anti-join semantics of a
-      digest SUPERSET are identical, and re-running the compaction
-      converges.
+    Crash safety, with NO rename dance: the new id is unique (one below
+    the smallest existing id), so the install is a single rename of the
+    fully-written staging dir onto a target that cannot exist; old
+    partitions are removed only after. A crash at ANY point leaves only
+    valid integer ``batch_id=<n>`` directories whose union is a digest
+    SUPERSET — anti-join semantics are unchanged (a superset dedups
+    identically), partition discovery still infers an integer column,
+    `_dedup_one_batch`'s replay-exclusion filter (non-negative ids)
+    keeps working, and re-running the compaction converges. Orphaned
+    ``<dir>.compact-*`` staging dirs from a crashed write sit OUTSIDE
+    the snapshot directory and are swept on the next run.
 
-    Returns {"files_before", "files_after", "digests"}.
+    Local / task-visible mounted filesystems only (os.walk + os.rename,
+    like ``compact_files``); on object storage the same steps are a
+    prefix write + a listing + prefix deletes.
+
+    Returns {"files_before", "files_after", "digests", "batch_id"}.
     """
-    import uuid as _uuid
-
     total, before = _dir_parquet_bytes(digests_dir)
+    # sweep staging leftovers from a previous crashed compaction
+    parent, base = os.path.split(digests_dir.rstrip("/"))
+    for d in os.listdir(parent or "."):
+        if d.startswith(f"{base}.compact-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    ids = []
+    for d in os.listdir(digests_dir):
+        if d.startswith("batch_id="):
+            try:
+                ids.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                raise ValueError(f"non-integer partition dir in snapshot: {d}")
+    new_id = min(0, *ids) - 1 if ids else -1
     # size the compacted partition from on-disk bytes, like compact_files
     # (a billion-digest snapshot must not funnel through one task)
     n_out = max(1, math.ceil(total / target_bytes))
     distinct = spark.read.parquet(digests_dir).select("h").distinct()
-    staging = f"{digests_dir}.compact-{_uuid.uuid4().hex[:8]}"
+    staging = f"{digests_dir}.compact-{uuid.uuid4().hex[:8]}"
     distinct.repartition(n_out).write.mode("overwrite").parquet(staging)
     n_digests = spark.read.parquet(staging).count()
-    # install the compacted partition, then drop the per-batch ones (a
-    # batch_id=-1 left by a PREVIOUS compaction is shelved aside first so
-    # the rename target is free; it is removed with the rest)
-    os.rename(staging, os.path.join(digests_dir, "batch_id=-1.tmp"))
-    prev = os.path.join(digests_dir, "batch_id=-1")
-    if os.path.isdir(prev):
-        os.rename(prev, prev + f".old-{_uuid.uuid4().hex[:8]}")
-    old = [
-        d
-        for d in os.listdir(digests_dir)
-        if d.startswith("batch_id=") and not d.endswith(".tmp")
-    ]
-    os.rename(os.path.join(digests_dir, "batch_id=-1.tmp"), prev)
-    for d in old:
-        shutil.rmtree(os.path.join(digests_dir, d))
+    os.rename(staging, os.path.join(digests_dir, f"batch_id={new_id}"))
+    for i in ids:
+        shutil.rmtree(os.path.join(digests_dir, f"batch_id={i}"))
     _total, after = _dir_parquet_bytes(digests_dir)
-    return {"files_before": before, "files_after": after, "digests": n_digests}
+    return {
+        "files_before": before,
+        "files_after": after,
+        "digests": n_digests,
+        "batch_id": new_id,
+    }

@@ -195,6 +195,7 @@ def test_compact_digest_snapshot(spark, tmp_path):
     assert len(before) == 4  # a b c d
     stats = compact_digest_snapshot(spark, digests)
     assert stats["digests"] == 4
+    assert stats["batch_id"] == -1
     assert stats["files_after"] <= stats["files_before"]
     assert os.listdir(digests) == ["batch_id=-1"]
     assert {r["h"] for r in spark.read.parquet(digests).collect()} == before
@@ -218,10 +219,23 @@ def test_compact_digest_snapshot(spark, tmp_path):
     )
     assert got2 == [31]
 
-    # second compaction (now batch_id=-1 already exists) converges
+    # second compaction folds -1 and batch 3 into a fresh unique id -2
+    # (the install target can never pre-exist, so a crash at any point
+    # leaves only valid integer partitions)
     stats2 = compact_digest_snapshot(spark, digests)
     assert stats2["digests"] == 5  # a b c d e
-    assert os.listdir(digests) == ["batch_id=-1"]
+    assert stats2["batch_id"] == -2
+    assert os.listdir(digests) == ["batch_id=-2"]
+
+    # interrupted-compaction recovery: simulate a crash AFTER the new
+    # partition install but BEFORE old-partition removal by recreating a
+    # stale batch partition alongside; the union is a digest superset
+    # (same dedup semantics) and the next compaction converges
+    b4 = spark.createDataFrame([(40, "f", "en", "web", 1)], _DOC_SCHEMA)
+    _dedup_one_batch(b4, 4, digests, out)
+    stats3 = compact_digest_snapshot(spark, digests)
+    assert stats3["digests"] == 6 and stats3["batch_id"] == -3
+    assert os.listdir(digests) == ["batch_id=-3"]
 
 
 # ---------------------------------------------------------------------------
