@@ -181,27 +181,38 @@ def q25_window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_window_distribution",
     oracle="""
     SELECT c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6)    AS cume,
+           CAST(round(percent_rank() OVER w
+                      * (count(*) OVER p - 1)) AS BIGINT) AS pct_rank_num,
+           CAST(round(cume_dist() OVER w
+                      * count(*) OVER p) AS BIGINT)       AS cume_num,
+           count(*) OVER p                                AS n_rows,
            nth_value(c_custkey, 2) OVER (
                PARTITION BY c_nationkey
                ORDER BY c_acctbal DESC, c_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING
                         AND UNBOUNDED FOLLOWING)  AS second_richest
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           p AS (PARTITION BY c_nationkey)
     """,
     doc="Distribution window functions: percent_rank / cume_dist / "
-    "nth_value with a full-partition frame.",
+    "nth_value with a full-partition frame. The ratios are emitted as "
+    "their EXACT integer numerators (pct*(n-1) and cume*n round back to "
+    "the integers they encode within 1 ULP) plus the partition size — "
+    "round(x, 6) on the raw double tie-breaks differently across "
+    "engines when digit 7 is exactly 5 (first hit at sf0.1, where a "
+    "640-row nation yields cume = 41/640 = 0.0640625).",
 )
 def q26_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    n = F.count(F.lit(1)).over(W.partitionBy("c_nationkey"))
     return c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w) * (n - 1)).cast("bigint").alias("pct_rank_num"),
+        F.round(F.cume_dist().over(w) * n).cast("bigint").alias("cume_num"),
+        n.alias("n_rows"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
     )
 
