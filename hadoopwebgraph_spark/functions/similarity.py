@@ -549,12 +549,13 @@ def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v)
+               list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                        * sqrt(list_dot_product(b.v, b.v))) AS cos
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, round(cos, 4) AS cos
+    SELECT vec_a, vec_b,
+           CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
     FROM pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}
     """,
     doc="Embedding-cosine near-dup mining: candidate pairs blocked by the "
@@ -578,14 +579,20 @@ def q72_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(
+        (
             _dot(F.col("a.v"), F.col("b.v"))
-            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
-            6,
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
         ).alias("cos"),
     )
+    # The raw cosine doubles are bit-identical across engines (same
+    # left-to-right IEEE ops), so the filter compares identical values;
+    # the OUTPUT uses explicit half-up floor(x+0.5) instead of round(),
+    # whose half-up-vs-half-even tie-breaking diverged at sf0.1 (e.g.
+    # 0.353550 -> 0.3536 Spark, 0.3535 DuckDB).
     return pairs.filter(F.col("cos") >= EMB_DEDUP_THRESHOLD).select(
-        "vec_a", "vec_b", F.round("cos", 4).alias("cos")
+        "vec_a",
+        "vec_b",
+        F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("bigint").alias("cos_x10k"),
     )
 
 
