@@ -65,3 +65,51 @@ def test_bucketed_join_skips_shuffle(spark, sf_small):
     # bucketed aggregation on the bucket key also skips the exchange
     agg = spark.table("li_b").groupBy("l_orderkey").agg(F.sum("l_quantity"))
     assert _exchanges(agg) == 0
+
+
+def test_bucketed_digest_antijoin_one_sided_exchange(spark, sf_small):
+    """The incremental-dedup claim made in functions/dedup.py: with the
+    digest snapshot stored as a table bucketed on the digest, the
+    per-batch LEFT ANTI join reads the (huge) snapshot side co-located —
+    only the (small) incoming batch is exchanged into the bucket layout.
+    The snapshot side must show NO Exchange in the join plan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS digests_b")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/digests_b", ignore_errors=True)
+
+    docs = load(spark, sf_small, "documents")
+    h = F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h")
+    snapshot = docs.filter(F.col("doc_id") % 2 == 0).select(h)
+    (
+        snapshot.write.mode("overwrite")
+        .bucketBy(8, "h")
+        .sortBy("h")
+        .saveAsTable("digests_b")
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", h)
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = batch.join(spark.table("digests_b"), "h", "left_anti")
+        plan = fresh._sc._jvm.PythonSQLUtils.explainString(
+            fresh._jdf.queryExecution(), "formatted"
+        )
+        # exactly ONE exchange: the batch side repartitioning into the
+        # snapshot's bucket layout; the snapshot scan itself is
+        # exchange-free (its FileScan provides the hash distribution)
+        assert _exchanges(fresh) == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+        # semantics unchanged vs the unbucketed anti-join
+        plain = batch.join(snapshot, "h", "left_anti")
+        assert sorted(r["doc_id"] for r in fresh.collect()) == sorted(
+            r["doc_id"] for r in plain.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS digests_b")
