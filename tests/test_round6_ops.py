@@ -238,6 +238,64 @@ def test_compact_digest_snapshot(spark, tmp_path):
     assert os.listdir(digests) == ["batch_id=-3"]
 
 
+def test_partitioned_ingest_stream(spark, tmp_path):
+    """Streaming ingest into the date-partitioned layout: two
+    micro-batches land under batch_id=<n>/p_month=<m>; a month filter
+    prunes across batches; replaying a batch (crash recovery) overwrites
+    its own directory only — other batches' rows in the same month
+    survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.layout import (
+        _ingest_one_batch,
+        partitioned_ingest_stream,
+    )
+
+    incoming = str(tmp_path / "in")
+    out = str(tmp_path / "fact")
+    schema = "o_orderkey long, o_orderdate date, o_totalprice double"
+    b1 = spark.createDataFrame(
+        [(1, "1995-03-10", 10.0), (2, "1995-04-02", 20.0)],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    b1.write.mode("append").parquet(incoming)
+
+    q = partitioned_ingest_stream(spark, incoming, out, str(tmp_path / "ck"))
+    q.awaitTermination()
+    b2 = spark.createDataFrame(
+        [(3, "1995-03-20", 30.0)],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    b2.write.mode("append").parquet(incoming)
+    q2 = partitioned_ingest_stream(spark, incoming, out, str(tmp_path / "ck"))
+    q2.awaitTermination()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # month filter prunes ACROSS batches and finds both batches' March rows
+    march = back.filter(F.col("p_month") == "1995-03")
+    assert sorted(r["o_orderkey"] for r in march.collect()) == [1, 3]
+    plan = march._sc._jvm.PythonSQLUtils.explainString(
+        march._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "p_month" in pf[0]
+
+    # replay batch 1: its directory is overwritten in place; batch 0's
+    # March row is untouched (month-level dynamic overwrite would lose it)
+    _ingest_one_batch(b2, 1, "o_orderdate", out)
+    assert spark.read.parquet(out).count() == 3
+    assert sorted(
+        r["o_orderkey"]
+        for r in spark.read.parquet(out)
+        .filter(F.col("p_month") == "1995-03")
+        .collect()
+    ) == [1, 3]
+    assert os.path.isdir(os.path.join(out, "batch_id=1", "p_month=1995-03"))
+
+
 # ---------------------------------------------------------------------------
 # sink storage routing by basename scheme
 # ---------------------------------------------------------------------------
