@@ -149,6 +149,9 @@ def write_date_partitioned(
     dynamic-partition-write mistake; compact_files exists for tables that
     already made it).
 
+    NULL dates are preserved: they land in the Hive default partition
+    (``p_month=__HIVE_DEFAULT_PARTITION__``) and read back as NULL.
+
     Returns ``path``. Read back with ``spark.read.parquet(path)`` and
     filter on ``partition_col``; tests/test_layout.py asserts the filter
     lands in the scan's PartitionFilters and prunes the file count.

@@ -230,3 +230,19 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_small, tmp_path
     # only the one month's rows ever left the scan
     expected = fact.filter(F.col("p_month") == "1995-03").count()
     assert m["numOutputRows"] == expected > 0, m
+
+
+def test_date_partitioned_write_null_dates_survive(spark, tmp_path):
+    """NULL dates must not be dropped by the partitioned layout: they
+    land in the Hive default partition and read back as NULL p_month."""
+    from hadoopwebgraph_spark.functions.layout import write_date_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "1995-03-10"), (2, None), (3, "1995-04-01")], "k long, d string"
+    ).withColumn("d", F.to_date("d"))
+    p = str(tmp_path / "t")
+    write_date_partitioned(df, "d", p)
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    got = {r.k: r.p_month for r in back.collect()}
+    assert got == {1: "1995-03", 2: None, 3: "1995-04"}
