@@ -945,3 +945,107 @@ def link_prediction(
         .orderBy(F.col("jaccard").desc(), "a", "b")
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality (Boldi-Vigna, the WebGraph-ecosystem
+# companion algorithm: probabilistic neighborhood-function estimation)
+# ---------------------------------------------------------------------------
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_hops: int = 8,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Harmonic centrality H(v) = sum_{u != v} 1/d(u, v) estimated with
+    the HyperBall algorithm (Boldi & Vigna, "In-Core Computation of
+    Geometric Centralities with HyperBall", 2013 — the algorithm the
+    WebGraph ecosystem ships for exactly this): every node carries an
+    HLL sketch of its in-ball B(v, t); one edge join per hop unions each
+    node's sketch with its IN-neighbors' sketches (so the ball grows
+    along incoming paths and d(u, v) counts u -> v reachability); the
+    per-hop cardinality DELTA |B(v,t)| - |B(v,t-1)| is the number of
+    nodes at distance exactly t, contributing delta / t to H(v).
+
+    Spark-first: the sketches are Spark's native datasketches HLL
+    columns — `hll_sketch_agg` seeds them, `hll_union_agg` merges
+    neighbor sketches JVM-side in a partial-aggregated groupBy (no UDF,
+    no Python in the loop), `hll_sketch_estimate` reads cardinalities.
+    Per hop: one shuffle on the join key + one on the groupBy key —
+    the same budget as a PageRank iteration; sketch size is the fixed
+    2^lg_k registers regardless of graph size, which is the entire
+    point of HyperBall at 10^11 nodes (exact ball sets would be O(n^2)).
+
+    Converges (balls stop growing) in at most the graph diameter;
+    ``max_hops`` bounds the loop like g16's BFS. Accuracy is the HLL
+    standard error (~1.04/sqrt(2^lg_k) ≈ 1.6% at the default lg_k=12);
+    tests pin estimates against exact BFS harmonic centrality on small
+    graphs within that tolerance.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col("node").cast("long").alias("node"))
+
+    # state: node, sketch(B(node, t)), est(|B(node, t)|), harmonic so far
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
+        .withColumn("est", F.hll_sketch_estimate("sk"))
+        .withColumn("harmonic", F.lit(0.0))
+        .localCheckpoint()
+    )
+    for t in range(1, max_hops + 1):
+        # each node unions the sketches of its IN-neighbors (u -> v means
+        # u enters B(v): distances follow edge direction)
+        contrib = e.join(
+            state.select(F.col("node").alias("src"), F.col("sk").alias("nsk")),
+            "src",
+        ).select(F.col("dst").alias("node"), F.col("nsk"))
+        merged = (
+            state.join(
+                contrib.groupBy("node").agg(F.hll_union_agg("nsk").alias("insk")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                "harmonic",
+                F.col("est").alias("prev_est"),
+                F.when(
+                    F.col("insk").isNull(), F.col("sk")
+                ).otherwise(
+                    # union of own sketch and merged in-neighbor sketch
+                    F.hll_union("sk", "insk")
+                ).alias("sk"),
+            )
+            .withColumn("est", F.hll_sketch_estimate("sk"))
+            .withColumn(
+                "harmonic",
+                F.col("harmonic")
+                + F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
+                / F.lit(float(t)),
+            )
+            .drop("prev_est")
+            .localCheckpoint()  # truncate lineage each hop (g16 pattern)
+        )
+        # cheap convergence check every 2 hops (driver action; same
+        # cadence as connected_components)
+        if t % 2 == 0:
+            total_prev = state.agg(F.sum("est").alias("s")).collect()[0]["s"]
+            total_now = merged.agg(F.sum("est").alias("s")).collect()[0]["s"]
+            state = merged
+            if total_now <= total_prev:
+                break
+        else:
+            state = merged
+    return state.select("node", F.round("harmonic", 4).alias("harmonic"))

@@ -384,3 +384,77 @@ def test_g22_fixture_degree_under_cap(spark):
         .agg(F.max("d").alias("m")).collect()[0]["m"]
     )
     assert max_deg <= ga._G22_DEGREE_CAP
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality
+# ---------------------------------------------------------------------------
+
+
+def _exact_harmonic(pairs, nodes):
+    """Exact H(v) = sum 1/d(u,v) over directed reachability via BFS."""
+    from collections import defaultdict, deque
+
+    fwd = defaultdict(list)
+    for s, d in pairs:
+        if s != d:
+            fwd[s].append(d)
+    H = {v: 0.0 for v in nodes}
+    for u in nodes:  # BFS from u along edges; u at distance d REACHES v
+        dist = {u: 0}
+        dq = deque([u])
+        while dq:
+            x = dq.popleft()
+            for y in fwd[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        for v, d in dist.items():
+            if d > 0:
+                H[v] += 1.0 / d
+    return H
+
+
+def test_hyperball_harmonic_exact_on_small_graphs(spark):
+    """At small cardinalities the HLL sketches are exact (sparse mode),
+    so HyperBall must reproduce exact BFS harmonic centrality on a
+    cycle, a star, and a random digraph."""
+    import random
+
+    from hadoopwebgraph_spark.queries.graph_algos import hyperball_harmonic
+
+    cases = [
+        [(i, (i + 1) % 6) for i in range(6)],           # 6-cycle
+        [(0, i) for i in range(1, 8)],                   # out-star
+        list({(random.Random(3).randrange(15),
+               random.Random(5).randrange(15)) for _ in range(40)}),
+    ]
+    rng = random.Random(11)
+    cases.append(list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)}))
+    for pairs in cases:
+        pairs = [(s, d) for s, d in pairs if s != d]
+        if not pairs:
+            continue
+        e = spark.createDataFrame(pairs, "src int, dst int")
+        got = {
+            r.node: r.harmonic
+            for r in hyperball_harmonic(e, max_hops=25).collect()
+        }
+        nodes = {v for p in pairs for v in p}
+        want = _exact_harmonic(pairs, nodes)
+        assert set(got) == nodes
+        for v in nodes:
+            assert abs(got[v] - want[v]) < 1e-3, (v, got[v], want[v], pairs)
+
+
+def test_hyperball_no_python_udf_in_loop(spark):
+    """The sketch unions must run JVM-side: no Python evaluation nodes
+    in the per-hop plan."""
+    from hadoopwebgraph_spark.queries.graph_algos import hyperball_harmonic
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src int, dst int")
+    df = hyperball_harmonic(e, max_hops=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
