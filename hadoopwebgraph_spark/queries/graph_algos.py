@@ -1049,3 +1049,85 @@ def hyperball_harmonic(
         else:
             state = merged
     return state.select("node", F.round("harmonic", 4).alias("harmonic"))
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_hops: int = 16,
+    lg_k: int = 12,
+) -> list[float]:
+    """HyperANF (Boldi-Vigna-Rosa 2011): the neighborhood function
+    N(t) = number of node pairs within distance <= t, estimated with the
+    same per-node HLL ball sketches as :func:`hyperball_harmonic` — one
+    edge join + JVM-side `hll_union_agg` per hop, then ONE 1-row sum of
+    the per-node ball estimates. Stops when the total stops growing
+    (ball fixpoint = every pair reached). Returns [N(0), N(1), ...].
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col("node").cast("long").alias("node"))
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
+        .localCheckpoint()
+    )
+
+    def total(df):
+        return float(
+            df.agg(
+                F.sum(F.hll_sketch_estimate("sk")).alias("s")
+            ).collect()[0]["s"]
+        )
+
+    nf = [total(state)]
+    for _t in range(1, max_hops + 1):
+        contrib = e.join(
+            state.select(F.col("node").alias("src"), F.col("sk").alias("nsk")),
+            "src",
+        ).select(F.col("dst").alias("node"), "nsk")
+        state = (
+            state.join(
+                contrib.groupBy("node").agg(F.hll_union_agg("nsk").alias("insk")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.when(F.col("insk").isNull(), F.col("sk"))
+                .otherwise(F.hll_union("sk", "insk"))
+                .alias("sk"),
+            )
+            .localCheckpoint()
+        )
+        nf.append(total(state))
+        if nf[-1] <= nf[-2]:  # balls stopped growing: past the diameter
+            nf.pop()
+            break
+    return nf
+
+
+def effective_diameter(
+    edges: DataFrame, alpha: float = 0.9, max_hops: int = 16, lg_k: int = 12
+) -> float:
+    """Effective diameter at fraction ``alpha`` (WebGraph's standard
+    connectivity statistic, interpolated as in HyperANF): the smallest t
+    (linearly interpolated between hops) such that N(t) >= alpha * N(max)
+    — "90% of reachable pairs are within this many hops"."""
+    nf = neighborhood_function(edges, max_hops=max_hops, lg_k=lg_k)
+    target = alpha * nf[-1]
+    for t, v in enumerate(nf):
+        if v >= target:
+            if t == 0:
+                return 0.0
+            prev = nf[t - 1]
+            return (t - 1) + (target - prev) / (v - prev)
+    return float(len(nf) - 1)

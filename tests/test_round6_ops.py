@@ -458,3 +458,34 @@ def test_hyperball_no_python_udf_in_loop(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_neighborhood_function_and_effective_diameter(spark):
+    """HyperANF on graphs small enough that HLL sparse mode is exact:
+    hand-computed N(t) on a directed path, diameter-1 behavior on a
+    complete digraph, early stop at the ball fixpoint."""
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    # directed path 0->1->2->3: N = [4, 7, 9, 10]
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src int, dst int")
+    nf = neighborhood_function(path)
+    assert nf == [4.0, 7.0, 9.0, 10.0]  # early-stopped at the fixpoint
+    assert effective_diameter(path, 0.9) == 2.0
+
+    # complete digraph on 4 nodes: every pair at distance 1 -> N(1)=16
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i != j],
+        "src int, dst int",
+    )
+    nf4 = neighborhood_function(k4)
+    assert nf4 == [4.0, 16.0]
+    assert effective_diameter(k4, 0.9) < 1.0  # interpolated below hop 1
+
+    # monotone non-decreasing by construction
+    cyc = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)], "src int, dst int")
+    nfc = neighborhood_function(cyc)
+    assert all(b >= a for a, b in zip(nfc, nfc[1:]))
+    assert nfc[-1] == 25.0  # cycle: all pairs reachable
