@@ -68,6 +68,11 @@ HEADLINE = [
     "q118_bloom_filter_join",
     "q119_substring_dedup",
     "q121_weighted_sample",
+    # round 6 additions (benched from round 7): partitioned layout read,
+    # corpus n-gram top-k, host-graph contraction
+    "q129_partitioned_layout",
+    "q130_ngram_counts",
+    "g25_host_graph",
 ]
 
 
@@ -151,6 +156,7 @@ def main() -> None:
     # load average is recorded per query so a contaminated run is
     # self-identifying in the JSON.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     loads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -159,13 +165,15 @@ def main() -> None:
             continue
         try:
             loads[name] = round(os.getloadavg()[0], 1)
-            for _ in range(2):
+            for run in range(2):
                 t0 = time.perf_counter()
                 n = q.fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 assert n >= 0
                 # record after EACH success: a transient failure on the
                 # retry must not discard a measurement we already have
+                if run == 0:
+                    cold[name] = round(dt, 3)
                 timings[name] = round(min(dt, timings.get(name, dt)), 3)
                 if dt > 10.0:
                     break  # expensive query: don't double the bench budget
@@ -257,22 +265,48 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # The driver captures only the last ~2000 chars of stdout, so the
+    # final line MUST stay compact (BENCH_r06 was lost to an oversized
+    # line: `parsed: null`). Diagnostics — per-query load averages, cold
+    # (first-run) timings, full error text — go to a side file instead;
+    # tests/test_bench_contract.py pins the stdout line under the cap.
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
-        # per-query 1-min load average sampled just before each query: a
-        # load-contaminated run (external processes on the shared host)
-        # is self-identifying instead of silently inflating the totals
-        "loadavg_per_query": loads,
         "loadavg_end": round(os.getloadavg()[0], 1),
         **scan_stats,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        # driver-visible signal only; full tracebacks live in the detail file
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    detail = {
+        # cold = first-run time per query; `queries` above is best-of-2.
+        # Recording both keeps cross-round trends interpretable (r1-r5
+        # were single-run numbers) while the official total stays
+        # robust to shared-host load.
+        "queries_cold": cold,
+        "loadavg_per_query": loads,
+        "errors": errors,
+    }
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench_detail write failed: {exc}", file=sys.stderr)
+    line = json.dumps(out)
+    if len(line) > 1900:
+        # last-resort guard: shed optional fields rather than emit a line
+        # the driver cannot parse (queries+metric are the contract)
+        for k in ("errors", "loadavg_end"):
+            out.pop(k, None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

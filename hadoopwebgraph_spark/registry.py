@@ -174,6 +174,38 @@ _DRIVER_GREEN.update(
         ).split()
     }
 )
+# Round 6's 50-row window (CORRECTNESS_r06.json): every row green — 48
+# hash-matched, q73/q74 rows-only by design (no_oracle). The window was
+# q119 + the four round-6 additions (q129-q131, g25) + all 45 round-3
+# names; stamping them 6 makes the 50 round-4 names the oldest, so they
+# exactly fill round 7's window (any round-7 registry addition displaces
+# a round-4 name — acceptable: they are verified in r4 and locally swept
+# every round since).
+_DRIVER_GREEN.update(
+    {
+        name: 6
+        for name in (
+            "g01_adjacency g02_degree_distribution g03_edges "
+            "g04_indegree_topk g05_two_hop g06_triangle_motif "
+            "g07_graph_counts g08_symmetrize g09_src_range_scan "
+            "g10_point_lookup g11_pagerank g12_connected_components "
+            "g13_reachability_recursive_cte g14_motif_open_triad "
+            "g15_label_propagation g25_host_graph q01_pricing_summary "
+            "q02_filter_project q03_join_inner q04_join_broadcast "
+            "q05_join_left_histogram q119_substring_dedup "
+            "q129_partitioned_layout q130_ngram_counts "
+            "q131_disjunctive_predicate_join q42_scalar_subquery "
+            "q59_merge_upsert q60_dedup_exact q61_dedup_content_hash "
+            "q62_dedup_minhash q63_ngram_jaccard q64_dedup_simhash "
+            "q65_simhash_pairs q66_dedup_clusters q70_sim_bruteforce_topk "
+            "q71_sim_ivf_topk q72_dedup_embedding q73_sim_ivf_kmeans_topk "
+            "q74_sim_pq_topk q80_text_quality q81_lang_id q82_token_stats "
+            "q83_fingerprint q84_tfidf_top_terms q85_bm25_ranking "
+            "q90_multimodal_meta q91_grouped_map_regression "
+            "q92_udtf_tokenize q93_image_decode q94_audio_decode"
+        ).split()
+    }
+)
 
 
 def all_queries() -> dict[str, Query]:

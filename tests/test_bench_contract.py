@@ -1,0 +1,55 @@
+"""Pin the bench.py stdout contract.
+
+The driver captures only the last ~2000 characters of bench stdout and
+parses the final line as JSON. Round 6's numbers were lost because the
+line outgrew that capture (``BENCH_r06.json: parsed: null``). This test
+constructs the worst-case payload bench.py can emit — every headline
+entry present at maximum numeric width plus the scan/sink scalars — and
+asserts the serialized line stays comfortably under the cap.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _worst_case_line() -> str:
+    # 999.999 is the widest value round(x, 3) produces for any sane
+    # per-query time (a >1000s query would have failed the round anyway)
+    queries = {name: 999.999 for name in bench.HEADLINE}
+    queries["gXL_graph_scan"] = 999.999
+    queries["gXL_degree_hist"] = 999.999
+    queries["gXL_sink_write"] = 999.999
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "loadavg_end": 99.9,
+        "graph_scan_arcs": 99_999_999_999,
+        "graph_scan_arcs_per_sec": 999_999_999,
+        "graph_scan_partition_invariant": False,
+        "graph_scan_rerun_consistent": False,
+        "graph_sink_arcs_per_sec": 999_999_999,
+    }
+    return json.dumps(out)
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    line = _worst_case_line()
+    assert len(line) < 1800, (
+        f"bench stdout line would be {len(line)} chars; the driver tail "
+        "capture is ~2000 — move fields to bench_detail.json or trim "
+        "HEADLINE before adding more entries"
+    )
+
+
+def test_bench_headline_names_resolve():
+    from hadoopwebgraph_spark.registry import all_queries
+
+    names = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, f"HEADLINE references unknown queries: {missing}"
