@@ -958,6 +958,7 @@ def hyperball_harmonic(
     nodes: DataFrame | None = None,
     max_hops: int = 8,
     lg_k: int = 12,
+    scale: int | None = None,
 ) -> DataFrame:
     """Harmonic centrality H(v) = sum_{u != v} 1/d(u, v) estimated with
     the HyperBall algorithm (Boldi & Vigna, "In-Core Computation of
@@ -983,7 +984,23 @@ def hyperball_harmonic(
     standard error (~1.04/sqrt(2^lg_k) ≈ 1.6% at the default lg_k=12);
     tests pin estimates against exact BFS harmonic centrality on small
     graphs within that tolerance.
+
+    ``scale``: when set (must be divisible by every t in 1..max_hops,
+    i.e. LCM(1..max_hops)), the per-hop contribution is accumulated as
+    the exact integer ``delta * (scale // t)`` and the result column is
+    ``h_scaled`` (long) = scale * H(v). In HLL sparse-exact regimes
+    (ball sizes < ~2^lg_k/8) this makes the output integer-exact and
+    hash-comparable against a BFS oracle with zero float-tie risk (the
+    NOTES.md float discipline). Early termination requires TWO
+    consecutive non-increasing global-total checks: datasketches
+    estimates can dip transiently at the sparse-to-dense transition
+    while balls are still growing, so a single non-increase is not a
+    fixpoint proof.
     """
+    if scale is not None:
+        for t in range(1, max_hops + 1):
+            if scale % t:
+                raise ValueError(f"scale {scale} not divisible by hop {t}")
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
@@ -997,13 +1014,16 @@ def hyperball_harmonic(
         nodes = nodes.select(F.col("node").cast("long").alias("node"))
 
     # state: node, sketch(B(node, t)), est(|B(node, t)|), harmonic so far
+    hcol = "h_scaled" if scale is not None else "harmonic"
+    hinit = F.lit(0).cast("long") if scale is not None else F.lit(0.0)
     state = (
         nodes.groupBy("node")
         .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
         .withColumn("est", F.hll_sketch_estimate("sk"))
-        .withColumn("harmonic", F.lit(0.0))
+        .withColumn(hcol, hinit)
         .localCheckpoint()
     )
+    dry_checks = 0
     for t in range(1, max_hops + 1):
         # each node unions the sketches of its IN-neighbors (u -> v means
         # u enters B(v): distances follow edge direction)
@@ -1011,6 +1031,16 @@ def hyperball_harmonic(
             state.select(F.col("node").alias("src"), F.col("sk").alias("nsk")),
             "src",
         ).select(F.col("dst").alias("node"), F.col("nsk"))
+        delta = F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
+        if scale is not None:
+            # exact integer accumulation: delta is integral in the HLL
+            # sparse-exact regime; half-up rounding (never bare round())
+            # guards the cast per the float discipline
+            hupd = F.col(hcol) + F.floor(delta + F.lit(0.5)).cast("long") * F.lit(
+                scale // t
+            )
+        else:
+            hupd = F.col(hcol) + delta / F.lit(float(t))
         merged = (
             state.join(
                 contrib.groupBy("node").agg(F.hll_union_agg("nsk").alias("insk")),
@@ -1019,7 +1049,7 @@ def hyperball_harmonic(
             )
             .select(
                 "node",
-                "harmonic",
+                hcol,
                 F.col("est").alias("prev_est"),
                 F.when(
                     F.col("insk").isNull(), F.col("sk")
@@ -1029,25 +1059,26 @@ def hyperball_harmonic(
                 ).alias("sk"),
             )
             .withColumn("est", F.hll_sketch_estimate("sk"))
-            .withColumn(
-                "harmonic",
-                F.col("harmonic")
-                + F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
-                / F.lit(float(t)),
-            )
+            .withColumn(hcol, hupd)
             .drop("prev_est")
             .localCheckpoint()  # truncate lineage each hop (g16 pattern)
         )
         # cheap convergence check every 2 hops (driver action; same
-        # cadence as connected_components)
+        # cadence as connected_components). Estimates can dip slightly
+        # at the sparse-to-dense transition while balls still grow, so
+        # one non-increasing total is not proof of a fixpoint — stop
+        # only after TWO consecutive non-increasing checks.
         if t % 2 == 0:
             total_prev = state.agg(F.sum("est").alias("s")).collect()[0]["s"]
             total_now = merged.agg(F.sum("est").alias("s")).collect()[0]["s"]
             state = merged
-            if total_now <= total_prev:
+            dry_checks = dry_checks + 1 if total_now <= total_prev else 0
+            if dry_checks >= 2:
                 break
         else:
             state = merged
+    if scale is not None:
+        return state.select("node", F.col(hcol))
     return state.select("node", F.round("harmonic", 4).alias("harmonic"))
 
 
@@ -1089,6 +1120,7 @@ def neighborhood_function(
         )
 
     nf = [total(state)]
+    dry = 0
     for _t in range(1, max_hops + 1):
         contrib = e.join(
             state.select(F.col("node").alias("src"), F.col("sk").alias("nsk")),
@@ -1109,9 +1141,17 @@ def neighborhood_function(
             .localCheckpoint()
         )
         nf.append(total(state))
-        if nf[-1] <= nf[-2]:  # balls stopped growing: past the diameter
-            nf.pop()
-            break
+        # estimates can dip transiently at the sparse-to-dense
+        # transition while balls still grow — a single non-increasing
+        # hop is not a fixpoint proof; require two consecutive ones,
+        # then drop the stagnant tail entries
+        if nf[-1] <= nf[-2]:
+            dry += 1
+            if dry >= 2:
+                del nf[-dry:]
+                break
+        else:
+            dry = 0
     return nf
 
 
@@ -1131,3 +1171,83 @@ def effective_diameter(
             prev = nf[t - 1]
             return (t - 1) + (target - prev) / (v - prev)
     return float(len(nf) - 1)
+
+
+# Driver-gated HyperBall/HyperANF entries. Both run on the fixture
+# subgraph restricted to nodes < 400 so every ball stays in the HLL
+# sparse-exact regime (max in-ball 385 < 2^14/8 at lg_k=14 — verified
+# empirically: Spark's datasketches sketches are exact through ~k/8
+# distinct values), making the probabilistic algorithm hash-comparable
+# against an exact BFS oracle. scale = LCM(1..16) = 720720 keeps the
+# harmonic sum in exact integer arithmetic on BOTH engines (NOTES.md
+# float discipline: reciprocal sums would otherwise be float-tie bait).
+_HB_CAP = 400
+_HB_SCALE = 720720  # LCM(1..16) = 2^4 * 3^2 * 5 * 7 * 11 * 13
+_HB_SUB = f"""
+    e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    f AS (SELECT DISTINCT src, dst FROM e0
+          WHERE src < {_HB_CAP} AND dst < {_HB_CAP} AND src <> dst),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM f UNION SELECT dst FROM f)),
+    reach(root, node, d) AS MATERIALIZED (
+        SELECT node, node, 0 FROM n
+        UNION
+        SELECT r.root, f.dst, r.d + 1 FROM reach r
+        JOIN f ON f.src = r.node WHERE r.d < 16
+    ),
+    md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node)
+"""
+
+
+def _hb_edges(spark: SparkSession) -> DataFrame:
+    return edges_df(spark).filter(
+        (F.col("src") < _HB_CAP)
+        & (F.col("dst") < _HB_CAP)
+        & (F.col("src") != F.col("dst"))
+    )
+
+
+@register(
+    "g26_hyperball_harmonic",
+    oracle=f"""
+    WITH RECURSIVE {_HB_SUB}
+    SELECT n.node,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS h_scaled
+    FROM n LEFT JOIN (
+        SELECT node, sum({_HB_SCALE} // d) AS h
+        FROM md WHERE d > 0 GROUP BY node
+    ) h ON h.node = n.node
+    """,
+    doc="HyperBall harmonic centrality (Boldi-Vigna 2013, the WebGraph "
+    "ecosystem's flagship companion algorithm — HdfsBVGraph.java:26-28 "
+    "lineage) on the <400-node fixture subgraph: native hll_sketch_agg/"
+    "hll_union_agg ball growth, one edge join per hop, JVM-side only. "
+    "Output is scale*H(v) in exact integer units (scale=LCM(1..16)); "
+    "oracle = bounded recursive-CTE BFS distances. Exact because the "
+    "sketches stay in sparse mode at this ball size.",
+)
+def g26_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hyperball_harmonic(
+        _hb_edges(spark), max_hops=16, lg_k=14, scale=_HB_SCALE
+    )
+
+
+@register(
+    "g27_hyperanf_neighborhood",
+    oracle=f"""
+    WITH RECURSIVE {_HB_SUB}
+    SELECT CAST(d AS INTEGER) AS t,
+           CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS n_pairs
+    FROM md GROUP BY d
+    """,
+    doc="HyperANF neighborhood function N(t) (Boldi-Vigna-Rosa 2011) on "
+    "the <400-node fixture subgraph: per-node HLL ball sketches unioned "
+    "one hop per round, N(t) = one 1-row sum of ball estimates; stops "
+    "after two consecutive non-growing hops (ball fixpoint). Integer-"
+    "exact in the sparse-sketch regime; oracle = cumulative pair counts "
+    "by exact BFS distance.",
+)
+def g27_hyperanf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nf = neighborhood_function(_hb_edges(spark), max_hops=16, lg_k=14)
+    rows = [(t, int(v + 0.5)) for t, v in enumerate(nf)]
+    return spark.createDataFrame(rows, "t int, n_pairs long")
