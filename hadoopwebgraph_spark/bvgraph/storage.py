@@ -148,8 +148,55 @@ class PyArrowFSStore(SegmentStore):
         fs, base = self._resolve()
         try:
             fs.delete_dir(base)
-        except FileNotFoundError:
+        except OSError:
+            # pyarrow filesystems surface a missing directory as OSError /
+            # ArrowIOError (FileNotFoundError only on local); a never-
+            # populated spill root must not fail a completed write
             pass
+
+
+def fs_for_path(path: str):
+    """Resolve ``(pyarrow FileSystem, fs-local base path)`` for a plain
+    path or a URI — the scheme-routing seam the maintenance jobs share
+    with the sink. ``s3a://``/``s3n://`` (the Hadoop connector schemes
+    Spark uses) are normalized to pyarrow's ``s3://`` so one URI string
+    can drive both the Spark read/write AND the pyarrow listing/swap."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        for hadoop_scheme in ("s3a://", "s3n://"):
+            if path.startswith(hadoop_scheme):
+                path = "s3://" + path[len(hadoop_scheme) :]
+                break
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def move_dir(fs, src: str, dst: str) -> None:
+    """Directory move with an object-store fallback: local/HDFS rename is
+    one atomic call; stores without directory rename (S3) fall back to
+    per-object moves into the destination prefix, then drop the source
+    prefix. Callers needing crash-atomicity must target a destination
+    that cannot already exist (the digest-snapshot install contract) —
+    a partially-moved prefix is then detectable and convergent, never
+    silently merged with pre-existing data."""
+    from pyarrow import fs as pafs
+
+    try:
+        fs.move(src, dst)
+        return
+    except (OSError, NotImplementedError):
+        pass
+    fs.create_dir(dst, recursive=True)
+    sel = pafs.FileSelector(src, recursive=True)
+    infos = sorted(fs.get_file_info(sel), key=lambda i: i.path)
+    for info in infos:
+        rel = info.path[len(src) :].lstrip("/")
+        if info.type == pafs.FileType.Directory:
+            fs.create_dir(f"{dst}/{rel}", recursive=True)
+        elif info.type == pafs.FileType.File:
+            fs.move(info.path, f"{dst}/{rel}")
+    fs.delete_dir(src)
 
 
 def store_for(basename: str) -> SegmentStore:

@@ -14,27 +14,41 @@ keeps working; without it a plain round-robin repartition balances
 bytes. The rewrite lands in a staging directory that replaces the
 original atomically (rename), so concurrent readers see either the old
 or the new layout, never a half-written mix.
+
+Storage routing: every listing / rename / delete goes through
+``bvgraph.storage.fs_for_path`` (pyarrow.fs), so the SAME path string
+drives Spark's read/write and the metadata ops — plain paths and
+``file://`` use the local filesystem, ``hdfs://``/``s3a://``/``gs://``
+route to the matching pyarrow filesystem with no shared-POSIX-mount
+assumption. The one semantic caveat on object storage: directory
+"rename" is per-object copy+delete (``storage.move_dir``), so the
+compact_files swap is not atomic there — the digest-snapshot install
+below is designed to not need atomicity at all (unique fresh target +
+superset semantics), which is the job that actually must run at 100 TB.
 """
 
 from __future__ import annotations
 
 import math
-import os
-import shutil
+import posixpath
 import uuid
 
 from pyspark.sql import SparkSession
 
+from ..bvgraph.storage import fs_for_path, move_dir
 
-def _dir_parquet_bytes(path: str) -> tuple[int, int]:
-    """(total_bytes, n_files) of the parquet data files under path."""
+
+def _dir_parquet_bytes(fs, base: str) -> tuple[int, int]:
+    """(total_bytes, n_files) of the parquet data files under base."""
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
     total = 0
     n = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
-                n += 1
+    for info in fs.get_file_info(sel):
+        if info.type == pafs.FileType.File and info.path.endswith(".parquet"):
+            total += info.size
+            n += 1
     return total, n
 
 
@@ -46,25 +60,28 @@ def compact_files(
 ) -> dict:
     """Compact a parquet directory to ceil(bytes / target_bytes) files.
 
-    Returns {"files_before", "files_after", "bytes", "rows"}. Local and
-    mounted filesystems only (os.walk + os.rename); on object storage
-    the same two steps are a listing and a prefix swap.
+    ``path`` may be a plain path or any pyarrow.fs-routable URI (the
+    Spark session must be able to read/write the same URI — true for
+    file://, hdfs:// and the s3a:// connector). Returns
+    {"files_before", "files_after", "bytes", "rows"}.
     """
-    total, before = _dir_parquet_bytes(path)
+    fs, base = fs_for_path(path)
+    total, before = _dir_parquet_bytes(fs, base)
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
-    staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}.compact-{token}"
     if sort_col is not None:
         out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
     else:
         out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(staging)
     rows = spark.read.parquet(staging).count()
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    _total2, after = _dir_parquet_bytes(path)
+    old = f"{base}.old-{token}"
+    move_dir(fs, base, old)
+    move_dir(fs, f"{base}.compact-{token}", base)
+    fs.delete_dir(old)
+    _total2, after = _dir_parquet_bytes(fs, base)
     return {
         "files_before": before,
         "files_after": after,
@@ -88,31 +105,39 @@ def compact_digest_snapshot(
     maintenance-window contract, same as checkpoint cleanup).
 
     Crash safety, with NO rename dance: the new id is unique (one below
-    the smallest existing id), so the install is a single rename of the
+    the smallest existing id), so the install is a single move of the
     fully-written staging dir onto a target that cannot exist; old
     partitions are removed only after. A crash at ANY point leaves only
     valid integer ``batch_id=<n>`` directories whose union is a digest
     SUPERSET — anti-join semantics are unchanged (a superset dedups
     identically), partition discovery still infers an integer column,
     `_dedup_one_batch`'s replay-exclusion filter (non-negative ids)
-    keeps working, and re-running the compaction converges. Orphaned
-    ``<dir>.compact-*`` staging dirs from a crashed write sit OUTSIDE
-    the snapshot directory and are swept on the next run.
-
-    Local / task-visible mounted filesystems only (os.walk + os.rename,
-    like ``compact_files``); on object storage the same steps are a
-    prefix write + a listing + prefix deletes.
+    keeps working, and re-running the compaction converges. This holds
+    even where ``move_dir`` degrades to per-object copies (object
+    storage): a half-installed new partition only ever contains digests
+    re-derived from the old partitions, so the union is unchanged.
+    Orphaned ``<dir>.compact-*`` staging dirs from a crashed write sit
+    OUTSIDE the snapshot directory and are swept on the next run.
 
     Returns {"files_before", "files_after", "digests", "batch_id"}.
     """
-    total, before = _dir_parquet_bytes(digests_dir)
+    from pyarrow import fs as pafs
+
+    fs, base = fs_for_path(digests_dir)
+    total, before = _dir_parquet_bytes(fs, base)
     # sweep staging leftovers from a previous crashed compaction
-    parent, base = os.path.split(digests_dir.rstrip("/"))
-    for d in os.listdir(parent or "."):
-        if d.startswith(f"{base}.compact-"):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    parent = posixpath.dirname(base.rstrip("/")) or "."
+    stem = posixpath.basename(base.rstrip("/"))
+    for info in fs.get_file_info(
+        pafs.FileSelector(parent, recursive=False, allow_not_found=True)
+    ):
+        if info.type == pafs.FileType.Directory and posixpath.basename(
+            info.path
+        ).startswith(f"{stem}.compact-"):
+            fs.delete_dir(info.path)
     ids = []
-    for d in os.listdir(digests_dir):
+    for info in fs.get_file_info(pafs.FileSelector(base, recursive=False)):
+        d = posixpath.basename(info.path)
         if d.startswith("batch_id="):
             try:
                 ids.append(int(d.split("=", 1)[1]))
@@ -123,13 +148,15 @@ def compact_digest_snapshot(
     # (a billion-digest snapshot must not funnel through one task)
     n_out = max(1, math.ceil(total / target_bytes))
     distinct = spark.read.parquet(digests_dir).select("h").distinct()
-    staging = f"{digests_dir}.compact-{uuid.uuid4().hex[:8]}"
-    distinct.repartition(n_out).write.mode("overwrite").parquet(staging)
-    n_digests = spark.read.parquet(staging).count()
-    os.rename(staging, os.path.join(digests_dir, f"batch_id={new_id}"))
+    token = uuid.uuid4().hex[:8]
+    distinct.repartition(n_out).write.mode("overwrite").parquet(
+        f"{digests_dir}.compact-{token}"
+    )
+    n_digests = spark.read.parquet(f"{digests_dir}.compact-{token}").count()
+    move_dir(fs, f"{base}.compact-{token}", f"{base}/batch_id={new_id}")
     for i in ids:
-        shutil.rmtree(os.path.join(digests_dir, f"batch_id={i}"))
-    _total, after = _dir_parquet_bytes(digests_dir)
+        fs.delete_dir(f"{base}/batch_id={i}")
+    _total, after = _dir_parquet_bytes(fs, base)
     return {
         "files_before": before,
         "files_after": after,

@@ -66,6 +66,90 @@ def test_hyperball_scale_must_divide_all_hops(spark):
         hyperball_harmonic(e, max_hops=16, scale=840)
 
 
+def test_compact_files_through_file_uri(spark, tmp_path):
+    """compact_files routed entirely through pyarrow.fs via a file://
+    URI — the object-storage code path (fs_for_path + move_dir), not
+    os.walk/os.rename."""
+    import os
+
+    from hadoopwebgraph_spark.functions.maintenance import compact_files
+
+    plain = str(tmp_path / "t")
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 AS k")
+    df.repartition(24).write.parquet(plain)
+    uri = "file://" + plain
+    stats = compact_files(spark, uri, target_bytes=1 << 30)
+    assert stats["rows"] == 5000
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1
+    got = spark.read.parquet(plain)
+    assert got.count() == 5000
+    assert got.selectExpr("sum(id) s").collect()[0]["s"] == 5000 * 4999 // 2
+    # no staging/old leftovers next to the table
+    siblings = os.listdir(tmp_path)
+    assert siblings == ["t"], siblings
+
+
+def test_compact_digest_snapshot_through_file_uri(spark, tmp_path):
+    """Digest-snapshot compaction through the pyarrow.fs routing: same
+    fold-to-batch_id=-1 semantics as the plain-path contract."""
+    import os
+
+    from hadoopwebgraph_spark.functions.dedup import _dedup_one_batch
+    from hadoopwebgraph_spark.functions.maintenance import (
+        compact_digest_snapshot,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, length int"
+    digests = str(tmp_path / "snap" / "digests")
+    out = str(tmp_path / "out")
+    for i, texts in enumerate([["a", "b"], ["b", "c"]]):
+        b = spark.createDataFrame(
+            [(10 * i + j, t, "en", "web", len(t)) for j, t in enumerate(texts)],
+            schema,
+        )
+        _dedup_one_batch(b, i, digests, out)
+    before = {r["h"] for r in spark.read.parquet(digests).collect()}
+    stats = compact_digest_snapshot(spark, "file://" + digests)
+    assert stats["batch_id"] == -1 and stats["digests"] == 3
+    assert os.listdir(digests) == ["batch_id=-1"]
+    assert {r["h"] for r in spark.read.parquet(digests).collect()} == before
+
+
+def test_move_dir_fallback_matches_rename(tmp_path):
+    """move_dir's per-object fallback (the object-store path) must
+    produce the same tree as a native rename."""
+    from pyarrow import fs as pafs
+
+    from hadoopwebgraph_spark.bvgraph.storage import move_dir
+
+    src = tmp_path / "src"
+    (src / "batch_id=1").mkdir(parents=True)
+    (src / "batch_id=1" / "a.parquet").write_bytes(b"xx")
+    (src / "b.parquet").write_bytes(b"yy")
+
+    class NoRenameFS:
+        """Wrap LocalFileSystem but refuse directory moves, forcing the
+        per-object fallback branch."""
+
+        def __init__(self):
+            self.fs = pafs.LocalFileSystem()
+
+        def move(self, s, d):
+            info = self.fs.get_file_info(s)
+            if info.type == pafs.FileType.Directory:
+                raise OSError("directory rename unsupported")
+            self.fs.move(s, d)
+
+        def __getattr__(self, name):
+            return getattr(self.fs, name)
+
+    move_dir(NoRenameFS(), str(src), str(tmp_path / "dst"))
+    assert not src.exists()
+    assert (tmp_path / "dst" / "batch_id=1" / "a.parquet").read_bytes() == b"xx"
+    assert (tmp_path / "dst" / "b.parquet").read_bytes() == b"yy"
+
+
 def test_neighborhood_function_single_dip_does_not_stop(spark):
     """The fixpoint test requires TWO consecutive non-growing hops; on a
     strictly growing path the full N(t) curve must come back intact."""
