@@ -150,6 +150,76 @@ def test_move_dir_fallback_matches_rename(tmp_path):
     assert (tmp_path / "dst" / "b.parquet").read_bytes() == b"yy"
 
 
+def test_partitioned_ingest_stream_empty_watch_dir(spark, tmp_path):
+    """A stream started BEFORE the first files arrive must not crash on
+    schema inference (the incremental_dedup_stream guard, applied here):
+    it starts with the fallback/declared schema and picks up files that
+    land later."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.layout import partitioned_ingest_stream
+
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    out = str(tmp_path / "fact")
+
+    # empty dir + declared schema: starts cleanly, lands nothing
+    q = partitioned_ingest_stream(
+        spark,
+        incoming,
+        out,
+        str(tmp_path / "ck"),
+        schema="o_orderkey bigint, o_orderdate date, o_totalprice double",
+    )
+    q.awaitTermination()
+
+    rows = spark.createDataFrame(
+        [(1, "1995-03-10", 10.0)],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    rows.write.mode("append").parquet(incoming)
+    q2 = partitioned_ingest_stream(
+        spark,
+        incoming,
+        out,
+        str(tmp_path / "ck"),
+        schema="o_orderkey bigint, o_orderdate date, o_totalprice double",
+    )
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 1
+    assert got.collect()[0]["p_month"] == "1995-03"
+
+    # no declared schema + missing dir: the fallback schema kicks in
+    # instead of raising at stream construction
+    q3 = partitioned_ingest_stream(
+        spark,
+        str(tmp_path / "never_created"),
+        str(tmp_path / "fact2"),
+        str(tmp_path / "ck2"),
+    )
+    q3.awaitTermination()
+
+
+def test_q129_layout_memoized_per_process(spark, sf_small):
+    """Repeat q129 invocations reuse the process-private layout dir (no
+    shared /tmp path, no rewrite): same result, same directory."""
+    from hadoopwebgraph_spark.functions import layout
+
+    r1 = layout.q129_partitioned_layout(spark, sf_small).collect()
+    dirs1 = dict(layout._Q129_LAYOUTS)
+    r2 = layout.q129_partitioned_layout(spark, sf_small).collect()
+    assert layout._Q129_LAYOUTS == dirs1  # reused, not rewritten elsewhere
+    key = sorted(r1[0].asDict())
+    assert sorted(
+        tuple(r[k] for k in key) for r in r1
+    ) == sorted(tuple(r[k] for k in key) for r in r2)
+    # private prefix, not the old shared fixed path
+    assert all("hwg_part_orders_" in v for v in dirs1.values())
+
+
 def test_neighborhood_function_single_dip_does_not_stop(spark):
     """The fixpoint test requires TWO consecutive non-growing hops; on a
     strictly growing path the full N(t) curve must come back intact."""
