@@ -243,15 +243,36 @@ def main() -> None:
         with open(xl + ".properties") as f:
             xl_nodes = parse_properties(f.read()).nodes
 
-        with tempfile.TemporaryDirectory() as td:
-            t0 = time.perf_counter()
-            pw = write_bvgraph(
-                read_bvgraph(spark, xl, num_splits=32),
-                os.path.join(td, "xlw"),
-                n_nodes=xl_nodes,
-            )
-            dt_w = time.perf_counter() - t0
+        # best-of-2 like the queries above: the sink entries are the
+        # largest in the file and a single contaminated run dominates
+        # the total otherwise
+        dt_w = None
+        for _ in range(2):
+            with tempfile.TemporaryDirectory() as td:
+                t0 = time.perf_counter()
+                pw = write_bvgraph(
+                    read_bvgraph(spark, xl, num_splits=32),
+                    os.path.join(td, "xlw"),
+                    n_nodes=xl_nodes,
+                )
+                dt = time.perf_counter() - t0
+            dt_w = dt if dt_w is None else min(dt_w, dt)
         timings["gXL_sink_write"] = round(dt_w, 3)
+        # graph->graph copy: source splits become sink segments (aligned
+        # mode) — the shuffle-free transcode path
+        from hadoopwebgraph_spark.bvgraph.sink import copy_bvgraph
+
+        dt_c = None
+        for _ in range(2):
+            with tempfile.TemporaryDirectory() as td:
+                t0 = time.perf_counter()
+                pc = copy_bvgraph(
+                    spark, xl, os.path.join(td, "xlc"), num_splits=32
+                )
+                dt = time.perf_counter() - t0
+                assert pc.arcs == pw.arcs
+            dt_c = dt if dt_c is None else min(dt_c, dt)
+        timings["gXL_sink_copy"] = round(dt_c, 3)
         scan_stats = {
             "graph_scan_arcs": m1,
             "graph_scan_arcs_per_sec": round(m1 / dt1),

@@ -177,6 +177,7 @@ def write_bvgraph(
     basename: str,
     store: SegmentStore | None = None,
     n_nodes: int | None = None,
+    aligned: bool = False,
     **props_kw,
 ) -> BVGraphProperties:
     """Write DataFrame[src INT, adj ARRAY<INT>] (src dense 0..n-1) to a
@@ -200,29 +201,54 @@ def write_bvgraph(
     knows it — e.g. from the source graph's ``.properties`` — to skip
     the ``df.count()`` job, which for a graph-source input is a full
     second decode of the graph just to size the segments.
+
+    ``aligned``: the graph→graph copy fast path. When the input is
+    ALREADY partitioned into ascending contiguous src ranges — true for
+    any DataFrame straight off the BVGraph source, whose split planner
+    hands each partition one node range — the re-segmentation shuffle
+    is pure waste: each input partition IS a valid encode segment. With
+    ``aligned=True`` the sink uses ``spark_partition_id()`` as the
+    segment id and encodes in place (job 1 becomes shuffle-free, a
+    mapInArrow over the scan), which at 100 TB removes the single
+    biggest data movement of a copy/transcode job. Misuse is safe, not
+    silent: each task asserts its rows form one consecutive src run,
+    and the driver's existing density check asserts the per-partition
+    ranges chain to exactly 0..n-1 — a hash-partitioned input fails
+    loudly before any file is composed.
     """
     n = int(n_nodes) if n_nodes is not None else df.count()
     spark = df.sparkSession
 
-    # Contiguous ranges: src is dense 0..n-1, so the range boundaries are
-    # known exactly — group by pid = src // rows_per instead of
-    # repartitionByRange, whose SAMPLED boundaries made segmentation (and
-    # thus the compressed bytes) nondeterministic across runs, and which
-    # costs an extra sampling job. Hash-partitioning on pid keeps each
-    # range group whole within one task; which task gets which group
-    # doesn't matter (segments are keyed by pid, ordered by the driver).
-    n_parts = min(max(1, spark.sparkContext.defaultParallelism), max(1, n // 64))
-    rows_per = -(-n // n_parts) if n else 1  # ceil(n / n_parts)
     if store is None:
         store = store_for(basename)
 
     props_template = dict(props_kw)
 
-    ranged = df.select(
-        F.col("src").cast("long").alias("src"),
-        "adj",
-        F.expr(f"CAST(src DIV {rows_per} AS INT)").alias("pid"),
-    ).repartition(n_parts, "pid")
+    if aligned:
+        # input partitions are the segments: no shuffle, pid = partition
+        ranged = df.select(
+            F.col("src").cast("long").alias("src"),
+            "adj",
+            F.spark_partition_id().alias("pid"),
+        )
+    else:
+        # Contiguous ranges: src is dense 0..n-1, so the range boundaries
+        # are known exactly — group by pid = src // rows_per instead of
+        # repartitionByRange, whose SAMPLED boundaries made segmentation
+        # (and thus the compressed bytes) nondeterministic across runs,
+        # and which costs an extra sampling job. Hash-partitioning on pid
+        # keeps each range group whole within one task; which task gets
+        # which group doesn't matter (segments are keyed by pid, ordered
+        # by the driver).
+        n_parts = min(
+            max(1, spark.sparkContext.defaultParallelism), max(1, n // 64)
+        )
+        rows_per = -(-n // n_parts) if n else 1  # ceil(n / n_parts)
+        ranged = df.select(
+            F.col("src").cast("long").alias("src"),
+            "adj",
+            F.expr(f"CAST(src DIV {rows_per} AS INT)").alias("pid"),
+        ).repartition(n_parts, "pid")
 
     def encode_batches(batches):
         import numpy as np
@@ -249,6 +275,18 @@ def write_bvgraph(
                 sub.flatten().to_numpy(zero_copy_only=False), dtype=np.int32
             )
             first_src = int(src[order[0]])
+            # one consecutive run per segment — a violated aligned=True
+            # assumption (hash-partitioned input) dies here, per task,
+            # before any byte reaches the store
+            seg_src = src[order]
+            if not np.array_equal(
+                seg_src, np.arange(first_src, first_src + len(seg_src))
+            ):
+                raise ValueError(
+                    f"segment {int(pid)} src range not one consecutive "
+                    f"run: [{first_src}..{int(seg_src[-1])}] over "
+                    f"{len(seg_src)} rows"
+                )
             p = BVGraphProperties(nodes=len(lens), arcs=0, **props_template)
             # C kernel when available, Python spec otherwise — bit-identical
             # either way (refs stay inside this segment: window isolation)
@@ -442,6 +480,39 @@ def compose_offsets(
         out.cur, out.fill = tail, tail_fill
         out.nbits += tail_fill
     out.close()
+
+
+def copy_bvgraph(
+    spark,
+    src_basename: str,
+    dst_basename: str,
+    num_splits: int | None = None,
+    **props_kw,
+) -> BVGraphProperties:
+    """Graph→graph copy/transcode: read ``src_basename`` through the
+    BVGraph source and write it back aligned — the source's byte-balanced
+    splits become the sink's encode segments directly, so the whole job
+    is scan → encode → compose with ZERO shuffle (the common production
+    recompress/re-window/relocate job). Node count comes from the source
+    ``.properties`` (no sizing decode). ``props_kw`` (window_size,
+    zeta_k, codes...) lets the copy change compression parameters."""
+    from .datasource import read_bvgraph
+    from .io import read_bytes
+    from .properties import parse_properties
+
+    src_props = parse_properties(
+        read_bytes(src_basename + ".properties").decode("utf-8")
+    )
+    if num_splits is None:
+        num_splits = spark.sparkContext.defaultParallelism
+    df = read_bvgraph(spark, src_basename, num_splits=num_splits)
+    return write_bvgraph(
+        df,
+        dst_basename,
+        n_nodes=src_props.nodes,
+        aligned=True,
+        **props_kw,
+    )
 
 
 def write_bvgraph_single(adjacency: list[list[int]], basename: str, **props_kw):

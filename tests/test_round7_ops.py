@@ -220,6 +220,66 @@ def test_q129_layout_memoized_per_process(spark, sf_small):
     assert all("hwg_part_orders_" in v for v in dirs1.values())
 
 
+def test_copy_bvgraph_aligned_roundtrip(spark, tmp_path):
+    """The shuffle-free graph→graph copy: source splits become sink
+    segments; the copied graph must decode to exactly the original
+    adjacency, and its plan must contain no Exchange."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
+    from hadoopwebgraph_spark.bvgraph.sink import copy_bvgraph
+    from hadoopwebgraph_spark.queries.graph import SMALL_BASENAME
+
+    dst = str(tmp_path / "copy")
+    props = copy_bvgraph(spark, SMALL_BASENAME, dst, num_splits=7)
+    orig = read_bvgraph(spark, SMALL_BASENAME, num_splits=3).select(
+        "src", F.concat_ws(",", "adj").alias("a")
+    )
+    back = read_bvgraph(spark, dst, num_splits=5).select(
+        "src", F.concat_ws(",", "adj").alias("a")
+    )
+    assert props.nodes == 2000
+    assert back.count() == 2000
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
+
+    # the aligned encode stage (the sink's job-1 shape) plans with NO
+    # Exchange: scan -> project(spark_partition_id) -> mapInArrow
+    src_df = read_bvgraph(spark, SMALL_BASENAME, num_splits=7).select(
+        F.col("src").cast("long").alias("src"),
+        "adj",
+        F.spark_partition_id().alias("pid"),
+    )
+    shape = src_df.mapInArrow(lambda it: it, "src long, pid int")
+    plan = shape._sc._jvm.PythonSQLUtils.explainString(
+        shape._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_write_bvgraph_aligned_rejects_hash_partitioned_input(spark, tmp_path):
+    """aligned=True on a non-range-partitioned DataFrame must fail
+    loudly (per-task consecutive-run check), never compose bad bytes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.bvgraph.sink import write_bvgraph
+
+    df = (
+        spark.range(0, 512)
+        .select(
+            F.col("id").cast("int").alias("src"),
+            F.array(F.lit(0)).alias("adj"),
+        )
+        .repartition(8, "src")  # hash partitioning: ranges interleave
+    )
+    with _pytest.raises(Exception):
+        write_bvgraph(df, str(tmp_path / "bad"), n_nodes=512, aligned=True)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "bad") + ".graph")
+
+
 def test_neighborhood_function_single_dip_does_not_stop(spark):
     """The fixpoint test requires TWO consecutive non-growing hops; on a
     strictly growing path the full N(t) curve must come back intact."""
