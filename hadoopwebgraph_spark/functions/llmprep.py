@@ -373,3 +373,38 @@ def chunk_documents(
             F.size(chunk).alias("n_chunk_tokens"),
         )
     )
+
+
+CHUNK_TOKENS = 16  # driver-gate chunk width (words); stride = 12
+CHUNK_OVERLAP = 4
+
+
+@register(
+    "q132_chunk_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text <> ''
+    )
+    SELECT doc_id,
+           CAST(i.s // {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT) AS chunk_idx,
+           array_to_string(w[i.s + 1:i.s + {CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(len(w[i.s + 1:i.s + {CHUNK_TOKENS}]) AS INT) AS n_chunk_tokens
+    FROM d, LATERAL (
+        SELECT unnest(range(0,
+                            greatest(len(w) - {CHUNK_OVERLAP} - 1, 0) + 1,
+                            {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
+    ) i
+    """,
+    doc="Overlapping token-window chunking (chunk_documents, "
+    f"{CHUNK_TOKENS}-token chunks, {CHUNK_OVERLAP}-token overlap) over the "
+    "documents table — the RAG / context-window preprocessing staple. "
+    "Chunk identity is (doc_id, chunk_idx), stable under corpus growth. "
+    "Pure array expressions (split/sequence/slice/array_join) in one "
+    "narrow projection + explode — zero shuffle at any scale; the "
+    "explode fan-out is len/stride rows per doc, each row carrying only "
+    "its own chunk text.",
+)
+def q132_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
