@@ -974,10 +974,23 @@ def hyperball_harmonic(
     columns — `hll_sketch_agg` seeds them, `hll_union_agg` merges
     neighbor sketches JVM-side in a partial-aggregated groupBy (no UDF,
     no Python in the loop), `hll_sketch_estimate` reads cardinalities.
-    Per hop: one shuffle on the join key + one on the groupBy key —
-    the same budget as a PageRank iteration; sketch size is the fixed
-    2^lg_k registers regardless of graph size, which is the entire
-    point of HyperBall at 10^11 nodes (exact ball sets would be O(n^2)).
+    The hop recurrence is expressed with the self-loop trick:
+    B(v,t) = union of B(u,t-1) over u in in(v) UNION {v itself}, so
+    augmenting the edge set with one (v,v) arc per node makes the whole
+    hop ONE join + ONE groupBy — no join-back of the new sketches onto
+    the old state, no left-outer isolated-node special case. The sketch
+    column (the heavy payload: ~2^lg_k registers/node) crosses the wire
+    exactly twice per hop — once keyed by src into the edge join, once
+    partial-unioned by dst into the groupBy — the minimum any
+    hash-partitioned formulation can do; the join is hinted
+    shuffle_hash because sort-merge would sort millions of opaque
+    sketch rows for no benefit (localCheckpoint returns an RDD scan
+    with UnknownPartitioning, so SMJ's sort is pure overhead each hop).
+    The per-node scalars (est, harmonic-so-far) ride in a narrow
+    sketch-free DataFrame that joins the fresh sketches on the groupBy
+    output's own partitioning. Sketch size is the fixed 2^lg_k
+    registers regardless of graph size, which is the entire point of
+    HyperBall at 10^11 nodes (exact ball sets would be O(n^2)).
 
     Converges (balls stop growing) in at most the graph diameter;
     ``max_hops`` bounds the loop like g16's BFS. Accuracy is the HLL
@@ -1023,14 +1036,29 @@ def hyperball_harmonic(
         .withColumn(hcol, hinit)
         .localCheckpoint()
     )
+    # self-loop augmentation: every node contributes its own ball to
+    # itself, so the hop is one join + one groupBy (see docstring).
+    # Edges are shuffled to their src partition ONCE, outside the loop —
+    # only the sketches move per hop.
+    e_aug = (
+        e.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
     dry_checks = 0
     for t in range(1, max_hops + 1):
-        # each node unions the sketches of its IN-neighbors (u -> v means
-        # u enters B(v): distances follow edge direction)
-        contrib = e.join(
-            state.select(F.col("node").alias("src"), F.col("sk").alias("nsk")),
-            "src",
-        ).select(F.col("dst").alias("node"), F.col("nsk"))
+        # each node unions the sketches of its IN-neighbors and itself
+        # (u -> v means u enters B(v): distances follow edge direction)
+        fresh = (
+            e_aug.join(
+                state.select(
+                    F.col("node").alias("src"), F.col("sk").alias("nsk")
+                ).hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.hll_union_agg("nsk").alias("sk"))
+        )
         delta = F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
         if scale is not None:
             # exact integer accumulation: delta is integral in the HLL
@@ -1042,21 +1070,13 @@ def hyperball_harmonic(
         else:
             hupd = F.col(hcol) + delta / F.lit(float(t))
         merged = (
-            state.join(
-                contrib.groupBy("node").agg(F.hll_union_agg("nsk").alias("insk")),
+            fresh.join(
+                # narrow sketch-free scalars: est/harmonic-so-far rows are
+                # a few longs each — this shuffle is noise next to the
+                # sketch payload, and the fresh side reuses the groupBy's
+                # own hash(node) partitioning
+                state.select("node", F.col("est").alias("prev_est"), hcol),
                 "node",
-                "left",
-            )
-            .select(
-                "node",
-                hcol,
-                F.col("est").alias("prev_est"),
-                F.when(
-                    F.col("insk").isNull(), F.col("sk")
-                ).otherwise(
-                    # union of own sketch and merged in-neighbor sketch
-                    F.hll_union("sk", "insk")
-                ).alias("sk"),
             )
             .withColumn("est", F.hll_sketch_estimate("sk"))
             .withColumn(hcol, hupd)
@@ -1090,10 +1110,13 @@ def neighborhood_function(
 ) -> list[float]:
     """HyperANF (Boldi-Vigna-Rosa 2011): the neighborhood function
     N(t) = number of node pairs within distance <= t, estimated with the
-    same per-node HLL ball sketches as :func:`hyperball_harmonic` — one
-    edge join + JVM-side `hll_union_agg` per hop, then ONE 1-row sum of
-    the per-node ball estimates. Stops when the total stops growing
-    (ball fixpoint = every pair reached). Returns [N(0), N(1), ...].
+    same per-node HLL ball sketches as :func:`hyperball_harmonic` — the
+    hop is ONE join + ONE groupBy via the same self-loop-augmented edge
+    set (B(v,t) = union of B(u,t-1) over in(v) and v itself; sketches
+    cross the wire exactly twice per hop, the hash-partitioned minimum),
+    then ONE 1-row sum of the per-node ball estimates. Stops when the
+    total stops growing (ball fixpoint = every pair reached). Returns
+    [N(0), N(1), ...].
     """
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
@@ -1111,6 +1134,11 @@ def neighborhood_function(
         .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
         .localCheckpoint()
     )
+    e_aug = (
+        e.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
 
     def total(df):
         return float(
@@ -1122,22 +1150,15 @@ def neighborhood_function(
     nf = [total(state)]
     dry = 0
     for _t in range(1, max_hops + 1):
-        contrib = e.join(
-            state.select(F.col("node").alias("src"), F.col("sk").alias("nsk")),
-            "src",
-        ).select(F.col("dst").alias("node"), "nsk")
         state = (
-            state.join(
-                contrib.groupBy("node").agg(F.hll_union_agg("nsk").alias("insk")),
-                "node",
-                "left",
+            e_aug.join(
+                state.select(
+                    F.col("node").alias("src"), F.col("sk").alias("nsk")
+                ).hint("shuffle_hash"),
+                "src",
             )
-            .select(
-                "node",
-                F.when(F.col("insk").isNull(), F.col("sk"))
-                .otherwise(F.hll_union("sk", "insk"))
-                .alias("sk"),
-            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.hll_union_agg("nsk").alias("sk"))
             .localCheckpoint()
         )
         nf.append(total(state))

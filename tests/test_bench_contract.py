@@ -23,6 +23,7 @@ def _worst_case_line() -> str:
     queries["gXL_degree_hist"] = 999.999
     queries["gXL_sink_write"] = 999.999
     queries["gXL_sink_copy"] = 999.999
+    queries["gB_hyperanf_3hop"] = 999.999
     out = {
         "metric": "headline_queries_total_sec",
         "value": 99999.999,
