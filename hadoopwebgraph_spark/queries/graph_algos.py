@@ -1194,6 +1194,270 @@ def effective_diameter(
     return float(len(nf) - 1)
 
 
+def _min_reach_labels(
+    e: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int = 50,
+    check_every: int = 2,
+) -> DataFrame:
+    """label(v) = min node id with a directed path to v (v included).
+
+    Min-label propagation ALONG edge direction with pointer jumping —
+    the directed sibling of :func:`connected_components`'s kernel. The
+    jump ``label <- label(label)`` is sound for reachability labels:
+    the invariant is "label(v) reaches v", and if w = label(v) reaches
+    v and u = label(w) reaches w, then u reaches v by transitivity —
+    so the rewrite preserves the invariant while never increasing the
+    label, giving O(log d) convergence on a diameter-d reach chain.
+
+    Scale: the edge table is hash-partitioned on src once and
+    persisted; each iteration shuffles only narrow (node, long-label)
+    rows — one join + groupBy + jump self-join, the WCC budget.
+    """
+    spark = e.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    es = e.repartition(n_parts, "src").persist()
+    es.count()  # pin before the loop so AQE can't re-plan the cached side
+    labels = nodes.select("node", F.col("node").alias("label"))
+    converged = False
+    for it in range(max_iterations):
+        nbr_min = (
+            es.join(labels, es.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        propagated = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # feeds both sides of the jump join below
+        )
+        lhs = propagated.alias("l")
+        rhs = propagated.select(
+            F.col("node").alias("c_node"), F.col("label").alias("c_lab")
+        ).alias("r")
+        new_labels = (
+            lhs.join(rhs, F.col("l.label") == F.col("r.c_node"))
+            .select("node", F.col("c_lab").alias("label"))
+            .localCheckpoint()
+        )
+        do_check = (it + 1) % check_every == 0 or it == max_iterations - 1
+        if do_check:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
+    es.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"_min_reach_labels did not converge in {max_iterations} "
+            "iterations; raise max_iterations"
+        )
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 16, max_iterations: int = 50
+) -> DataFrame:
+    """Strongly-connected components — the decomposition behind every
+    web-graph structure study since Broder et al. 2000 (the reference's
+    WebGraph lineage computes it as a matter of course).
+
+    Parallel multi-pivot forward-backward peeling with label-pair
+    refinement: each round computes f(v) = min id REACHING v and
+    b(v) = min id REACHABLE FROM v over the still-active subgraph (two
+    pointer-jumped min-label fixpoints, :func:`_min_reach_labels`),
+    then peels on two certificates at once:
+
+    - f(v) == b(v) == m proves v and m mutually reachable — the whole
+      class peels as SCC(m). This settles, in one round, the SCC of
+      EVERY pivot that is the minimum of its own reach closure (the
+      classic FW-BW algorithm run from all such pivots simultaneously).
+    - every member of one SCC shares BOTH labels (mutual reachability
+      makes the ancestor and descendant closures coincide), so an SCC
+      never spans two (f, b) classes. A class containing a single node
+      is therefore a singleton SCC — peeled immediately — and edges
+      crossing classes can never be intra-SCC, so they are dropped.
+
+    The second rule is what kills the adversarial case: on a DAG chain
+    every node gets a distinct (f, b) pair and the whole chain peels in
+    ONE round, where naive multi-pivot peeling would take n rounds (one
+    certified pivot per round). Progress is guaranteed regardless: the
+    minimal node of every surviving class self-certifies next round.
+    ``max_rounds`` caps the loop and a miss raises rather than
+    returning a half-peeled decomposition.
+
+    Per-round cost: 2 label fixpoints at O(log d) iterations of one
+    join + groupBy + jump-join each, over narrow (long, long) rows —
+    no per-node sets, no transitive closure, nothing quadratic; the
+    active subgraph only shrinks (and cross-class edge dropping shrinks
+    it geometrically in practice). Returns DataFrame[node, scc_id]
+    (scc_id = min node id in the component).
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    active = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    done: DataFrame | None = None
+    e_act = e
+    for _rnd in range(max_rounds):
+        f = _min_reach_labels(e_act, active, max_iterations)
+        b = _min_reach_labels(
+            e_act.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            active,
+            max_iterations,
+        ).withColumnRenamed("label", "blabel")
+        lab = f.join(b, "node").localCheckpoint()
+        cls_sz = lab.groupBy("label", "blabel").agg(
+            F.count(F.lit(1)).alias("cls_sz")
+        )
+        lab = lab.join(cls_sz, ["label", "blabel"]).localCheckpoint()
+        peeled = lab.filter(F.col("label") == F.col("blabel")).select(
+            "node", F.col("label").alias("scc_id")
+        )
+        # single-node (f, b) class => singleton SCC (an SCC never spans
+        # classes), even though f != b — this is what peels DAG chains
+        # in one round instead of one pivot per round
+        singles = lab.filter(
+            (F.col("label") != F.col("blabel")) & (F.col("cls_sz") == 1)
+        ).select("node", F.col("node").alias("scc_id"))
+        peeled = peeled.union(singles)
+        done = peeled if done is None else done.union(peeled)
+        done = done.localCheckpoint()
+        remaining = (
+            lab.filter(
+                (F.col("label") != F.col("blabel")) & (F.col("cls_sz") > 1)
+            )
+            .select("node", "label", "blabel")
+            .localCheckpoint()
+        )
+        if remaining.limit(1).count() == 0:
+            return done
+        active = remaining.select("node")
+        # keep only intra-class edges: cross-class arcs cannot be
+        # intra-SCC, and next round's labels must be computed on the
+        # refined classes in isolation
+        ms = remaining.select(
+            F.col("node").alias("src"),
+            F.col("label").alias("sl"),
+            F.col("blabel").alias("sb"),
+        )
+        md = remaining.select(
+            F.col("node").alias("dst"),
+            F.col("label").alias("dl"),
+            F.col("blabel").alias("db"),
+        )
+        e_act = (
+            e_act.join(ms, "src")
+            .join(md, "dst")
+            .filter((F.col("sl") == F.col("dl")) & (F.col("sb") == F.col("db")))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"strongly_connected_components did not finish in {max_rounds} "
+        "rounds; raise max_rounds"
+    )
+
+
+def bowtie_decomposition(
+    edges: DataFrame, scc: DataFrame | None = None, max_hops: int = 64
+) -> DataFrame:
+    """Bow-tie decomposition (Broder et al. 2000, "Graph structure in
+    the web" — THE macroscopic web-graph statistic): CORE = the largest
+    SCC (ties broken toward the smallest scc_id, deterministically),
+    IN = nodes that reach the core but are not in it, OUT = nodes the
+    core reaches, OTHER = tendrils/tubes/disconnected remainder. IN and
+    OUT are disjoint by construction: a node in both would be mutually
+    reachable with the core and hence inside it.
+
+    The two reachability sweeps are multi-source frontier BFS loops
+    (the g13/g16 pattern): the edge table partitioned once, only the
+    frontier shuffles per hop, anti-join against the visited set; the
+    loop ends when the frontier drains. Returns DataFrame[node, cls]
+    with cls in {'CORE','IN','OUT','OTHER'}.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if scc is None:
+        scc = strongly_connected_components(e)
+    scc = scc.localCheckpoint()
+    largest = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("scc_id"))
+        .limit(1)
+        .select("scc_id")
+    )
+    core = scc.join(F.broadcast(largest), "scc_id").select("node").localCheckpoint()
+
+    def reach_from(seed: DataFrame, ed: DataFrame) -> DataFrame:
+        """All nodes reachable from ``seed`` along ``ed`` (seed included)."""
+        visited = seed.localCheckpoint()
+        frontier = visited
+        for _ in range(max_hops):
+            nxt = (
+                ed.join(frontier.withColumnRenamed("node", "src"), "src", "left_semi")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                return visited
+            visited = visited.union(nxt).localCheckpoint()
+            frontier = nxt
+        raise RuntimeError(f"reachability did not drain in {max_hops} hops")
+
+    out_side = reach_from(core, e)
+    in_side = reach_from(core, e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = scc.select("node")
+    return (
+        nodes.join(core.withColumn("is_core", F.lit(True)), "node", "left")
+        .join(out_side.withColumn("fwd", F.lit(True)), "node", "left")
+        .join(in_side.withColumn("bwd", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_core"), F.lit("CORE"))
+            .when(F.col("fwd"), F.lit("OUT"))
+            .when(F.col("bwd"), F.lit("IN"))
+            .otherwise(F.lit("OTHER"))
+            .alias("cls"),
+        )
+    )
+
+
 # Driver-gated HyperBall/HyperANF entries. Both run on the fixture
 # subgraph restricted to nodes < 400 so every ball stays in the HLL
 # sparse-exact regime (max in-ball 385 < 2^14/8 at lg_k=14 — verified
@@ -1272,3 +1536,88 @@ def g27_hyperanf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     nf = neighborhood_function(_hb_edges(spark), max_hops=16, lg_k=14)
     rows = [(t, int(v + 0.5)) for t, v in enumerate(nf)]
     return spark.createDataFrame(rows, "t int, n_pairs long")
+
+
+# SCC / bow-tie driver gates on the same <400-node fixture subgraph as
+# g26/g27 (giant 377-node SCC + satellite singletons — a miniature of
+# the web's actual bow-tie). The oracle materializes the reflexive
+# transitive closure with a recursive CTE (UNION-dedup'd, so it
+# terminates at the closure) and derives scc_id(u) = min{x : u ~> x and
+# x ~> u} — exactly the mutual-reachability definition, feasible only
+# because the gate subgraph is tiny; the Spark side never builds a
+# closure at any scale.
+_SCC_SUB = f"""
+    e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    f AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0
+          WHERE src < {_HB_CAP} AND dst < {_HB_CAP} AND src <> dst),
+    n AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM f UNION SELECT dst FROM f)),
+    reach AS (
+        SELECT node AS src, node AS dst FROM n
+        UNION
+        SELECT r.src, f.dst FROM reach r JOIN f ON f.src = r.dst
+    ),
+    scc AS MATERIALIZED (
+        SELECT r1.src AS node, min(r1.dst) AS scc_id
+        FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+        GROUP BY r1.src
+    )"""
+
+
+@register(
+    "g28_scc",
+    oracle=f"""
+    WITH RECURSIVE {_SCC_SUB}
+    SELECT node, CAST(scc_id AS BIGINT) AS scc_id FROM scc
+    """,
+    doc="Strongly-connected components (parallel multi-pivot FW-BW "
+    "peeling: two pointer-jumped min-reach-label fixpoints per round, "
+    "f==b certifies the pivot's SCC) on the <400-node fixture subgraph; "
+    "oracle = mutual-reachability over the recursive-CTE closure. The "
+    "Spark side shuffles only (long,long) label rows — no closure, "
+    "nothing quadratic, active subgraph shrinks every round.",
+)
+def g28_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strongly_connected_components(_hb_edges(spark))
+
+
+@register(
+    "g29_bowtie",
+    oracle=f"""
+    WITH RECURSIVE {_SCC_SUB},
+    core AS MATERIALIZED (
+        SELECT node FROM scc
+        WHERE scc_id = (
+            SELECT scc_id FROM (
+                SELECT scc_id, count(*) AS sz FROM scc GROUP BY scc_id
+                ORDER BY sz DESC, scc_id ASC LIMIT 1
+            )
+        )
+    ),
+    fwd AS MATERIALIZED (
+        SELECT DISTINCT r.dst AS node
+        FROM reach r JOIN core c ON r.src = c.node
+    ),
+    bwd AS MATERIALIZED (
+        SELECT DISTINCT r.src AS node
+        FROM reach r JOIN core c ON r.dst = c.node
+    )
+    SELECT n.node,
+           CASE WHEN c.node IS NOT NULL THEN 'CORE'
+                WHEN o.node IS NOT NULL THEN 'OUT'
+                WHEN i.node IS NOT NULL THEN 'IN'
+                ELSE 'OTHER' END AS cls
+    FROM n
+    LEFT JOIN core c ON c.node = n.node
+    LEFT JOIN fwd o ON o.node = n.node
+    LEFT JOIN bwd i ON i.node = n.node
+    """,
+    doc="Bow-tie decomposition (Broder et al. 2000): CORE = largest SCC "
+    "(smallest-id tie-break), OUT = reached from the core, IN = reaches "
+    "the core, OTHER = tendrils/tubes/disconnected — per-node class on "
+    "the <400-node fixture subgraph. Spark side: SCC peel + two "
+    "multi-source frontier BFS sweeps (only the frontier shuffles per "
+    "hop); oracle classifies via the closure.",
+)
+def g29_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bowtie_decomposition(_hb_edges(spark))

@@ -306,3 +306,98 @@ def test_clustering_coefficient_exact(spark, monkeypatch, tmp_path):
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (3, 1, round(2 * 1 / (3 * 2), 4))
     assert got[3] == (1, 0, 0.0)
+
+
+def _tarjan(adj: dict) -> dict:
+    """Exact SCC (iterative Tarjan) -> {node: min-id-of-its-scc}."""
+    idx, low, onstk, stk, sccs, ctr = {}, {}, set(), [], [], [0]
+    nodes = sorted(set(adj) | {d for ds in adj.values() for d in ds})
+    for v0 in nodes:
+        if v0 in idx:
+            continue
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                idx[v] = low[v] = ctr[0]
+                ctr[0] += 1
+                stk.append(v)
+                onstk.add(v)
+            advanced = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in idx:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], idx[w])
+            if advanced:
+                continue
+            if low[v] == idx[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return {n: min(c) for c in sccs for n in c}
+
+
+def test_scc_matches_tarjan_on_random_graphs(spark):
+    """Multi-pivot FW-BW peel == exact Tarjan on several random directed
+    graphs (cycles, DAG parts, isolated-ish nodes all arise at p=0.08)."""
+    import random
+
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        strongly_connected_components,
+    )
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 24
+        edges = [
+            (u, v)
+            for u in range(n)
+            for v in range(n)
+            if u != v and rng.random() < 0.08
+        ]
+        if not edges:
+            continue
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+        expect = _tarjan(adj)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["scc_id"]
+            for r in strongly_connected_components(df).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
+def test_bowtie_hand_built(spark):
+    """5 -> core(0,1,2 cycle) -> 3 -> 4, plus isolated pair 6 -> 7:
+    IN={5}, CORE={0,1,2}, OUT={3,4}, OTHER={6,7}."""
+    from hadoopwebgraph_spark.queries.graph_algos import bowtie_decomposition
+
+    edges = [(0, 1), (1, 2), (2, 0), (5, 0), (2, 3), (3, 4), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["cls"] for r in bowtie_decomposition(df).collect()}
+    assert got == {
+        0: "CORE",
+        1: "CORE",
+        2: "CORE",
+        3: "OUT",
+        4: "OUT",
+        5: "IN",
+        6: "OTHER",
+        7: "OTHER",
+    }
