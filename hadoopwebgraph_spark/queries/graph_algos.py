@@ -1038,13 +1038,18 @@ def hyperball_harmonic(
     )
     # self-loop augmentation: every node contributes its own ball to
     # itself, so the hop is one join + one groupBy (see docstring).
-    # Edges are shuffled to their src partition ONCE, outside the loop —
-    # only the sketches move per hop.
+    # Edges are shuffled to their src partition ONCE, outside the loop,
+    # and PERSISTED (not checkpointed: InMemoryRelation keeps the
+    # repartition's outputPartitioning, localCheckpoint would forget it
+    # and re-shuffle the edge list every hop) — only the sketches move
+    # per hop; count() pins the cache before AQE can re-plan it.
+    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e_aug = (
         e.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-        .repartition("src")
-        .localCheckpoint()
+        .repartition(n_parts, "src")
+        .persist()
     )
+    e_aug.count()
     dry_checks = 0
     for t in range(1, max_hops + 1):
         # each node unions the sketches of its IN-neighbors and itself
@@ -1097,6 +1102,9 @@ def hyperball_harmonic(
                 break
         else:
             state = merged
+    # state is checkpointed every hop, so the edge cache is no longer an
+    # input of the returned plan
+    e_aug.unpersist()
     if scale is not None:
         return state.select("node", F.col(hcol))
     return state.select("node", F.round("harmonic", 4).alias("harmonic"))
@@ -1134,11 +1142,16 @@ def neighborhood_function(
         .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
         .localCheckpoint()
     )
+    # persisted, not checkpointed: InMemoryRelation keeps the
+    # repartition's outputPartitioning so the edge side joins without a
+    # per-hop Exchange (localCheckpoint would forget it)
+    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e_aug = (
         e.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-        .repartition("src")
-        .localCheckpoint()
+        .repartition(n_parts, "src")
+        .persist()
     )
+    e_aug.count()
 
     def total(df):
         return float(
@@ -1173,6 +1186,7 @@ def neighborhood_function(
                 break
         else:
             dry = 0
+    e_aug.unpersist()  # nf is plain floats; nothing downstream needs it
     return nf
 
 

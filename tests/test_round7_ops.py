@@ -296,3 +296,61 @@ def test_neighborhood_function_single_dip_does_not_stop(spark):
         total += 7 - t
         want.append(float(total))
     assert nf == want
+
+
+def test_hyperanf_hop_plan_two_sketch_shuffles(spark):
+    """The restructured HyperANF/HyperBall hop must plan exactly TWO
+    Exchanges — state keyed to src for the edge join, partial-unioned
+    contributions keyed to dst for the groupBy — and a shuffle-hash
+    join (SMJ would re-sort opaque sketch rows every hop)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(8)).alias("sk"))
+        .localCheckpoint()
+    )
+    e_aug = (
+        e.union(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .repartition(32, "src")
+        .persist()
+    )
+    e_aug.count()
+    hop = (
+        e_aug.join(
+            state.select(
+                F.col("node").alias("src"), F.col("sk").alias("nsk")
+            ).hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.hll_union_agg("nsk").alias("sk"))
+    )
+    plan = hop._sc._jvm.PythonSQLUtils.explainString(
+        hop._jdf.queryExecution(), "formatted"
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the persisted edge side must stream into the join straight off the
+    # cache — no per-hop Exchange above the InMemoryTableScan (the cached
+    # repartition(src) partitioning satisfies the join requirement; a
+    # localCheckpoint here would forget it and re-shuffle every hop)
+    assert re.search(
+        r":- Filter \(\d+\)\s*\n\s*:  \+- InMemoryTableScan", plan
+    ), plan
+    # and the only per-hop sketch movements are state->src for the join
+    # and partial-unioned contributions->dst for the groupBy: every
+    # requirement-driven exchange in the whole tree keys on one of them
+    reqs = re.findall(r"hashpartitioning\((\w+)#\d+L?, \d+\), ENSURE_REQUIREMENTS", plan)
+    assert sorted(set(reqs)) <= ["dst", "node", "src"], (reqs, plan)
