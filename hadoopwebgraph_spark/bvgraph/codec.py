@@ -69,6 +69,19 @@ def _extract_intervals(extras: list[int], min_len: int) -> tuple[list[tuple[int,
     return intervals, residuals
 
 
+def _check_ascending(succ, x) -> None:
+    """BVGraph adjacency lists are strictly ascending successor SETS —
+    both encoders (Python spec and C kernel) assume it and silently
+    emit undecodable bits otherwise (gap coding goes negative). Fail
+    loudly with the offending node instead."""
+    if any(b <= a for a, b in zip(succ, succ[1:])):
+        raise ValueError(
+            f"node {x}: successor list must be strictly ascending "
+            f"(sorted, duplicate-free); got {list(succ)[:20]}... "
+            "— sort_array() the adj column (and dedup) before encoding"
+        )
+
+
 def _encode_node(
     w: BitWriter,
     p: BVGraphProperties,
@@ -149,6 +162,7 @@ def encode_graph(
 
     for x in range(n):
         succ = adjacency[x]
+        _check_ascending(succ, x)
         best: tuple[int, int, bytes] | None = None  # (bits, ref, payload)
         candidates = [0]
         if p.window_size > 0:
@@ -194,6 +208,7 @@ def encode_segment_py(
     ref_counts = [0] * max(p.window_size + 1, 1)
     for local_x, succ in enumerate(adj):
         x = first_src + local_x
+        _check_ascending(succ, x)
         best: tuple[int, int] | None = None
         candidates = [0]
         if p.window_size > 0:
@@ -241,8 +256,24 @@ def encode_segment_csr(
     so the sink's mapInArrow path feeds the C kernel without ever
     materializing per-row Python lists. Falls back to the Python spec
     (bit-identical) when the kernel is unavailable."""
+    import numpy as np
+
     from . import native
 
+    # strict-ascending guard, vectorized: a non-positive gap is legal
+    # only at a list boundary (see _check_ascending)
+    if len(values) > 1:
+        bad = np.flatnonzero(np.diff(values) <= 0) + 1
+        if len(bad):
+            starts = np.asarray(list_offsets[1:-1], dtype=np.int64)
+            bad = np.setdiff1d(bad, starts, assume_unique=False)
+            if len(bad):
+                node = int(np.searchsorted(list_offsets, bad[0], side="right") - 1)
+                raise ValueError(
+                    f"node {first_src + node}: successor list must be "
+                    "strictly ascending (sorted, duplicate-free) — "
+                    "sort_array() the adj column (and dedup) before encoding"
+                )
     res = native.encode_segment(values, list_offsets, first_src, p)
     if res is not None:
         nbits, buf, offsets = res

@@ -354,3 +354,52 @@ def test_hyperanf_hop_plan_two_sketch_shuffles(spark):
     # requirement-driven exchange in the whole tree keys on one of them
     reqs = re.findall(r"hashpartitioning\((\w+)#\d+L?, \d+\), ENSURE_REQUIREMENTS", plan)
     assert sorted(set(reqs)) <= ["dst", "node", "src"], (reqs, plan)
+
+
+def test_encoder_rejects_unsorted_or_duplicate_successors():
+    """BVGraph adjacency is a strictly-ascending successor set; both
+    encoders previously emitted silently-undecodable bits for unsorted
+    input (gap coding goes negative). Every encode path must now raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoopwebgraph_spark.bvgraph.codec import (
+        BVGraphProperties,
+        encode_graph,
+        encode_segment_csr,
+        encode_segment_py,
+    )
+
+    p = BVGraphProperties(nodes=10, arcs=0)
+    for bad in ([[8, 2]], [[8, 8]]):
+        with _pytest.raises(ValueError, match="ascending"):
+            encode_graph(bad + [[]] * 9)
+        with _pytest.raises(ValueError, match="ascending"):
+            encode_segment_py(bad, 7, p)
+        vals = np.array(bad[0], dtype=np.int32)
+        offs = np.array([0, len(bad[0])], dtype=np.int64)
+        with _pytest.raises(ValueError, match="ascending"):
+            encode_segment_csr(vals, offs, 7, p)
+    # boundary gaps between lists stay legal: [9] then [2]
+    vals = np.array([9, 2], dtype=np.int32)
+    offs = np.array([0, 1, 2], dtype=np.int64)
+    encode_segment_csr(vals, offs, 3, p)
+
+
+def test_copy_bvgraph_more_splits_than_nodes(spark, tmp_path):
+    """Aligned copy with num_splits far beyond the node count: empty /
+    tiny source partitions must still compose a graph that decodes to
+    exactly the original adjacency."""
+    from hadoopwebgraph_spark.bvgraph.codec import BVGraphFiles, encode_graph
+    from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
+    from hadoopwebgraph_spark.bvgraph.sink import copy_bvgraph
+
+    adj = [sorted({(i + 1) % 10, (i + 3) % 10} - {i}) for i in range(10)]
+    base = str(tmp_path / "tiny")
+    g, o, pr = encode_graph(adj)
+    BVGraphFiles(base).write(g, o, pr)
+    dst = str(tmp_path / "tinycopy")
+    props = copy_bvgraph(spark, base, dst, num_splits=32)
+    assert props.nodes == 10
+    back = read_bvgraph(spark, dst, num_splits=3).orderBy("src").collect()
+    assert [list(r["adj"]) for r in back] == adj
