@@ -180,8 +180,15 @@ def write_bvgraph(
     aligned: bool = False,
     **props_kw,
 ) -> BVGraphProperties:
-    """Write DataFrame[src INT, adj ARRAY<INT>] (src dense 0..n-1) to a
-    BVGraph triple at ``basename``.
+    """Write DataFrame[src INT, adj ARRAY<INT>] (src dense 0..n-1, adj
+    strictly ascending — the encoder raises otherwise) to a BVGraph
+    triple at ``basename``.
+
+    Commit protocol: ``.graph`` and ``.offsets`` are composed first and
+    ``.properties`` is written LAST — readers require the properties
+    file, so it doubles as the commit marker: a crash mid-compose
+    leaves a triple no reader will load, and a retry truncates and
+    overwrites cleanly.
 
     Executor-parallel encode AND write (module docstring): job 1 encodes
     window-isolated segments into ``store``; job 2 re-phases each segment

@@ -1635,3 +1635,52 @@ def g28_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g29_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(_hb_edges(spark))
+
+
+def condensation(edges: DataFrame, scc: DataFrame | None = None) -> DataFrame:
+    """Condensation (quotient DAG of SCCs): contract every strongly-
+    connected component to one node (its scc_id) and keep the distinct
+    inter-component arcs — the DAG every bow-tie / web-structure study
+    works on after SCC. Same contraction shape as the host graph (g25):
+    two narrow label joins onto the edge list + one distinct, nothing
+    per-component. Returns DataFrame[src, dst] over scc_ids.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
+    if scc is None:
+        scc = strongly_connected_components(e)
+    ms = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("csrc"))
+    md = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("cdst"))
+    return (
+        e.join(ms, "src")
+        .join(md, "dst")
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "g30_condensation",
+    oracle=f"""
+    WITH RECURSIVE {_SCC_SUB}
+    SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+    FROM f
+    JOIN scc s1 ON s1.node = f.src
+    JOIN scc s2 ON s2.node = f.dst
+    WHERE s1.scc_id <> s2.scc_id
+    """,
+    doc="Condensation / SCC quotient DAG (contract each SCC to its "
+    "scc_id, keep distinct inter-component arcs) on the <400-node "
+    "fixture subgraph; oracle contracts over the closure-derived SCC "
+    "map. Two narrow label joins + one distinct — the g25 contraction "
+    "shape, nothing per-component.",
+)
+def g30_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return condensation(_hb_edges(spark))

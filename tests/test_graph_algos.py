@@ -401,3 +401,14 @@ def test_bowtie_hand_built(spark):
         6: "OTHER",
         7: "OTHER",
     }
+
+
+def test_condensation_is_dag_and_exact(spark):
+    """Condensation of the hand-built bow-tie graph: core {0,1,2}
+    contracts to 0; arcs 5->0, 0->3, 3->4, 6->7 survive distinct."""
+    from hadoopwebgraph_spark.queries.graph_algos import condensation
+
+    edges = [(0, 1), (1, 2), (2, 0), (5, 0), (2, 3), (3, 4), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["src"], r["dst"]) for r in condensation(df).collect()}
+    assert got == {(5, 0), (0, 3), (3, 4), (6, 7)}

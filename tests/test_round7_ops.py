@@ -403,3 +403,32 @@ def test_copy_bvgraph_more_splits_than_nodes(spark, tmp_path):
     assert props.nodes == 10
     back = read_bvgraph(spark, dst, num_splits=3).orderBy("src").collect()
     assert [list(r["adj"]) for r in back] == adj
+
+
+def test_copy_bvgraph_transcode_compression_params(spark, tmp_path):
+    """copy_bvgraph is a transcode: props_kw change the compression
+    parameters of the destination (here window_size=0 => no reference
+    coding and a larger zeta_k) while the decoded adjacency stays
+    bit-for-bit the source's."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
+    from hadoopwebgraph_spark.bvgraph.properties import parse_properties
+    from hadoopwebgraph_spark.bvgraph.sink import copy_bvgraph
+    from hadoopwebgraph_spark.queries.graph import SMALL_BASENAME
+
+    dst = str(tmp_path / "transcoded")
+    props = copy_bvgraph(
+        spark, SMALL_BASENAME, dst, num_splits=5, window_size=0, zeta_k=5
+    )
+    with open(dst + ".properties") as f:
+        written = parse_properties(f.read())
+    assert written.window_size == 0 and written.zeta_k == 5
+    assert props.nodes == 2000
+    orig = read_bvgraph(spark, SMALL_BASENAME, num_splits=3).select(
+        "src", F.concat_ws(",", "adj").alias("a")
+    )
+    back = read_bvgraph(spark, dst, num_splits=4).select(
+        "src", F.concat_ws(",", "adj").alias("a")
+    )
+    assert orig.exceptAll(back).unionAll(back.exceptAll(orig)).count() == 0
