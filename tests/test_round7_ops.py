@@ -432,3 +432,81 @@ def test_copy_bvgraph_transcode_compression_params(spark, tmp_path):
         "src", F.concat_ws(",", "adj").alias("a")
     )
     assert orig.exceptAll(back).unionAll(back.exceptAll(orig)).count() == 0
+
+
+def test_permute_bvgraph_identity_and_reverse(spark, tmp_path):
+    """Transform.map equivalent: the identity permutation reproduces the
+    same decoded graph; the reverse permutation's decode matches the
+    hand-permuted adjacency exactly."""
+    from hadoopwebgraph_spark.bvgraph.codec import BVGraphFiles, encode_graph
+    from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
+    from hadoopwebgraph_spark.bvgraph.transform import (
+        permute_bvgraph,
+        reverse_permutation,
+    )
+    from pyspark.sql import functions as F
+
+    adj = [sorted({(i * 3 + 1) % 20, (i * 7 + 2) % 20} - {i}) for i in range(20)]
+    base = str(tmp_path / "g")
+    g, o, pr = encode_graph(adj)
+    BVGraphFiles(base).write(g, o, pr)
+
+    ident = spark.range(0, 20).select(
+        F.col("id").alias("node"), F.col("id").alias("new_id")
+    )
+    p1 = permute_bvgraph(spark, base, str(tmp_path / "ident"), ident, num_splits=4)
+    assert p1.nodes == 20
+    back = read_bvgraph(spark, str(tmp_path / "ident"), num_splits=3).orderBy("src")
+    assert [list(r["adj"]) for r in back.collect()] == adj
+
+    rev = reverse_permutation(spark, 20)
+    p2 = permute_bvgraph(spark, base, str(tmp_path / "rev"), rev, num_splits=4)
+    assert p2.arcs == p1.arcs
+    want = [[] for _ in range(20)]
+    for u, succ in enumerate(adj):
+        for v in succ:
+            want[19 - u].append(19 - v)
+    want = [sorted(w) for w in want]
+    back2 = read_bvgraph(spark, str(tmp_path / "rev"), num_splits=3).orderBy("src")
+    assert [list(r["adj"]) for r in back2.collect()] == want
+
+
+def test_permute_bvgraph_rejects_non_bijection(spark, tmp_path):
+    from hadoopwebgraph_spark.bvgraph.codec import BVGraphFiles, encode_graph
+    from hadoopwebgraph_spark.bvgraph.transform import permute_bvgraph
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    base = str(tmp_path / "g")
+    g, o, pr = encode_graph([[1], [2], [0], []])
+    BVGraphFiles(base).write(g, o, pr)
+    collide = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 2)], "node long, new_id long"
+    )
+    with _pytest.raises(ValueError, match="bijection"):
+        permute_bvgraph(spark, base, str(tmp_path / "bad"), collide)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "bad") + ".properties")
+
+
+def test_union_bvgraph(spark, tmp_path):
+    """Transform.union equivalent over graphs of different sizes: arc
+    sets merge, duplicates collapse, node count is the max."""
+    from hadoopwebgraph_spark.bvgraph.codec import BVGraphFiles, encode_graph
+    from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
+    from hadoopwebgraph_spark.bvgraph.transform import union_bvgraph
+
+    a = [[1, 2], [2], [0]]            # 3 nodes
+    b = [[1], [3], [], [0, 2]]        # 4 nodes, shares arc 0->1
+    for name, adjl in (("a", a), ("b", b)):
+        g, o, pr = encode_graph(adjl)
+        BVGraphFiles(str(tmp_path / name)).write(g, o, pr)
+    props = union_bvgraph(
+        spark, str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "u")
+    )
+    assert props.nodes == 4
+    back = read_bvgraph(spark, str(tmp_path / "u"), num_splits=2).orderBy("src")
+    got = [list(r["adj"]) for r in back.collect()]
+    assert got == [[1, 2], [2, 3], [0], [0, 2]]
+    assert props.arcs == sum(len(x) for x in got)
