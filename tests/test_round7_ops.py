@@ -510,3 +510,37 @@ def test_union_bvgraph(spark, tmp_path):
     got = [list(r["adj"]) for r in back.collect()]
     assert got == [[1, 2], [2, 3], [0], [0, 2]]
     assert props.arcs == sum(len(x) for x in got)
+
+
+def test_permutation_order_moves_compressed_size(spark, tmp_path):
+    """The point of Transform.map: BV gap/ref coding exploits locality,
+    so scrambling a locality-friendly numbering must GROW the .graph
+    stream (Boldi-Vigna WWW'04). The committed fixture is generated
+    with local structure; a md5-scrambled bijection destroys it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.bvgraph.io import read_bytes
+    from hadoopwebgraph_spark.bvgraph.properties import parse_properties
+    from hadoopwebgraph_spark.bvgraph.transform import permute_bvgraph
+    from hadoopwebgraph_spark.queries.graph import SMALL_BASENAME
+
+    n = parse_properties(
+        read_bytes(SMALL_BASENAME + ".properties").decode("utf-8")
+    ).nodes
+    # deterministic scramble: rank of md5(node) is a bijection
+    from pyspark.sql import Window
+
+    scramble = spark.range(0, n).select(
+        F.col("id").alias("node"),
+        (
+            F.row_number().over(Window.orderBy(F.md5(F.col("id").cast("string"))))
+            - 1
+        ).alias("new_id"),
+    )
+    dst = str(tmp_path / "scrambled")
+    permute_bvgraph(spark, SMALL_BASENAME, dst, scramble, num_splits=8)
+    orig_bytes = os.path.getsize(SMALL_BASENAME + ".graph")
+    scram_bytes = os.path.getsize(dst + ".graph")
+    assert scram_bytes > orig_bytes * 1.05, (orig_bytes, scram_bytes)
