@@ -1684,3 +1684,63 @@ def condensation(edges: DataFrame, scc: DataFrame | None = None) -> DataFrame:
 )
 def g30_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation(_hb_edges(spark))
+
+
+def sample_neighbors(
+    edges: DataFrame, fanout: int, salt: str = "hop0"
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling: keep at most
+    ``fanout`` out-neighbors per node, chosen by md5(salt, src, dst)
+    rank — the per-hop primitive of every mini-batch GNN training
+    pipeline (Hamilton et al. 2017) and of bounded-fan-out graph
+    feature jobs.
+
+    Determinism is the repo's md5-band discipline: the kept set is a
+    pure function of (salt, src, dst), so re-runs, repartitions and
+    engine changes agree bit-for-bit, different ``salt`` values give
+    independent samples per hop, and the sample is stable under edge
+    appends that don't touch a node's kept ranks. Scale: the two-phase
+    :func:`~hadoopwebgraph_spark.functions.similarity.topk_per_group`
+    rank-filter — no reducer ever sees a whole hub's neighbor list.
+    Returns DataFrame[src, dst, rank] (rank 1..fanout in md5 order).
+    """
+    from ..functions.similarity import topk_per_group
+
+    scored = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).withColumn(
+        "h", F.md5(F.concat_ws("-", F.lit(salt), F.col("src"), F.col("dst")))
+    )
+    return (
+        topk_per_group(scored, ["src"], [F.col("h").asc()], fanout)
+        .select("src", "dst", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "g32_neighbor_sample",
+    oracle=f"""
+    WITH e AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {_T}),
+    scored AS (
+        SELECT src, dst,
+               md5('hop0-' || CAST(src AS VARCHAR) || '-'
+                           || CAST(dst AS VARCHAR)) AS h
+        FROM e
+    ),
+    ranked AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY h) AS rank
+        FROM scored
+    )
+    SELECT src, CAST(dst AS BIGINT) AS dst, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 4
+    """,
+    doc="Deterministic GraphSAGE-style neighbor sampling (fanout 4, "
+    "md5-ranked — the mini-batch GNN training primitive): two-phase "
+    "rank-filter so hubs never funnel into one reducer; kept set is a "
+    "pure function of (salt, src, dst) — rerun/repartition/engine "
+    "stable, hash-exact vs the SQL window oracle.",
+)
+def g32_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_neighbors(edges_df(spark), fanout=4)

@@ -412,3 +412,33 @@ def test_condensation_is_dag_and_exact(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {(r["src"], r["dst"]) for r in condensation(df).collect()}
     assert got == {(5, 0), (0, 3), (3, 4), (6, 7)}
+
+
+def test_sample_neighbors_deterministic_and_bounded(spark):
+    """Fanout bound respected, sample is a subset of the edge set,
+    identical across repartitionings, and different salts differ."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.queries.graph_algos import sample_neighbors
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(30), rng.randrange(200)) for _ in range(900)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    s1 = {(r["src"], r["dst"]) for r in sample_neighbors(df, 5).collect()}
+    s2 = {
+        (r["src"], r["dst"])
+        for r in sample_neighbors(df.repartition(13, "dst"), 5).collect()
+    }
+    assert s1 == s2
+    assert s1 <= set(edges)
+    counts = (
+        sample_neighbors(df, 5).groupBy("src").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in counts)
+    full = df.groupBy("src").count().collect()
+    expect = {r["src"]: min(r["count"], 5) for r in full}
+    assert {r["src"]: r["count"] for r in counts} == expect
+    s3 = {(r["src"], r["dst"]) for r in sample_neighbors(df, 5, salt="hop1").collect()}
+    assert s3 != s1
