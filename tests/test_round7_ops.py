@@ -544,3 +544,75 @@ def test_permutation_order_moves_compressed_size(spark, tmp_path):
     orig_bytes = os.path.getsize(SMALL_BASENAME + ".graph")
     scram_bytes = os.path.getsize(dst + ".graph")
     assert scram_bytes > orig_bytes * 1.05, (orig_bytes, scram_bytes)
+
+
+def test_edge_ingest_incremental_degrees_and_replay(spark, tmp_path):
+    """Two overlapping micro-batches: degrees equal a from-scratch
+    recompute over the distinct edge union; replaying a batch is a
+    no-op (overwrite-own-partition idempotency)."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.streaming.graph_stream import (
+        _ingest_one_batch,
+        read_degrees,
+    )
+
+    edges_dir = str(tmp_path / "edges")
+    deltas_dir = str(tmp_path / "deltas")
+    b1 = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 2)], "src long, dst long"  # dup inside
+    )
+    b2 = spark.createDataFrame(
+        [(0, 1), (2, 0), (3, 1)], "src long, dst long"  # (0,1) repeats b1
+    )
+    _ingest_one_batch(b1, 0, edges_dir, deltas_dir)
+    _ingest_one_batch(b2, 1, edges_dir, deltas_dir)
+
+    def degree_map():
+        return {
+            r["node"]: (r["out_degree"], r["in_degree"])
+            for r in read_degrees(spark, deltas_dir).collect()
+        }
+
+    want = {0: (2, 1), 1: (1, 2), 2: (1, 2), 3: (1, 0)}
+    assert degree_map() == want
+    # edge log holds the distinct union
+    log = spark.read.parquet(edges_dir).select("src", "dst")
+    assert log.count() == 5 and log.distinct().count() == 5
+
+    # replay batch 1 (checkpoint recovery): nothing changes
+    _ingest_one_batch(b2, 1, edges_dir, deltas_dir)
+    assert degree_map() == want
+    assert spark.read.parquet(edges_dir).count() == 5
+
+
+def test_edge_ingest_stream_end_to_end(spark, tmp_path):
+    """availableNow stream over a watch dir: lands edges + deltas via
+    the declared schema (works before any files exist), then picks up
+    files on the next start."""
+    import os
+
+    from hadoopwebgraph_spark.streaming.graph_stream import (
+        edge_ingest_stream,
+        read_degrees,
+    )
+
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    edges_dir = str(tmp_path / "edges")
+    deltas_dir = str(tmp_path / "deltas")
+    ck = str(tmp_path / "ck")
+
+    q = edge_ingest_stream(spark, incoming, edges_dir, deltas_dir, ck)
+    q.awaitTermination()  # empty dir: clean start, nothing landed
+
+    spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long").write.mode(
+        "append"
+    ).parquet(incoming)
+    q2 = edge_ingest_stream(spark, incoming, edges_dir, deltas_dir, ck)
+    q2.awaitTermination()
+    got = {
+        r["node"]: (r["out_degree"], r["in_degree"])
+        for r in read_degrees(spark, deltas_dir).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 1)}
