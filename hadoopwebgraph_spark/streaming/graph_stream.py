@@ -128,3 +128,32 @@ def read_degrees(spark: SparkSession, deltas_dir: str) -> DataFrame:
             F.sum("d_in").alias("in_degree"),
         )
     )
+
+
+def materialize_bvgraph(
+    spark: SparkSession, edges_dir: str, dst_basename: str, **props_kw
+):
+    """Materialize the streamed edge log as a compressed BVGraph triple
+    — the ingest-to-queryable handoff: after a crawl window, fold the
+    accumulated ``batch_id=*`` edge partitions into the dense sorted
+    adjacency the whole graph stack (source, algorithms, transforms)
+    runs on. Node count = max endpoint + 1 (dense ids are the producer's
+    contract, as with the sink generally). One groupBy rebuild + the
+    executor-parallel two-job sink; run under the maintenance-window
+    contract (stream stopped), like snapshot compaction.
+
+    Note on degree-delta folding: deltas are SUMS, so the digest
+    compaction's crash-superset argument does NOT transfer (a partially
+    installed fold would double-count). Degrees are always exactly
+    derivable from the edge log; fold by recomputing from it in a
+    maintenance window rather than merging delta partitions in place.
+    """
+    from ..bvgraph.transform import _write_dense
+
+    edges = spark.read.parquet(edges_dir).select("src", "dst")
+    hi = edges.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("hi")
+    ).collect()[0]["hi"]
+    if hi is None:
+        raise ValueError(f"edge log at {edges_dir} is empty")
+    return _write_dense(edges, int(hi) + 1, dst_basename, **props_kw)

@@ -616,3 +616,24 @@ def test_edge_ingest_stream_end_to_end(spark, tmp_path):
         for r in read_degrees(spark, deltas_dir).collect()
     }
     assert got == {0: (1, 1), 1: (1, 1)}
+
+
+def test_materialize_bvgraph_from_edge_log(spark, tmp_path):
+    """Streamed edge log -> real BVGraph triple: decode matches the
+    distinct edge union as dense sorted adjacency."""
+    from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
+    from hadoopwebgraph_spark.streaming.graph_stream import (
+        _ingest_one_batch,
+        materialize_bvgraph,
+    )
+
+    edges_dir = str(tmp_path / "edges")
+    deltas_dir = str(tmp_path / "deltas")
+    b1 = spark.createDataFrame([(0, 2), (0, 1), (2, 3)], "src long, dst long")
+    b2 = spark.createDataFrame([(0, 1), (3, 0)], "src long, dst long")
+    _ingest_one_batch(b1, 0, edges_dir, deltas_dir)
+    _ingest_one_batch(b2, 1, edges_dir, deltas_dir)
+    props = materialize_bvgraph(spark, edges_dir, str(tmp_path / "g"))
+    assert props.nodes == 4 and props.arcs == 4
+    back = read_bvgraph(spark, str(tmp_path / "g"), num_splits=2).orderBy("src")
+    assert [list(r["adj"]) for r in back.collect()] == [[1, 2], [], [3], [0]]
