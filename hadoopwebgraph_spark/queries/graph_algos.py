@@ -1765,3 +1765,127 @@ def sample_neighbors(
 )
 def g32_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_neighbors(edges_df(spark), fanout=4)
+
+
+def random_walks(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    walks_per_node: int = 2,
+    length: int = 4,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic random-walk corpus generation — the DeepWalk /
+    node2vec preprocessing job (Perozzi et al. 2014): ``walks_per_node``
+    walks of up to ``length`` steps from every node, the sentences a
+    skip-gram graph-embedding trainer consumes.
+
+    Determinism is the repo's md5 discipline: step t of walk (v, k)
+    moves to argmin over out-neighbors d of md5(salt-v-k-t-d), so the
+    whole corpus is a pure function of (salt, graph) — rerun,
+    repartition and engine independent (hash-exact against a SQL
+    oracle), and each (v, k, t) triple draws an independent choice.
+    Walks at a sink node simply stop growing.
+
+    Scale: one left join (walk frontier against the edge table, keyed
+    on the current node) + one min_by groupBy per step — the BFS hop
+    budget with narrow rows; no per-node neighbor lists are ever
+    collected. Returns DataFrame[v, k, path] with path the
+    comma-joined node sequence.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col("node").cast("long").alias("node"))
+    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    es = e.repartition(n_parts, "src").persist()
+    es.count()
+    state = nodes.select(
+        F.col("node").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
+    ).select("v", "k", F.col("v").alias("cur"), F.col("v").cast("string").alias("path"))
+    for t in range(1, length + 1):
+        h = F.md5(
+            F.concat_ws(
+                "-", F.lit(salt), F.col("v"), F.col("k"), F.lit(t), F.col("dst")
+            )
+        )
+        state = (
+            state.join(es, state.cur == es.src, "left")
+            .withColumn("h", h)
+            .groupBy("v", "k")
+            .agg(
+                F.min_by("dst", "h").alias("nxt"),
+                # cur/path are constant within the (v, k) group
+                F.max("cur").alias("cur"),
+                F.max("path").alias("path"),
+            )
+            .select(
+                "v",
+                "k",
+                F.coalesce("nxt", "cur").alias("cur"),
+                F.when(F.col("nxt").isNull(), F.col("path"))
+                .otherwise(F.concat_ws(",", "path", F.col("nxt").cast("string")))
+                .alias("path"),
+            )
+            .localCheckpoint()
+        )
+    es.unpersist()
+    return state.select("v", "k", "path")
+
+
+def _walks_oracle_sql(twin: str, k: int, length: int, salt: str) -> str:
+    """Unrolled per-step argmin blocks (AS MATERIALIZED per the DuckDB
+    multi-reference inlining gotcha)."""
+    blocks = [
+        f"""
+    e AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    n AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        )
+    ),
+    s0 AS MATERIALIZED (
+        SELECT node AS v, k.k AS k, node AS cur,
+               CAST(node AS VARCHAR) AS path
+        FROM n, LATERAL (SELECT unnest(range(0, {k})) AS k) k
+    )"""
+    ]
+    for t in range(1, length + 1):
+        blocks.append(f"""
+    s{t} AS MATERIALIZED (
+        SELECT v, k, coalesce(nxt, cur) AS cur,
+               CASE WHEN nxt IS NULL THEN path
+                    ELSE path || ',' || CAST(nxt AS VARCHAR) END AS path
+        FROM (
+            SELECT s.v, s.k, s.cur, s.path,
+                   arg_min(e.dst, md5('{salt}-' || CAST(s.v AS VARCHAR)
+                       || '-' || CAST(s.k AS VARCHAR) || '-{t}-'
+                       || CAST(e.dst AS VARCHAR))) AS nxt
+            FROM s{t - 1} s LEFT JOIN e ON e.src = s.cur
+            GROUP BY s.v, s.k, s.cur, s.path
+        )
+    )""")
+    return (
+        "WITH" + ",".join(blocks) + f"\n    SELECT v, k, path FROM s{length}"
+    )
+
+
+@register(
+    "g33_random_walks",
+    oracle=_walks_oracle_sql(_T, 2, 4, "walk"),
+    doc="Deterministic random-walk corpus generation (DeepWalk/node2vec "
+    "preprocessing, Perozzi et al. 2014): 2 walks of up to 4 steps per "
+    "node, step choice = argmin md5(salt-v-k-t-dst) over out-neighbors "
+    "— rerun/repartition/engine independent, hash-exact vs the "
+    "unrolled argmin SQL oracle. One frontier join + min_by groupBy "
+    "per step (the BFS hop budget); sink nodes stop growing.",
+)
+def g33_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_walks(edges_df(spark), walks_per_node=2, length=4)

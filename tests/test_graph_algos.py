@@ -442,3 +442,39 @@ def test_sample_neighbors_deterministic_and_bounded(spark):
     assert {r["src"]: r["count"] for r in counts} == expect
     s3 = {(r["src"], r["dst"]) for r in sample_neighbors(df, 5, salt="hop1").collect()}
     assert s3 != s1
+
+
+def test_random_walks_properties(spark):
+    """Every step follows a real edge; walks stop at sinks; corpus is
+    repartition-stable; different salts differ."""
+    import random
+
+    from hadoopwebgraph_spark.queries.graph_algos import random_walks
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(15), rng.randrange(15)) for _ in range(40)})
+    edges = [(u, v) for u, v in edges if u != v]
+    eset = set(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = random_walks(df, walks_per_node=2, length=5).collect()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    nodes = {x for p in edges for x in p}
+    assert len(out) == 2 * len(nodes)
+    for r in out:
+        seq = [int(x) for x in r["path"].split(",")]
+        assert seq[0] == r["v"]
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in eset
+        # stopped early only at a sink
+        if len(seq) < 6:
+            assert seq[-1] not in adj
+    out2 = random_walks(df.repartition(7, "dst"), walks_per_node=2, length=5).collect()
+    assert {(r["v"], r["k"], r["path"]) for r in out} == {
+        (r["v"], r["k"], r["path"]) for r in out2
+    }
+    out3 = random_walks(df, walks_per_node=2, length=5, salt="other").collect()
+    assert {(r["v"], r["k"], r["path"]) for r in out3} != {
+        (r["v"], r["k"], r["path"]) for r in out
+    }
