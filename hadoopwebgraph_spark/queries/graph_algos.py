@@ -1889,3 +1889,46 @@ def _walks_oracle_sql(twin: str, k: int, length: int, salt: str) -> str:
 )
 def g33_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges_df(spark), walks_per_node=2, length=4)
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Turn a random-walk corpus (:func:`random_walks` output) into
+    skip-gram (center, context) training pairs — the final step of the
+    DeepWalk/node2vec preprocessing pipeline before the embedding
+    trainer.
+
+    For every position i in a walk, emit (node[i], node[j]) for all
+    j != i within ``window`` positions. Pure array expressions: one
+    split + posexplode + a bounded slice per center — the fan-out is at
+    most 2*window rows per walk position, all narrow longs, zero
+    shuffle. Returns DataFrame[center, context, offset] with offset =
+    j - i (sign preserved: the trainer can weight by distance).
+    """
+    toks = F.split("path", ",")
+    return (
+        walks.select(F.posexplode(toks).alias("i", "center"), toks.alias("t"))
+        .select(
+            F.col("center").cast("long").alias("center"),
+            F.posexplode(
+                # slice is 1-based; clamp the left edge at the walk start
+                # contiguous run left..center..right; the center itself
+                # lands at offset 0 and is filtered below
+                F.slice(
+                    "t",
+                    F.greatest(F.col("i") + 1 - window, F.lit(1)),
+                    F.least(F.col("i"), F.lit(window))
+                    + F.lit(1)
+                    + F.least(F.size("t") - F.col("i") - 1, F.lit(window)),
+                )
+            ).alias("p", "context"),
+            (
+                F.greatest(F.col("i") + 1 - window, F.lit(1)) - F.col("i") - 1
+            ).alias("base"),
+        )
+        .select(
+            "center",
+            F.col("context").cast("long").alias("context"),
+            (F.col("base") + F.col("p")).cast("int").alias("offset"),
+        )
+        .filter(F.col("offset") != 0)
+    )

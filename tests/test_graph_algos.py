@@ -478,3 +478,31 @@ def test_random_walks_properties(spark):
     assert {(r["v"], r["k"], r["path"]) for r in out3} != {
         (r["v"], r["k"], r["path"]) for r in out
     }
+
+
+def test_skipgram_pairs_exact(spark):
+    """Hand-checked windowed pairs from two walks, offsets signed."""
+    from hadoopwebgraph_spark.queries.graph_algos import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(0, 0, "0,5,7"), (1, 0, "1")], "v long, k long, path string"
+    )
+    got = {
+        (r["center"], r["context"], r["offset"])
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    want = {
+        (0, 5, 1), (0, 7, 2),
+        (5, 0, -1), (5, 7, 1),
+        (7, 0, -2), (7, 5, -1),
+    }
+    assert got == want
+
+    # exhaustive window-1 check on a length-4 walk
+    walks2 = spark.createDataFrame([(9, 0, "9,8,7,6")], "v long, k long, path string")
+    got2 = {
+        (r["center"], r["context"], r["offset"])
+        for r in skipgram_pairs(walks2, window=1).collect()
+    }
+    want2 = {(9, 8, 1), (8, 9, -1), (8, 7, 1), (7, 8, -1), (7, 6, 1), (6, 7, -1)}
+    assert got2 == want2
