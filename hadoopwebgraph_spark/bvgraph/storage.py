@@ -145,14 +145,26 @@ class PyArrowFSStore(SegmentStore):
         return fs.get_file_info(f"{base}/{key}").size
 
     def cleanup(self) -> None:
+        from pyarrow import fs as pafs
+
         fs, base = self._resolve()
+        # probe first: a never-populated spill root is NORMAL and must
+        # not fail a completed write; pyarrow surfaces missing dirs as
+        # OSError/ArrowIOError (FileNotFoundError only on local), so the
+        # probe — not a broad except — distinguishes "nothing to clean"
+        # from a REAL delete failure (permissions, transient network),
+        # which would otherwise silently leak the whole spill prefix
+        if fs.get_file_info(base).type == pafs.FileType.NotFound:
+            return
         try:
             fs.delete_dir(base)
-        except OSError:
-            # pyarrow filesystems surface a missing directory as OSError /
-            # ArrowIOError (FileNotFoundError only on local); a never-
-            # populated spill root must not fail a completed write
-            pass
+        except OSError as exc:
+            import warnings
+
+            warnings.warn(
+                f"spill cleanup failed — data leaked at {base}: {exc}",
+                stacklevel=2,
+            )
 
 
 def fs_for_path(path: str):

@@ -87,18 +87,27 @@ def permute_bvgraph(
         F.min("new_id").alias("lo"),
         F.max("new_id").alias("hi"),
         F.countDistinct("node").alias("src_cnt"),
+        F.min("node").alias("n_lo"),
+        F.max("node").alias("n_hi"),
     ).collect()[0]
+    # BOTH domains must be exactly 0..n-1: a hole in the node domain
+    # (e.g. node 3 missing, node 4 present) would otherwise pass every
+    # count check and silently drop the missing node's arcs in the
+    # label joins below
     if not (
         chk["cnt"] == n
         and chk["src_cnt"] == n
         and chk["dst_cnt"] == n
         and chk["lo"] == 0
         and chk["hi"] == n - 1
+        and chk["n_lo"] == 0
+        and chk["n_hi"] == n - 1
     ):
         raise ValueError(
             f"perm is not a bijection on 0..{n - 1}: rows={chk['cnt']}, "
-            f"distinct nodes={chk['src_cnt']}, distinct new_ids="
-            f"{chk['dst_cnt']}, range=[{chk['lo']}, {chk['hi']}]"
+            f"distinct nodes={chk['src_cnt']} in [{chk['n_lo']}, "
+            f"{chk['n_hi']}], distinct new_ids={chk['dst_cnt']} in "
+            f"[{chk['lo']}, {chk['hi']}]"
         )
     e = g.select(
         F.col("src").cast("long").alias("u"),

@@ -208,7 +208,31 @@ def q129_partitioned_layout(spark, sf_dir: str) -> DataFrame:
     key = os.path.abspath(sf_dir)
     out = _Q129_LAYOUTS.get(key)
     if out is None or not os.path.isdir(out):
-        out = tempfile.mkdtemp(prefix="hwg_part_orders_")
+        # atexit never runs on SIGKILL/OOM, so crashed processes would
+        # accumulate full orders-table copies in /tmp forever. The dir
+        # name embeds the owning pid; before creating ours, sweep
+        # siblings whose owner is gone (kill -0 probe). Concurrent LIVE
+        # processes keep their dirs — only dead owners are reclaimed.
+        import glob
+        import re
+
+        for d in glob.glob(
+            os.path.join(tempfile.gettempdir(), "hwg_part_orders_*")
+        ):
+            m = re.match(r"hwg_part_orders_(\d+)_", os.path.basename(d))
+            if m is None:
+                shutil.rmtree(d, ignore_errors=True)  # legacy unowned name
+                continue
+            pid = int(m.group(1))
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — not ours to reclaim
+        out = tempfile.mkdtemp(prefix=f"hwg_part_orders_{os.getpid()}_")
         atexit.register(shutil.rmtree, out, ignore_errors=True)
         write_date_partitioned(load(spark, sf_dir, "orders"), "o_orderdate", out)
         _Q129_LAYOUTS[key] = out

@@ -1188,6 +1188,13 @@ def neighborhood_function(
                 break
         else:
             dry = 0
+    else:
+        # loop exhausted max_hops with dry==1: the final entry is a
+        # stagnant (or dipped) hop — trim it like the early-stop branch
+        # does, so N(t) never carries a non-growing tail row that the
+        # exact-BFS oracle (rows only up to the max distance) lacks
+        if dry:
+            del nf[-dry:]
     e_aug.unpersist()  # nf is plain floats; nothing downstream needs it
     return nf
 

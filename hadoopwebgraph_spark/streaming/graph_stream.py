@@ -100,9 +100,13 @@ def edge_ingest_stream(
 ):
     """Start an availableNow stream over ``incoming_dir`` (parquet edge
     files) feeding :func:`_ingest_one_batch`. The schema is DECLARED,
-    never inferred, so a stream started before the first files arrive
-    starts cleanly (the partitioned_ingest_stream lesson). Returns the
-    started StreamingQuery; callers ``awaitTermination()``."""
+    never inferred, and a missing LOCAL watch dir is created, so a
+    stream started before the producer's first write starts cleanly
+    (BOTH halves of the partitioned_ingest_stream lesson: the file
+    stream source refuses a missing path even with a schema). Returns
+    the started StreamingQuery; callers ``awaitTermination()``."""
+    if "://" not in incoming_dir:
+        os.makedirs(incoming_dir, exist_ok=True)
     src = (
         spark.readStream.schema(schema)
         .parquet(incoming_dir)

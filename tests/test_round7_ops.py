@@ -637,3 +637,51 @@ def test_materialize_bvgraph_from_edge_log(spark, tmp_path):
     assert props.nodes == 4 and props.arcs == 4
     back = read_bvgraph(spark, str(tmp_path / "g"), num_splits=2).orderBy("src")
     assert [list(r["adj"]) for r in back.collect()] == [[1, 2], [], [3], [0]]
+
+
+def test_permute_rejects_node_domain_hole(spark, tmp_path):
+    """A perm whose node domain has a hole (node 3 missing, node 4
+    present) passes every count check but would silently drop arcs —
+    the range check on BOTH domains must reject it."""
+    import pytest as _pytest
+
+    from hadoopwebgraph_spark.bvgraph.codec import BVGraphFiles, encode_graph
+    from hadoopwebgraph_spark.bvgraph.transform import permute_bvgraph
+
+    base = str(tmp_path / "g")
+    g, o, pr = encode_graph([[1], [2], [3], [0]])
+    BVGraphFiles(base).write(g, o, pr)
+    hole = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (4, 3)], "node long, new_id long"
+    )
+    with _pytest.raises(ValueError, match="bijection"):
+        permute_bvgraph(spark, base, str(tmp_path / "bad"), hole)
+
+
+def test_edge_ingest_stream_missing_watch_dir(spark, tmp_path):
+    """Daemon-before-producer start: a missing LOCAL incoming dir is
+    created instead of crashing stream construction."""
+    from hadoopwebgraph_spark.streaming.graph_stream import edge_ingest_stream
+
+    q = edge_ingest_stream(
+        spark,
+        str(tmp_path / "never_created"),
+        str(tmp_path / "edges"),
+        str(tmp_path / "deltas"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+
+
+def test_neighborhood_function_trims_stagnant_tail_at_cap(spark):
+    """max_hops reached with dry==1: the stagnant final hop must be
+    trimmed exactly like the early-stop branch trims it. A 4-cycle's
+    N(t) saturates at t=3; max_hops=4 makes hop 4 the FIRST
+    non-growing hop (dry==1 at exhaustion)."""
+    from hadoopwebgraph_spark.queries.graph_algos import neighborhood_function
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    nf = neighborhood_function(e, max_hops=4, lg_k=12)
+    assert [round(v) for v in nf] == [4, 8, 12, 16]
