@@ -1,8 +1,12 @@
 """Streaming graph ingestion: continuously land new edges and maintain
 node degrees incrementally — the crawl-frontier shape of the reference's
-ecosystem (a webgraph is built from a stream of crawled pages) expressed
-as Structured Streaming + the repo's replay-safe foreachBatch patterns
+ecosystem (a webgraph is built from a stream of crawled pages before it
+is ever encoded into the BVGraph triples the reference reads,
+HdfsBVGraph.java:31 / WebGraphInputFormat.java lineage) expressed as
+Structured Streaming + the repo's replay-safe foreachBatch patterns
 (functions/dedup.py::_dedup_one_batch is the template).
+:func:`materialize_bvgraph` closes that loop: log -> compressed triple
+-> the reference-equivalent source.
 
 Per micro-batch: (1) within-batch duplicates collapse, (2) edges already
 in the log are anti-joined away (the log IS the digest set — only
