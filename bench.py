@@ -73,6 +73,13 @@ HEADLINE = [
     "q129_partitioned_layout",
     "q130_ngram_counts",
     "g25_host_graph",
+    # round 7 additions: chunking, GNN neighbor sampling and random-walk
+    # corpus generation at the 739k-arc fixture (SCC/bow-tie/permute run
+    # 10-30s here — iterative/sink-bound class, represented by g13 and
+    # gXL_sink_*; HyperANF has its own gB_ entry below)
+    "q132_chunk_documents",
+    "g32_neighbor_sample",
+    "g33_random_walks",
 ]
 
 
