@@ -208,6 +208,39 @@ _DRIVER_GREEN.update(
 )
 
 
+# Rounds 7 AND 8 verified the same 50-row window (no registry change was
+# shipped in round 8, so the rotation re-selected the identical key set —
+# CORRECTNESS_r07.json and CORRECTNESS_r08.json are key-identical). Every
+# row green both rounds — 48 hash-matched, q12/q45 rows-only by design.
+# Stamping them 8 makes the 9 round-4 stragglers (q54, q55, q75, q86-q89,
+# q95, q96) the oldest names so they finally sort into round 9's window
+# alongside any round-9 registrations; the remainder fills with the oldest
+# round-5 names.
+_DRIVER_GREEN.update(
+    {
+        name: 8
+        for name in (
+            "g26_hyperball_harmonic g27_hyperanf_neighborhood g28_scc "
+            "g29_bowtie g30_condensation g31_permute_roundtrip "
+            "g32_neighbor_sample g33_random_walks q06_join_semi "
+            "q07_join_anti q08_join_theta q09_self_join q10_agg_stats "
+            "q11_count_distinct q12_approx_distinct q132_chunk_documents "
+            "q13_rollup q14_cube q15_grouping_sets q16_topk_global "
+            "q17_having q18_join_right q19_join_full "
+            "q20_window_topk_per_group q21_window_rank "
+            "q22_window_running_sum q23_window_lag q24_window_range_frame "
+            "q25_window_ntile_first_last q26_window_distribution q30_union "
+            "q31_intersect q32_except q33_string_fns q34_date_fns "
+            "q35_math_fns q36_array_fns q37_json_fns q38_case_coalesce "
+            "q39_pivot q40_distinct q41_in_subquery q43_join_cross "
+            "q44_percentiles q45_approx_percentiles q46_map_fns "
+            "q50_tumbling_window q51_sliding_window q52_session_window "
+            "q53_watermark_late_drop"
+        ).split()
+    }
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     # Never-verified first (round 0), then oldest-verified, name as tiebreak.
