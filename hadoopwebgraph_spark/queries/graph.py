@@ -607,3 +607,69 @@ def g31_permute_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("adj").alias("outdeg"),
         F.concat_ws(",", F.col("adj")).alias("adj_str"),
     )
+
+
+@register(
+    "g34_union_roundtrip",
+    oracle=f"""
+    WITH n_t AS MATERIALIZED (SELECT count(*) AS n FROM {_T}),
+    e0 AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {_T}),
+    e AS MATERIALIZED (
+        SELECT src, dst FROM e0
+        UNION
+        SELECT (SELECT n FROM n_t) - 1 - src AS src,
+               (SELECT n FROM n_t) - 1 - dst AS dst
+        FROM e0
+    ),
+    ad AS MATERIALIZED (
+        SELECT src, list_sort(list(DISTINCT dst)) AS adj FROM e GROUP BY src
+    ),
+    nodes AS (SELECT src FROM {_T})
+    SELECT n.src,
+           CAST(coalesce(len(a.adj), 0) AS INTEGER) AS outdeg,
+           coalesce(array_to_string(a.adj, ','), '') AS adj_str
+    FROM nodes n LEFT JOIN ad a ON a.src = n.src
+    """,
+    doc="Graph union THROUGH the sink+source (the WebGraph "
+    "Transform.union equivalent, bvgraph/transform.py::union_bvgraph — "
+    "the incremental-crawl-merge primitive): write a reverse-permuted "
+    "copy of the fixture with permute_bvgraph, arc-set-union it with "
+    "the original (one distinct over the concatenated edge lists), "
+    "rebuild dense sorted adjacency, write a real BVGraph triple with "
+    "the executor-parallel sink, re-read through the DataSource. "
+    "Certifies union+encode+decode hash-exact against the distinct "
+    "edge-set union on the parquet twin.",
+)
+def g34_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..bvgraph.io import read_bytes
+    from ..bvgraph.properties import parse_properties
+    from ..bvgraph.transform import (
+        permute_bvgraph,
+        reverse_permutation,
+        union_bvgraph,
+    )
+
+    # always the 2k fixture (NOT the bench basename override): the
+    # oracle reads this fixture's parquet twin
+    src = SMALL_BASENAME
+    n = parse_properties(read_bytes(src + ".properties").decode("utf-8")).nodes
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hwg_g34_union.{os.getpid()}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    perm_dst = os.path.join(out_dir, "permuted")
+    union_dst = os.path.join(out_dir, "union")
+    permute_bvgraph(
+        spark, src, perm_dst, reverse_permutation(spark, n), num_splits=8
+    )
+    union_bvgraph(spark, src, perm_dst, union_dst, num_splits=8)
+    back = read_bvgraph(spark, union_dst, num_splits=8)
+    return back.select(
+        "src",
+        F.size("adj").alias("outdeg"),
+        F.concat_ws(",", F.col("adj")).alias("adj_str"),
+    )

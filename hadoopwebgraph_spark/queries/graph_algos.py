@@ -1939,3 +1939,38 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         )
         .filter(F.col("offset") != 0)
     )
+
+
+def _skipgram_oracle_sql(twin: str, k: int, length: int, salt: str, window: int) -> str:
+    """Skip-gram pair oracle: the unrolled walk oracle as a nested CTE,
+    then all (i, j) position pairs within ``window`` via two
+    unnest(range(...)) explosions (bounded: walks are <= length+1
+    tokens, so the j fan-out is tiny and exact)."""
+    walks = _walks_oracle_sql(twin, k, length, salt)
+    return f"""
+    WITH walks AS MATERIALIZED ({walks}),
+    wt AS MATERIALIZED (SELECT string_split(path, ',') AS t FROM walks),
+    p1 AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM wt),
+    p2 AS (SELECT t, i, unnest(range(1, len(t) + 1)) AS j FROM p1)
+    SELECT CAST(t[CAST(i AS INTEGER)] AS BIGINT) AS center,
+           CAST(t[CAST(j AS INTEGER)] AS BIGINT) AS context,
+           CAST(j - i AS INTEGER) AS "offset"
+    FROM p2
+    WHERE j != i AND abs(j - i) <= {window}
+    """
+
+
+@register(
+    "g35_skipgram_pairs",
+    oracle=_skipgram_oracle_sql(_T, 2, 4, "walk", 2),
+    doc="Skip-gram (center, context, offset) training-pair generation "
+    "from the deterministic random-walk corpus (DeepWalk/node2vec "
+    "preprocessing, final step before the embedding trainer; "
+    "skipgram_pairs above). Pure array expressions over g33's walks: "
+    "split + posexplode + one bounded slice per center — fan-out <= "
+    "2*window narrow long rows per walk position, zero extra shuffle "
+    "beyond the walk job itself. Hash-exact vs the position-pair SQL "
+    "oracle on the same unrolled-walk CTE.",
+)
+def g35_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skipgram_pairs(random_walks(edges_df(spark), walks_per_node=2, length=4), window=2)
