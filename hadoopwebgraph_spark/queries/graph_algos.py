@@ -28,6 +28,16 @@ from ..registry import register
 from .graph import _T, edges_df, graph_df
 
 
+def _shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to the
+    cluster's default parallelism when a session pins the conf to a
+    non-numeric value (``"auto"`` under some AQE setups)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def pagerank(
     edges: DataFrame,
     n_nodes: int | None = None,
@@ -68,7 +78,7 @@ def pagerank(
     # partition count is pinned explicitly — an unnumbered repartition
     # lets AQE coalesce the cached side into a few big partitions, which
     # would throttle every iteration's parallelism.
-    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nshuf = _shuffle_partitions(edges.sparkSession)
     contrib_edges = (
         edges.join(outdeg, "src")
         .select("src", "dst", F.col("outdeg").cast("double").alias("od"))
@@ -138,7 +148,7 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition(
-            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")), "dst"
+            _shuffle_partitions(edges.sparkSession), "dst"
         )
         .persist()
     )
@@ -312,7 +322,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition(
-            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")), "dst"
+            _shuffle_partitions(edges.sparkSession), "dst"
         )
         .persist()
     )
@@ -394,7 +404,7 @@ def bfs_distances(
 
     Returns DataFrame[node, d] for nodes within max_hops of source.
     """
-    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nshuf = _shuffle_partitions(edges.sparkSession)
     e = edges.select("src", "dst").distinct().repartition(nshuf, "src").persist()
     spark = edges.sparkSession
     frontier = spark.createDataFrame(
@@ -465,7 +475,7 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
 
     Returns DataFrame[node, core_deg] for nodes alive after ``rounds``.
     """
-    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nshuf = _shuffle_partitions(edges.sparkSession)
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -564,7 +574,7 @@ def hits(
             .distinct()
         )
     nodes = nodes.persist()
-    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nshuf = _shuffle_partitions(edges.sparkSession)
     e_by_src = edges.select("src", "dst").repartition(nshuf, "src").persist()
     e_by_dst = e_by_src.repartition(nshuf, "dst").persist()
 
@@ -710,7 +720,7 @@ def personalized_pagerank(
     pinned oracle. Keep edits to the loop bodies in sync by hand.
     """
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nshuf = _shuffle_partitions(edges.sparkSession)
     contrib_edges = (
         edges.join(outdeg, "src")
         .select("src", "dst", F.col("outdeg").cast("double").alias("od"))
@@ -1045,7 +1055,7 @@ def hyperball_harmonic(
     # repartition's outputPartitioning, localCheckpoint would forget it
     # and re-shuffle the edge list every hop) — only the sketches move
     # per hop; count() pins the cache before AQE can re-plan it.
-    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_partitions(e.sparkSession)
     e_aug = (
         e.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .repartition(n_parts, "src")
@@ -1147,7 +1157,7 @@ def neighborhood_function(
     # persisted, not checkpointed: InMemoryRelation keeps the
     # repartition's outputPartitioning so the edge side joins without a
     # per-hop Exchange (localCheckpoint would forget it)
-    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_partitions(e.sparkSession)
     e_aug = (
         e.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .repartition(n_parts, "src")
@@ -1238,7 +1248,7 @@ def _min_reach_labels(
     rows — one join + groupBy + jump self-join, the WCC budget.
     """
     spark = e.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_partitions(spark)
     es = e.repartition(n_parts, "src").persist()
     es.count()  # pin before the loop so AQE can't re-plan the cached side
     labels = nodes.select("node", F.col("node").alias("label"))
@@ -1793,11 +1803,19 @@ def random_walks(
     oracle), and each (v, k, t) triple draws an independent choice.
     Walks at a sink node simply stop growing.
 
-    Scale: one left join (walk frontier against the edge table, keyed
-    on the current node) + one min_by groupBy per step — the BFS hop
-    budget with narrow rows; no per-node neighbor lists are ever
-    collected. Returns DataFrame[v, k, path] with path the
-    comma-joined node sequence.
+    Scale: the loop carries ONLY narrow ``(v, k, cur)`` longs — one
+    inner join (walk frontier against the edge table, keyed on the
+    current node) + one min_by groupBy per step, with the argmin key a
+    16-byte ``unhex(md5(...))`` binary (unsigned byte order == the hex
+    string order the oracle uses, so the cross-engine md5 contract is
+    untouched). Walks that reach a sink drop out of the frontier and
+    simply emit no further steps. The human-readable ``path`` string
+    is assembled ONCE at the end from the per-step rows
+    (``groupBy(v, k).agg(array_sort(collect_list(struct(t, node))))``)
+    instead of being concatenated — and shipped through the shuffle —
+    at every step; no per-node neighbor lists are ever collected.
+    Returns DataFrame[v, k, path] with path the comma-joined node
+    sequence.
     """
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
@@ -1810,41 +1828,44 @@ def random_walks(
         )
     else:
         nodes = nodes.select(F.col("node").cast("long").alias("node"))
-    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_partitions(e.sparkSession)
     es = e.repartition(n_parts, "src").persist()
     es.count()
     state = nodes.select(
         F.col("node").alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
-    ).select("v", "k", F.col("v").alias("cur"), F.col("v").cast("string").alias("path"))
+    ).select("v", "k", F.col("v").alias("cur"))
+    steps = [state.select("v", "k", F.lit(0).alias("t"), F.col("cur").alias("node"))]
     for t in range(1, length + 1):
-        h = F.md5(
-            F.concat_ws(
-                "-", F.lit(salt), F.col("v"), F.col("k"), F.lit(t), F.col("dst")
+        h = F.unhex(
+            F.md5(
+                F.concat_ws(
+                    "-", F.lit(salt), F.col("v"), F.col("k"), F.lit(t), F.col("dst")
+                )
             )
         )
         state = (
-            state.join(es, state.cur == es.src, "left")
-            .withColumn("h", h)
+            state.join(es, state.cur == es.src, "inner")
             .groupBy("v", "k")
-            .agg(
-                F.min_by("dst", "h").alias("nxt"),
-                # cur/path are constant within the (v, k) group
-                F.max("cur").alias("cur"),
-                F.max("path").alias("path"),
-            )
-            .select(
-                "v",
-                "k",
-                F.coalesce("nxt", "cur").alias("cur"),
-                F.when(F.col("nxt").isNull(), F.col("path"))
-                .otherwise(F.concat_ws(",", "path", F.col("nxt").cast("string")))
-                .alias("path"),
-            )
+            .agg(F.min_by("dst", h).alias("cur"))
             .localCheckpoint()
         )
+        steps.append(
+            state.select("v", "k", F.lit(t).alias("t"), F.col("cur").alias("node"))
+        )
     es.unpersist()
-    return state.select("v", "k", "path")
+    walked = steps[0]
+    for s in steps[1:]:
+        walked = walked.unionByName(s)
+    return walked.groupBy("v", "k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "node"))),
+                lambda s: s["node"].cast("string"),
+            ),
+            ",",
+        ).alias("path")
+    )
 
 
 def _walks_oracle_sql(twin: str, k: int, length: int, salt: str) -> str:
