@@ -241,6 +241,46 @@ _DRIVER_GREEN.update(
 )
 
 
+# Round 9 verified the 50-row window of the two round-9 registrations
+# (g34/g35), the 9 round-4 stragglers, and the 39 oldest round-5 names —
+# CORRECTNESS_r09.json: 49 hash-matched, q115 rows-only by design. Stamping
+# them 9 rotates the 10 remaining round-5 names plus the oldest round-6
+# names into round 10's window. g33_random_walks is deliberately RESET to 0
+# below: round 10 materially rewrites its argmin step (fixed-width BIGINT
+# key), so the prior round-8 stamp certifies a superseded implementation
+# and g33 must re-verify directly (VERDICT r9 advice).
+_DRIVER_GREEN.update(
+    {
+        name: 9
+        for name in (
+            "g16_bfs_distances g17_kcore g18_hits "
+            "g19_clustering_coefficient g20_degree_assortativity "
+            "g21_personalized_pagerank g22_link_prediction g23_reciprocity "
+            "g24_transpose_roundtrip g34_union_roundtrip g35_skipgram_pairs "
+            "q100_repetition_stats q101_mixture_sample "
+            "q102_stream_stream_join q103_correlated_agg_subquery "
+            "q104_exists_subquery q105_quality_filter q106_scd2_history "
+            "q107_stratified_fixed_n q108_gif_frame_sample q109_zorder_curve "
+            "q110_volume_shipping q111_latest_per_key q112_gap_fill_ffill "
+            "q113_corr_stats q114_ulaw_audio_decode q115_bpe_train "
+            "q116_funnel_analysis q117_retention_cohorts "
+            "q118_bloom_filter_join q120_table_profile q121_weighted_sample "
+            "q122_editdist_join q123_histogram q124_salted_count_distinct "
+            "q125_market_share q126_returned_item_reporting "
+            "q127_salted_hot_join q128_incremental_dedup "
+            "q27_rolling_time_window q47_unpivot q54_stream_dedup "
+            "q55_asof_join q75_embedding_quantize q86_hash_sample "
+            "q87_dataset_split q88_shuffle_order q89_sequence_packing "
+            "q95_image_resize q96_video_frame_sample"
+        ).split()
+    }
+)
+# g35's round-9 stamp stands: its oracle embeds the full unrolled-walk CTE,
+# so the round-10 driver re-verifies the new walk code through g33 directly
+# while g35 transitively covered the old one.
+_DRIVER_GREEN["g33_random_walks"] = 0
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     # Never-verified first (round 0), then oldest-verified, name as tiebreak.
