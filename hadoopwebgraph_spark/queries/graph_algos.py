@@ -1790,6 +1790,7 @@ def random_walks(
     walks_per_node: int = 2,
     length: int = 4,
     salt: str = "walk",
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Deterministic random-walk corpus generation — the DeepWalk /
     node2vec preprocessing job (Perozzi et al. 2014): ``walks_per_node``
@@ -1801,76 +1802,111 @@ def random_walks(
     whole corpus is a pure function of (salt, graph) — rerun,
     repartition and engine independent (hash-exact against a SQL
     oracle), and each (v, k, t) triple draws an independent choice.
-    Walks at a sink node simply stop growing.
+    Walks at a sink node simply stop growing (LEFT join + coalesce
+    keeps them, path unchanged — exactly the oracle's CASE).
 
-    Scale: the loop carries ONLY narrow ``(v, k, cur)`` longs — one
-    inner join (walk frontier against the edge table, keyed on the
-    current node) + one min_by groupBy per step, with the argmin key a
-    16-byte ``unhex(md5(...))`` binary (unsigned byte order == the hex
-    string order the oracle uses, so the cross-engine md5 contract is
-    untouched). Walks that reach a sink drop out of the frontier and
-    simply emit no further steps. The human-readable ``path`` string
-    is assembled ONCE at the end from the per-step rows
-    (``groupBy(v, k).agg(array_sort(collect_list(struct(t, node))))``)
-    instead of being concatenated — and shipped through the shuffle —
-    at every step; no per-node neighbor lists are ever collected.
-    Returns DataFrame[v, k, path] with path the comma-joined node
-    sequence.
+    Scale shape (measured, see NOTES r10): ONE lazy declarative plan —
+    per step, a shuffle-hash join of the narrow ``(v, k, cur, path)``
+    frontier against the edge table (pre-partitioned by ``src`` once,
+    persisted, reused all steps; only the frontier moves) followed by
+    a single min_by groupBy. Two prior shapes lost to this one at the
+    739k-arc bench fixture: per-step ``localCheckpoint`` + end
+    assembly (union of step tables + ``collect_list``) pays length+1
+    extra jobs, an extra 1M-row shuffle, and holds every state
+    materialized; an edge-broadcast variant re-collects the broadcast
+    per job AND lands its fan-out on AQE-coalesced (~2) partitions, so
+    the 1.5M md5s/step serialize. The argmin key is a FIXED-WIDTH
+    BIGINT — the first 15 hex chars of the md5 parsed as a 60-bit
+    integer (``conv(substr(md5(..),1,15),16,10)``) — so the per-step
+    aggregate plans as **HashAggregate** with map-side partial
+    collapse (a var-length string/binary AGG-BUFFER field forces
+    SortAggregate — a full sort of the frontier-join output every
+    step, the 100x-scale killer; the var-length ``path`` is safe as a
+    GROUP KEY, keys live in the hash map's UnsafeRow). Because every
+    candidate row of a walk shares one ``cur``, the join output is
+    co-located per walk and the partial aggregate collapses to one
+    row per walk before the (v, k) exchange. The oracle compares on
+    ``substr(md5(..),1,15)`` directly: fixed-length lowercase-hex
+    order == numeric order, so the cross-engine contract transfers;
+    60-bit ties among <= outdegree candidates are astronomically
+    unlikely (and a tie in 60 bits is a tie for both engines, not a
+    divergence in one). Memory is bounded by ONE frontier: a
+    ``localCheckpoint`` every ``checkpoint_interval`` steps truncates
+    lineage for long walks (none happen at length <= interval), and
+    the final state is checkpointed once so multi-action consumers
+    (count + collect, g35's fan-out) never re-run the walk and the
+    edge cache can be released before returning. Returns
+    DataFrame[v, k, path] with path the comma-joined node sequence.
     """
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
+    es = e.repartition(_shuffle_partitions(e.sparkSession), "src").persist()
+    es.count()
     if nodes is None:
         nodes = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
+            es.select(F.col("src").alias("node"))
+            .union(es.select(F.col("dst").alias("node")))
             .distinct()
         )
     else:
         nodes = nodes.select(F.col("node").cast("long").alias("node"))
-    n_parts = _shuffle_partitions(e.sparkSession)
-    es = e.repartition(n_parts, "src").persist()
-    es.count()
     state = nodes.select(
         F.col("node").alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
-    ).select("v", "k", F.col("v").alias("cur"))
-    steps = [state.select("v", "k", F.lit(0).alias("t"), F.col("cur").alias("node"))]
+    ).select(
+        "v", "k", F.col("v").alias("cur"), F.col("v").cast("string").alias("path")
+    )
     for t in range(1, length + 1):
-        h = F.unhex(
-            F.md5(
-                F.concat_ws(
-                    "-", F.lit(salt), F.col("v"), F.col("k"), F.lit(t), F.col("dst")
-                )
+        # 60-bit fixed-width argmin key: LongType keeps the agg buffer
+        # fixed-width -> HashAggregate (binary/string buffers degrade
+        # to SortAggregate). conv() returns a decimal string; the cast
+        # is exact for 15 hex digits (< 2^63).
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.lit(salt),
+                        F.col("v"),
+                        F.col("k"),
+                        F.lit(t),
+                        F.col("dst"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        state = (
+            state.join(es, state.cur == es.src, "left")
+            .groupBy("v", "k", "cur", "path")
+            .agg(F.min_by("dst", h).alias("nxt"))
+            .select(
+                "v",
+                "k",
+                F.coalesce("nxt", "cur").alias("cur"),
+                F.when(F.col("nxt").isNull(), F.col("path"))
+                .otherwise(F.concat_ws(",", "path", F.col("nxt").cast("string")))
+                .alias("path"),
             )
         )
-        state = (
-            state.join(es, state.cur == es.src, "inner")
-            .groupBy("v", "k")
-            .agg(F.min_by("dst", h).alias("cur"))
-            .localCheckpoint()
-        )
-        steps.append(
-            state.select("v", "k", F.lit(t).alias("t"), F.col("cur").alias("node"))
-        )
+        if t % checkpoint_interval == 0 and t < length:
+            state = state.localCheckpoint()
+    out = state.select("v", "k", "path").localCheckpoint()
     es.unpersist()
-    walked = steps[0]
-    for s in steps[1:]:
-        walked = walked.unionByName(s)
-    return walked.groupBy("v", "k").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "node"))),
-                lambda s: s["node"].cast("string"),
-            ),
-            ",",
-        ).alias("path")
-    )
+    return out
 
 
 def _walks_oracle_sql(twin: str, k: int, length: int, salt: str) -> str:
     """Unrolled per-step argmin blocks (AS MATERIALIZED per the DuckDB
-    multi-reference inlining gotcha)."""
+    multi-reference inlining gotcha). The argmin key is the FIRST 15
+    HEX CHARS of the md5 — order-identical to the 60-bit BIGINT the
+    Spark side aggregates on (fixed-length lowercase-hex order ==
+    numeric order); keep the two in lockstep, and note g35's skip-gram
+    oracle embeds this CTE so both move together."""
     blocks = [
         f"""
     e AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
@@ -1893,9 +1929,9 @@ def _walks_oracle_sql(twin: str, k: int, length: int, salt: str) -> str:
                     ELSE path || ',' || CAST(nxt AS VARCHAR) END AS path
         FROM (
             SELECT s.v, s.k, s.cur, s.path,
-                   arg_min(e.dst, md5('{salt}-' || CAST(s.v AS VARCHAR)
+                   arg_min(e.dst, substr(md5('{salt}-' || CAST(s.v AS VARCHAR)
                        || '-' || CAST(s.k AS VARCHAR) || '-{t}-'
-                       || CAST(e.dst AS VARCHAR))) AS nxt
+                       || CAST(e.dst AS VARCHAR)), 1, 15)) AS nxt
             FROM s{t - 1} s LEFT JOIN e ON e.src = s.cur
             GROUP BY s.v, s.k, s.cur, s.path
         )
@@ -1910,10 +1946,11 @@ def _walks_oracle_sql(twin: str, k: int, length: int, salt: str) -> str:
     oracle=_walks_oracle_sql(_T, 2, 4, "walk"),
     doc="Deterministic random-walk corpus generation (DeepWalk/node2vec "
     "preprocessing, Perozzi et al. 2014): 2 walks of up to 4 steps per "
-    "node, step choice = argmin md5(salt-v-k-t-dst) over out-neighbors "
-    "— rerun/repartition/engine independent, hash-exact vs the "
-    "unrolled argmin SQL oracle. One frontier join + min_by groupBy "
-    "per step (the BFS hop budget); sink nodes stop growing.",
+    "node, step choice = argmin of the 60-bit md5 prefix of "
+    "salt-v-k-t-dst over out-neighbors — rerun/repartition/engine "
+    "independent, hash-exact vs the unrolled argmin SQL oracle. One "
+    "frontier join + HashAggregate min_by groupBy per step (the BFS "
+    "hop budget); sink nodes stop growing.",
 )
 def g33_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges_df(spark), walks_per_node=2, length=4)
