@@ -207,7 +207,10 @@ def main() -> None:
             t0 = time.perf_counter()
             nf = neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
             dt = time.perf_counter() - t0
-            assert len(nf) == 4 and nf[-1] > nf[0]
+            # the r7 N(t) tail-trim can legitimately return fewer than
+            # max_hops+1 entries (growth saturates early) — a healthy
+            # run must not be recorded as an error
+            assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
             if run == 0:
                 cold["gB_hyperanf_3hop"] = round(dt, 3)
             timings["gB_hyperanf_3hop"] = round(
@@ -248,6 +251,7 @@ def main() -> None:
         loads["gXL_graph_scan"] = round(os.getloadavg()[0], 1)
         scan(32)  # worker-pool warm pass for this plan shape
         dt1, m1, w1 = scan(32)
+        cold["gXL_graph_scan"] = round(dt1, 3)
         dt1b, m1b, w1b = scan(32)  # best-of-2, same de-noising as above
         # a same-split-count checksum mismatch is a decode-nondeterminism
         # red flag — surface it in the JSON, never swallow it
@@ -258,6 +262,7 @@ def main() -> None:
         timings["gXL_graph_scan"] = round(dt1, 3)
         # decode + explode + two-level aggregate at the same scale (the
         # degree-distribution shape every graph workload starts with)
+        loads["gXL_degree_hist"] = round(os.getloadavg()[0], 1)
         t0 = time.perf_counter()
         hist_rows = (
             read_bvgraph(spark, xl, num_splits=32)
@@ -296,6 +301,7 @@ def main() -> None:
         # rule): a transient failure on the retry must not discard a
         # measurement we already have.
         dt_w = None
+        loads["gXL_sink_write"] = round(os.getloadavg()[0], 1)
         for _ in range(2):
             with tempfile.TemporaryDirectory() as td:
                 t0 = time.perf_counter()
@@ -305,6 +311,8 @@ def main() -> None:
                     n_nodes=xl_nodes,
                 )
                 dt = time.perf_counter() - t0
+            if dt_w is None:
+                cold["gXL_sink_write"] = round(dt, 3)
             dt_w = dt if dt_w is None else min(dt_w, dt)
             timings["gXL_sink_write"] = round(dt_w, 3)
         # graph->graph copy: source splits become sink segments (aligned
@@ -312,6 +320,7 @@ def main() -> None:
         from hadoopwebgraph_spark.bvgraph.sink import copy_bvgraph
 
         dt_c = None
+        loads["gXL_sink_copy"] = round(os.getloadavg()[0], 1)
         for _ in range(2):
             with tempfile.TemporaryDirectory() as td:
                 t0 = time.perf_counter()
@@ -320,6 +329,8 @@ def main() -> None:
                 )
                 dt = time.perf_counter() - t0
                 assert pc.arcs == pw.arcs
+            if dt_c is None:
+                cold["gXL_sink_copy"] = round(dt, 3)
             dt_c = dt if dt_c is None else min(dt_c, dt)
             timings["gXL_sink_copy"] = round(dt_c, 3)
         scan_stats["graph_sink_arcs_per_sec"] = round(pw.arcs / dt_w)

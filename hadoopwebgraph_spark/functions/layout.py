@@ -285,12 +285,14 @@ def partitioned_ingest_stream(
 
     ``schema``: declared schema for the incoming files. When omitted it
     is inferred from files already present; if the watch directory is
-    still empty at stream start (files arrive later — the normal
-    always-on deployment), a minimal orders-shaped fallback is used,
-    matching ``incremental_dedup_stream``'s guard. An absent watch
-    directory is created — Spark's file stream source refuses to start
-    on a missing path, and an ingest daemon racing its producer's first
-    mkdir must not crash-loop."""
+    still empty at stream start, the call RAISES — silently locking in
+    a guessed schema would make every later file with a different shape
+    a silent data-loss path (columns dropped or nulled by the file
+    source), so the always-on deployment (files arrive only later) must
+    declare its schema explicitly. An absent watch directory is
+    created — Spark's file stream source refuses to start on a missing
+    path, and an ingest daemon racing its producer's first mkdir must
+    not crash-loop."""
     import os as _os
 
     if "://" not in incoming_dir:
@@ -300,11 +302,14 @@ def partitioned_ingest_stream(
     else:
         try:
             file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception:  # empty watch dir at stream start
-            file_schema = (
-                "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-                "o_totalprice double, o_orderdate date, o_orderpriority string"
-            )
+        except Exception as exc:  # empty watch dir at stream start
+            raise ValueError(
+                "partitioned_ingest_stream: watch directory "
+                f"{incoming_dir!r} has no files to infer a schema from; "
+                "pass schema= explicitly for an always-on stream whose "
+                "producer has not written yet (a guessed schema would "
+                "silently drop mismatched columns later)"
+            ) from exc
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     return (
         stream.writeStream.foreachBatch(

@@ -52,6 +52,53 @@ def _dir_parquet_bytes(fs, base: str) -> tuple[int, int]:
     return total, n
 
 
+def _recover_compaction(fs, base: str) -> None:
+    """Make a crashed :func:`compact_files` run recoverable: called at
+    the start of every run (and usable standalone after a crash).
+
+    The install swap is move(base -> .old-token); move(.compact-token ->
+    base); delete(.old-token) — a crash can land in any gap. Recovery
+    rules, in order:
+
+    - base MISSING + exactly one ``.old-*``: the crash hit between the
+      two moves. Restore ``.old-*`` back to base (it is the
+      pre-compaction source of truth; the staging dir, though fully
+      written, is simply re-derived by the re-run).
+    - base EXISTS + any ``.old-*``: the crash hit after the install but
+      before the cleanup delete — the old copy is superseded; drop it.
+    - any ``.compact-*`` staging dirs: half-written or superseded
+      either way; drop them.
+
+    After this sweep a re-run of compact_files converges from every
+    crash point with the directory's data intact throughout (at worst
+    readers saw a missing-dir window on non-atomic stores — see the
+    module docstring's object-storage caveat).
+    """
+    from pyarrow import fs as pafs
+
+    parent = posixpath.dirname(base.rstrip("/")) or "."
+    stem = posixpath.basename(base.rstrip("/"))
+    olds, stagings = [], []
+    for info in fs.get_file_info(
+        pafs.FileSelector(parent, recursive=False, allow_not_found=True)
+    ):
+        if info.type != pafs.FileType.Directory:
+            continue
+        name = posixpath.basename(info.path)
+        if name.startswith(f"{stem}.old-"):
+            olds.append(info.path)
+        elif name.startswith(f"{stem}.compact-"):
+            stagings.append(info.path)
+    base_exists = (
+        fs.get_file_info(base).type == pafs.FileType.Directory
+    )
+    if not base_exists and len(olds) == 1:
+        move_dir(fs, olds[0], base)
+        olds = []
+    for d in olds + stagings:
+        fs.delete_dir(d)
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
@@ -64,8 +111,18 @@ def compact_files(
     Spark session must be able to read/write the same URI — true for
     file://, hdfs:// and the s3a:// connector). Returns
     {"files_before", "files_after", "bytes", "rows"}.
+
+    Crash safety: the install is the classic two-step swap (the target
+    IS the live directory, so the digest snapshot's unique-fresh-target
+    trick below does not apply); every run begins with
+    :func:`_recover_compaction`, so a crash in any gap of a previous
+    swap is healed — the stranded ``.old-<token>`` copy is restored (or
+    dropped when superseded) and staging leftovers are swept. Data is
+    never lost; the one residue of a mid-swap crash is a missing-dir
+    read window until the next run (or a standalone recovery call).
     """
     fs, base = fs_for_path(path)
+    _recover_compaction(fs, base)
     total, before = _dir_parquet_bytes(fs, base)
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)

@@ -661,6 +661,13 @@ def g34_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
+    # the returned DataFrame lazily reads union_dst, so the triple can't
+    # be deleted here — reap it at interpreter exit instead of leaking
+    # the last run's artifacts under long-lived pids (repeat
+    # registrations are harmless: rmtree ignores the missing dir)
+    import atexit
+
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     perm_dst = os.path.join(out_dir, "permuted")
     union_dst = os.path.join(out_dir, "union")
     permute_bvgraph(

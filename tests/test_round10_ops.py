@@ -1,0 +1,78 @@
+"""Round-10 additions: compact_files crash recovery, the
+partitioned-ingest explicit-schema guard, and q133 image pHash near-dup
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _make_small_files(spark, path: str, n_files: int = 6, rows: int = 120):
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(rows)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("grp"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+class TestCompactFilesCrashRecovery:
+    def test_crash_between_moves_recovers(self, spark, tmp_path, monkeypatch):
+        """Kill the swap after move(base -> .old-token): base is gone.
+        A re-run must restore every row and leave no residue dirs."""
+        from hadoopwebgraph_spark.functions import maintenance
+        from hadoopwebgraph_spark.bvgraph.storage import move_dir as real_move
+
+        path = str(tmp_path / "tbl")
+        _make_small_files(spark, path)
+        before = {r.payload for r in spark.read.parquet(path).collect()}
+
+        calls = {"n": 0}
+
+        def crashing_move(fs, src, dst):
+            calls["n"] += 1
+            real_move(fs, src, dst)
+            if calls["n"] == 1:  # crash right after base -> .old-token
+                raise RuntimeError("injected crash between moves")
+
+        monkeypatch.setattr(maintenance, "move_dir", crashing_move)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        # crashed state: live dir missing, data stranded in .old-<token>
+        assert not (tmp_path / "tbl").exists()
+        residue = sorted(p.name for p in tmp_path.iterdir())
+        assert any(".old-" in n for n in residue)
+
+        monkeypatch.setattr(maintenance, "move_dir", real_move)
+        stats = maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        after = {r.payload for r in spark.read.parquet(path).collect()}
+        assert after == before
+        assert stats["files_after"] == 1
+        assert sorted(p.name for p in tmp_path.iterdir()) == ["tbl"]
+
+    def test_crash_before_old_cleanup_sweeps(self, spark, tmp_path):
+        """Crash after the install but before delete(.old-token): the
+        superseded old copy must be swept on the next run, not restored
+        over the newer data."""
+        from hadoopwebgraph_spark.functions import maintenance
+
+        path = str(tmp_path / "tbl")
+        _make_small_files(spark, path)
+        before = {r.payload for r in spark.read.parquet(path).collect()}
+        # fabricate the post-install crash state: a stale .old copy and
+        # an orphaned staging dir alongside the live directory
+        _make_small_files(spark, str(tmp_path / "tbl.old-deadbeef"), rows=10)
+        _make_small_files(spark, str(tmp_path / "tbl.compact-cafe01"), rows=10)
+
+        stats = maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        after = {r.payload for r in spark.read.parquet(path).collect()}
+        assert after == before
+        assert stats["rows"] == 120
+        assert sorted(p.name for p in tmp_path.iterdir()) == ["tbl"]

@@ -152,9 +152,8 @@ def test_move_dir_fallback_matches_rename(tmp_path):
 
 def test_partitioned_ingest_stream_empty_watch_dir(spark, tmp_path):
     """A stream started BEFORE the first files arrive must not crash on
-    schema inference (the incremental_dedup_stream guard, applied here):
-    it starts with the fallback/declared schema and picks up files that
-    land later."""
+    schema inference when a schema is declared — and must REFUSE to
+    start (rather than lock in a guessed schema) when none is."""
     import os
 
     from pyspark.sql import functions as F
@@ -192,15 +191,18 @@ def test_partitioned_ingest_stream_empty_watch_dir(spark, tmp_path):
     assert got.count() == 1
     assert got.collect()[0]["p_month"] == "1995-03"
 
-    # no declared schema + missing dir: the fallback schema kicks in
-    # instead of raising at stream construction
-    q3 = partitioned_ingest_stream(
-        spark,
-        str(tmp_path / "never_created"),
-        str(tmp_path / "fact2"),
-        str(tmp_path / "ck2"),
-    )
-    q3.awaitTermination()
+    # no declared schema + empty dir: MUST raise, not lock in a guess
+    # (round-10 hardening: a guessed schema silently drops mismatched
+    # columns on every later file)
+    import pytest
+
+    with pytest.raises(ValueError, match="pass schema= explicitly"):
+        partitioned_ingest_stream(
+            spark,
+            str(tmp_path / "never_created"),
+            str(tmp_path / "fact2"),
+            str(tmp_path / "ck2"),
+        )
 
 
 def test_q129_layout_memoized_per_process(spark, sf_small):
