@@ -744,3 +744,202 @@ _ULAW_SQL = """
 def q114_ulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ulaw_media_table(load(spark, sf_dir, "documents"))
     return ulaw_features(media)
+
+
+# ---------------------------------------------------------------------------
+# q133: image perceptual-hash near-dup (multimodal x dedup)
+# ---------------------------------------------------------------------------
+
+# Quantized 8-point DCT-II basis, round(1000 * cos((2y+1) u pi / 16)).
+# Computed ONCE here in Python and embedded as integer literals in the
+# DuckDB oracle, so the whole pHash is exact int64 arithmetic in BOTH
+# engines — no cross-engine libm/float-tie risk anywhere (the repo's
+# integer-exact oracle discipline; real pHash implementations quantize
+# their basis the same way).
+import math as _math
+
+PHASH_DCT_Q = [
+    [round(1000 * _math.cos((2 * y + 1) * u * _math.pi / 16)) for y in range(8)]
+    for u in range(8)
+]
+PHASH_DELTA = 24  # per-member perturbation added to m grid cells
+PHASH_HAMMING_MAX = 6  # <= 6 differing bits => near-duplicate
+PHASH_BANDS = 7  # 7 bands x 9 bits; pigeonhole catches every ham<=6 pair
+
+
+def _phash_grid(doc_id: int):
+    """Deterministic 8x8 grey grid for a doc: cluster base pattern
+    (c = doc_id//4, nonlinear in c*i so distinct clusters don't share
+    AC sign structure) plus a small perturbation on m = doc_id%4 cells
+    — members of a cluster are near-duplicates by construction."""
+    import numpy as np
+
+    c, m = doc_id // 4, doc_id % 4
+    i = np.arange(64, dtype=np.int64)
+    g = (c * 37 + i * 53 + c * i * 11) % 256
+    for j in range(m):
+        g[(c + j * 7) % 64] = (g[(c + j * 7) % 64] + PHASH_DELTA) % 256
+    return g
+
+
+def phash_media_table(docs: DataFrame) -> DataFrame:
+    """Per-doc deterministic 16x16 grey PNG whose 2x2 pixel blocks hold
+    the 8x8 pHash grid (so the block-mean downscale in
+    :func:`phash_signatures` is integer-exact)."""
+    import numpy as np
+
+    from .codecs import png_encode
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = _phash_grid(int(did)).reshape(8, 8).astype(np.uint8)
+                img = np.kron(g, np.ones((2, 2), dtype=np.uint8))
+                payloads.append(png_encode(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.filter(F.col("doc_id") < N_MEDIA_DOCS).select("doc_id").mapInPandas(
+        encode_batch, "media_id long, payload binary"
+    )
+
+
+def phash_signatures(media: DataFrame) -> DataFrame:
+    """REAL pHash pipeline over encoded images: PNG-decode, block-mean
+    downscale to 8x8, quantized 2D DCT (int64 matmul with PHASH_DCT_Q),
+    then 63 sign bits (DC dropped — it only encodes brightness) packed
+    into one BIGINT. Arrow-batched; payloads never leave the stage."""
+    import numpy as np
+
+    from .codecs import png_decode
+
+    cq = None
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal cq
+        if cq is None:
+            cq = np.array(PHASH_DCT_Q, dtype=np.int64)
+        weights = (np.int64(1) << np.arange(63, dtype=np.int64))
+        for pdf in batches:
+            hashes = []
+            for b in pdf["payload"]:
+                img = png_decode(bytes(b)).astype(np.int64)
+                side = img.shape[0] // 8
+                g = img.reshape(8, side, 8, side).mean(axis=(1, 3)).astype(np.int64)
+                t = cq @ g @ cq.T
+                bits = (t > 0).reshape(-1)[1:].astype(np.int64)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(decode_batch, "media_id long, phash long")
+
+
+def phash_neardup_pairs(
+    sig: DataFrame,
+    hamming_max: int = PHASH_HAMMING_MAX,
+    bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs with pHash Hamming distance <= hamming_max, found
+    by pigeonhole banding (``bands`` equi-joins on 9-bit slices of the
+    63-bit hash) — never an all-pairs cross join. With bands >
+    hamming_max every qualifying pair shares at least one untouched
+    band, so recall is exact; the q65 SimHash machinery at image scale."""
+    banded = sig.select(
+        "media_id",
+        "phash",
+        *[
+            F.shiftrightunsigned(F.col("phash"), 9 * j)
+            .bitwiseAND(F.lit(511))
+            .alias(f"b{j}")
+            for j in range(bands)
+        ],
+    )
+    pairs = None
+    for j in range(bands):
+        a = banded.alias("a")
+        c = banded.alias("c")
+        p = a.join(
+            c,
+            (F.col(f"a.b{j}") == F.col(f"c.b{j}"))
+            & (F.col("a.media_id") < F.col("c.media_id")),
+        ).select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("c.media_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("c.phash").alias("hb"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.distinct()
+        .filter(ham <= hamming_max)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
+
+
+def _phash_oracle_sql() -> str:
+    """Closed-form pixel oracle: rebuild the 8x8 grid, the quantized
+    DCT (the PHASH_DCT_Q literals), the 63-bit sign hash and the
+    <=hamming_max pairs entirely in SQL. The oracle may go all-pairs
+    (it is a 200-doc gate, not the scale path)."""
+    ct = ",".join(
+        f"({u},{y},{PHASH_DCT_Q[u][y]})" for u in range(8) for y in range(8)
+    )
+    return f"""
+    WITH ct(u, y, c) AS (VALUES {ct}),
+    docs AS (SELECT doc_id, doc_id // 4 AS cl, doc_id % 4 AS m
+             FROM documents WHERE doc_id < {N_MEDIA_DOCS}),
+    cells AS (SELECT unnest(range(64)) AS i),
+    grid AS (
+        SELECT d.doc_id,
+               cells.i,
+               ((d.cl * 37 + cells.i * 53 + d.cl * cells.i * 11) % 256
+                + CASE WHEN EXISTS (
+                      SELECT 1 FROM range(3) j(j)
+                      WHERE j.j < d.m AND (d.cl + j.j * 7) % 64 = cells.i
+                  ) THEN {PHASH_DELTA} ELSE 0 END) % 256 AS g
+        FROM docs d CROSS JOIN cells
+    ),
+    dct AS (
+        SELECT grid.doc_id, a.u AS u, b.u AS v,
+               CAST(sum(grid.g * a.c * b.c) AS BIGINT) AS t
+        FROM grid
+        JOIN ct a ON a.y = grid.i // 8
+        JOIN ct b ON b.y = grid.i % 8
+        GROUP BY grid.doc_id, a.u, b.u
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN t > 0
+                             THEN 1::BIGINT << (8 * u + v - 1)
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM dct WHERE NOT (u = 0 AND v = 0)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    """
+
+
+@register(
+    "q133_phash_neardup",
+    oracle=_phash_oracle_sql(),
+    doc="Image perceptual-hash near-duplicate pairs (multimodal x dedup, "
+    "the last uncovered LLM-pipeline modality): deterministic 16x16 grey "
+    "PNGs are encoded and REALLY decoded (functions/codecs.py), "
+    "block-mean downscaled to 8x8, quantized-DCT sign-hashed to 63 bits "
+    "(PHASH_DCT_Q int literals shared with the oracle — exact int64 "
+    "arithmetic in both engines, zero float-tie risk), then paired by "
+    "7x9-bit pigeonhole banding with Hamming <= 6 (exact recall, never "
+    "all-pairs). Hash-exact vs the closed-form pixel oracle.",
+)
+def q133_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = phash_media_table(load(spark, sf_dir, "documents"))
+    return phash_neardup_pairs(phash_signatures(media))

@@ -76,3 +76,63 @@ class TestCompactFilesCrashRecovery:
         assert after == before
         assert stats["rows"] == 120
         assert sorted(p.name for p in tmp_path.iterdir()) == ["tbl"]
+
+
+class TestPhashNearDup:
+    def test_banded_matches_allpairs(self, spark, sf_small):
+        """Pigeonhole banding (7x9-bit) must find EXACTLY the all-pairs
+        Hamming<=6 set — recall is guaranteed, not approximate."""
+        from pyspark.sql import functions as F
+
+        from hadoopwebgraph_spark.catalog import load
+        from hadoopwebgraph_spark.functions.multimodal import (
+            phash_media_table,
+            phash_neardup_pairs,
+            phash_signatures,
+        )
+
+        sig = phash_signatures(
+            phash_media_table(load(spark, sf_small, "documents"))
+        ).cache()
+        banded = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in phash_neardup_pairs(sig).collect()
+        }
+        a, b = sig.alias("a"), sig.alias("b")
+        ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+        brute = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+            .select(
+                F.col("a.media_id").alias("doc_a"),
+                F.col("b.media_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 6)
+            .collect()
+        }
+        sig.unpersist()
+        assert banded == brute
+        assert len(banded) > 0  # the fixture genuinely contains near-dups
+
+    def test_phash_pure_function_of_pixels(self, spark, sf_small):
+        """Same doc -> same hash across runs (pHash is a pure function of
+        the decoded pixels; no partitioning or batching dependence)."""
+        from hadoopwebgraph_spark.catalog import load
+        from hadoopwebgraph_spark.functions.multimodal import (
+            phash_media_table,
+            phash_signatures,
+        )
+
+        docs = load(spark, sf_small, "documents")
+        h1 = {
+            r.media_id: r.phash
+            for r in phash_signatures(phash_media_table(docs)).collect()
+        }
+        h2 = {
+            r.media_id: r.phash
+            for r in phash_signatures(
+                phash_media_table(docs).repartition(13)
+            ).collect()
+        }
+        assert h1 == h2
