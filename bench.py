@@ -80,6 +80,9 @@ HEADLINE = [
     "q132_chunk_documents",
     "g32_neighbor_sample",
     "g33_random_walks",
+    # round 10 addition: image pHash near-dup (PNG encode/decode +
+    # quantized-DCT hash + 7-band pigeonhole join)
+    "q133_phash_neardup",
 ]
 
 

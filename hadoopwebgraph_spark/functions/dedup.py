@@ -710,6 +710,7 @@ def incremental_dedup_stream(
     snapshot_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    schema=None,
 ):
     """Streaming corpus-refresh dedup (the q128 shape as an always-on
     ingestion job): watch ``incoming_dir`` for new document files; each
@@ -724,15 +725,28 @@ def incremental_dedup_stream(
     Scale design: the snapshot holds only 32-byte digests (~0.03% of a
     text corpus), the per-batch anti-join shuffles digests, never text;
     at 100 TB the snapshot is a bucketed table so the join co-locates.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery.
+
+    ``schema``: declared schema for the incoming files; inferred from
+    files already present when omitted. An empty watch dir with no
+    declared schema RAISES (same round-10 hardening as
+    ``layout.partitioned_ingest_stream`` — a guessed documents shape
+    would silently null/drop mismatched columns on every later file)."""
     import os as _os
 
-    try:
-        file_schema = spark.read.parquet(incoming_dir).schema
-    except Exception:  # empty watch dir at stream start — files arrive later
-        file_schema = (
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
+    if schema is not None:
+        file_schema = schema
+    else:
+        try:
+            file_schema = spark.read.parquet(incoming_dir).schema
+        except Exception as exc:  # empty watch dir at stream start
+            raise ValueError(
+                "incremental_dedup_stream: watch directory "
+                f"{incoming_dir!r} has no files to infer a schema from; "
+                "pass schema= explicitly for an always-on stream whose "
+                "producer has not written yet (a guessed schema would "
+                "silently drop mismatched columns later)"
+            ) from exc
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     digests = _os.path.join(snapshot_dir, "digests")
 

@@ -56,46 +56,88 @@ def _recover_compaction(fs, base: str) -> None:
     """Make a crashed :func:`compact_files` run recoverable: called at
     the start of every run (and usable standalone after a crash).
 
-    The install swap is move(base -> .old-token); move(.compact-token ->
-    base); delete(.old-token) — a crash can land in any gap. Recovery
-    rules, in order:
+    The swap protocol (see compact_files) brackets its moves with two
+    marker FILES so every crash window is distinguishable even where
+    ``move_dir`` degrades to per-object moves (object storage, where a
+    mid-move crash leaves files split across base and ``.old-token``):
 
-    - base MISSING + exactly one ``.old-*``: the crash hit between the
-      two moves. Restore ``.old-*`` back to base (it is the
-      pre-compaction source of truth; the staging dir, though fully
-      written, is simply re-derived by the re-run).
-    - base EXISTS + any ``.old-*``: the crash hit after the install but
-      before the cleanup delete — the old copy is superseded; drop it.
-    - any ``.compact-*`` staging dirs: half-written or superseded
-      either way; drop them.
+    - ``.swap-begin-token`` written before move(base -> .old-token)
+    - ``.swap-cleared-token`` written after that move fully completes
+      (so the originals are ENTIRELY in ``.old-token`` and anything in
+      base afterwards is staging-derived)
+
+    Recovery per token, in order:
+
+    - ``cleared`` marker present + ``.old-token`` exists: base (if any)
+      holds a partial — or even complete — staging install; drop it and
+      move ``.old-token`` back. At worst the compaction WORK is lost,
+      never data (re-running redoes it). Restoring into a
+      partial-install base without this marker knowledge would merge
+      old and new files and double rows.
+    - only ``begin`` marker + ``.old-token`` exists: the base->old move
+      itself crashed midway; no staging file has touched base, so merge
+      ``.old-token`` back into base (``move_dir`` merges per-object
+      when the target exists; files live in exactly one of the two).
+    - markers with no ``.old-token``: nothing was lost; drop markers.
+    - ``.old-token`` with NO marker: the install completed and markers
+      were cleaned, only the old-copy delete was missed — superseded;
+      drop it. (A pre-marker-protocol crash could also land here with
+      base missing: restore when unambiguous, raise when several
+      ``.old-*`` candidates exist rather than guess.)
+    - ``.compact-*`` staging dirs: half-written or superseded either
+      way; drop them.
 
     After this sweep a re-run of compact_files converges from every
-    crash point with the directory's data intact throughout (at worst
-    readers saw a missing-dir window on non-atomic stores — see the
-    module docstring's object-storage caveat).
+    crash point with the directory's rows intact throughout.
     """
     from pyarrow import fs as pafs
 
     parent = posixpath.dirname(base.rstrip("/")) or "."
     stem = posixpath.basename(base.rstrip("/"))
-    olds, stagings = [], []
+    olds, stagings, begins, cleareds = {}, [], set(), set()
     for info in fs.get_file_info(
         pafs.FileSelector(parent, recursive=False, allow_not_found=True)
     ):
-        if info.type != pafs.FileType.Directory:
-            continue
         name = posixpath.basename(info.path)
-        if name.startswith(f"{stem}.old-"):
-            olds.append(info.path)
-        elif name.startswith(f"{stem}.compact-"):
-            stagings.append(info.path)
-    base_exists = (
-        fs.get_file_info(base).type == pafs.FileType.Directory
-    )
-    if not base_exists and len(olds) == 1:
-        move_dir(fs, olds[0], base)
-        olds = []
-    for d in olds + stagings:
+        if info.type == pafs.FileType.Directory:
+            if name.startswith(f"{stem}.old-"):
+                olds[name.split(".old-", 1)[1]] = info.path
+            elif name.startswith(f"{stem}.compact-"):
+                stagings.append(info.path)
+        elif info.type == pafs.FileType.File:
+            if name.startswith(f"{stem}.swap-begin-"):
+                begins.add(name.split(".swap-begin-", 1)[1])
+            elif name.startswith(f"{stem}.swap-cleared-"):
+                cleareds.add(name.split(".swap-cleared-", 1)[1])
+
+    def base_exists() -> bool:
+        return fs.get_file_info(base).type == pafs.FileType.Directory
+
+    for token in sorted(begins | cleareds):
+        old = olds.pop(token, None)
+        if old is not None:
+            if token in cleareds:
+                # originals fully in old; base holds staging leftovers
+                if base_exists():
+                    fs.delete_dir(base)
+                move_dir(fs, old, base)
+            else:
+                # base->old crashed midway: merge the moved-out part back
+                move_dir(fs, old, base)
+        if token in cleareds:
+            fs.delete_file(f"{base}.swap-cleared-{token}")
+        if token in begins:
+            fs.delete_file(f"{base}.swap-begin-{token}")
+    if olds and not base_exists():
+        # pre-protocol crash residue: restore only when unambiguous
+        if len(olds) > 1:
+            raise RuntimeError(
+                f"compact recovery: {base} is missing and multiple backup "
+                f"dirs exist ({sorted(olds.values())}); resolve manually"
+            )
+        move_dir(fs, next(iter(olds.values())), base)
+        olds = {}
+    for d in list(olds.values()) + stagings:
         fs.delete_dir(d)
 
 
@@ -135,9 +177,15 @@ def compact_files(
     out.write.mode("overwrite").parquet(staging)
     rows = spark.read.parquet(staging).count()
     old = f"{base}.old-{token}"
+    # marker-bracketed swap: _recover_compaction can classify any crash
+    # window (incl. per-object move_dir fallbacks) without guessing
+    fs.open_output_stream(f"{base}.swap-begin-{token}").close()
     move_dir(fs, base, old)
+    fs.open_output_stream(f"{base}.swap-cleared-{token}").close()
     move_dir(fs, f"{base}.compact-{token}", base)
     fs.delete_dir(old)
+    fs.delete_file(f"{base}.swap-cleared-{token}")
+    fs.delete_file(f"{base}.swap-begin-{token}")
     _total2, after = _dir_parquet_bytes(fs, base)
     return {
         "files_before": before,

@@ -848,7 +848,21 @@ def phash_neardup_pairs(
     by pigeonhole banding (``bands`` equi-joins on 9-bit slices of the
     63-bit hash) — never an all-pairs cross join. With bands >
     hamming_max every qualifying pair shares at least one untouched
-    band, so recall is exact; the q65 SimHash machinery at image scale."""
+    band, so recall is exact; the q65 SimHash machinery at image scale.
+
+    The signature stage is localCheckpoint'ed first: the band joins
+    reference ``sig`` 2*bands times and Python mapInPandas stages do NOT
+    dedupe across join sites (the g33 ReusedExchange lesson, NOTES r10)
+    — without it the PNG-decode+DCT stage re-executes per branch. The
+    checkpoint holds one (media_id, phash) row per image — two longs —
+    so it stays tiny at any corpus size."""
+    if bands <= hamming_max:
+        raise ValueError(
+            f"bands={bands} must exceed hamming_max={hamming_max}: the "
+            "pigeonhole recall guarantee needs at least one band no "
+            "qualifying pair can disturb"
+        )
+    sig = sig.localCheckpoint()
     banded = sig.select(
         "media_id",
         "phash",

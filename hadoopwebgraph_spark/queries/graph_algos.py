@@ -1838,6 +1838,11 @@ def random_walks(
     edge cache can be released before returning. Returns
     DataFrame[v, k, path] with path the comma-joined node sequence.
     """
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval={checkpoint_interval} must be >= 1 "
+            "(it bounds lineage depth for long walks)"
+        )
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )

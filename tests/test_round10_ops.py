@@ -136,3 +136,114 @@ class TestPhashNearDup:
             ).collect()
         }
         assert h1 == h2
+
+
+class TestCompactMarkerProtocol:
+    def test_cleared_marker_discards_partial_install(self, spark, tmp_path):
+        """Crash mid-install (originals fully moved out, staging half
+        copied into base): the cleared marker tells recovery to DROP the
+        partial install and restore the originals — merging would
+        double rows."""
+        import shutil
+
+        from hadoopwebgraph_spark.functions import maintenance
+
+        path = str(tmp_path / "tbl")
+        _make_small_files(spark, path)
+        before = {r.payload for r in spark.read.parquet(path).collect()}
+        # fabricate: originals in .old-tok, base holds a partial install
+        shutil.move(path, str(tmp_path / "tbl.old-tok"))
+        _make_small_files(spark, path, n_files=1, rows=40)  # partial staging
+        (tmp_path / "tbl.swap-begin-tok").touch()
+        (tmp_path / "tbl.swap-cleared-tok").touch()
+
+        maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        after = {r.payload for r in spark.read.parquet(path).collect()}
+        assert after == before
+        assert sorted(p.name for p in tmp_path.iterdir()) == ["tbl"]
+
+    def test_begin_marker_merges_split_move(self, spark, tmp_path):
+        """Crash midway through the per-object base->old move (files
+        split across both dirs): the begin-only marker tells recovery to
+        merge them back — every row lives in exactly one of the two."""
+        import shutil
+
+        from hadoopwebgraph_spark.functions import maintenance
+
+        path = str(tmp_path / "tbl")
+        _make_small_files(spark, path)
+        before = {r.payload for r in spark.read.parquet(path).collect()}
+        # move half the files out, as a crashed per-object move would
+        old = tmp_path / "tbl.old-tok"
+        old.mkdir()
+        files = sorted((tmp_path / "tbl").glob("*.parquet"))
+        assert len(files) >= 2
+        for f in files[: len(files) // 2]:
+            shutil.move(str(f), str(old / f.name))
+        (tmp_path / "tbl.swap-begin-tok").touch()
+
+        maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        after = {r.payload for r in spark.read.parquet(path).collect()}
+        assert after == before
+        assert sorted(p.name for p in tmp_path.iterdir()) == ["tbl"]
+
+    def test_ambiguous_preprotocol_state_raises(self, spark, tmp_path):
+        """Missing base + several unmarked .old-* backups: refuse and
+        raise instead of guessing which one to restore (deleting any of
+        them could be total data loss)."""
+        import pytest
+
+        from hadoopwebgraph_spark.functions import maintenance
+
+        path = str(tmp_path / "tbl")
+        _make_small_files(spark, str(tmp_path / "tbl.old-a"), rows=10)
+        _make_small_files(spark, str(tmp_path / "tbl.old-b"), rows=10)
+        with pytest.raises(RuntimeError, match="multiple backup"):
+            maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        # both backups untouched
+        assert (tmp_path / "tbl.old-a").exists()
+        assert (tmp_path / "tbl.old-b").exists()
+
+
+def test_incremental_dedup_stream_empty_dir_raises(spark, tmp_path):
+    """Round-10 hardening applied to BOTH file streams: an empty watch
+    dir with no declared schema must refuse to start."""
+    import os
+
+    import pytest
+
+    from hadoopwebgraph_spark.functions.dedup import incremental_dedup_stream
+
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    with pytest.raises(ValueError, match="pass schema= explicitly"):
+        incremental_dedup_stream(
+            spark,
+            incoming,
+            str(tmp_path / "snap"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+
+
+def test_phash_bands_guard():
+    """bands <= hamming_max voids the pigeonhole recall guarantee and
+    must raise, not silently return incomplete pairs."""
+    import pytest
+
+    from hadoopwebgraph_spark.functions.multimodal import phash_neardup_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_neardup_pairs(None, hamming_max=7, bands=7)
+
+
+def test_random_walks_checkpoint_interval_guard(spark):
+    import pytest
+
+    from hadoopwebgraph_spark.queries.graph_algos import random_walks
+
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        random_walks(
+            spark.createDataFrame([(0, 1)], "src long, dst long"),
+            checkpoint_interval=0,
+        )
