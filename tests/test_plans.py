@@ -421,3 +421,41 @@ def test_g25_host_graph_single_shuffle(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 1, plan
     assert "partial_count" in plan, plan  # map-side combine before it
+
+
+def test_random_walk_step_plans_hash_aggregate(spark):
+    """The walk's per-step min_by must plan HashAggregate (fixed-width
+    BIGINT argmin key) with a map-side partial — a var-length key in the
+    AGG BUFFER regresses to SortAggregate, a full sort of the
+    frontier-join output every step (the g33 r8/r9 scale-killer; see
+    NOTES r10). Pin the lazy plan BEFORE the final localCheckpoint
+    (which erases the step operators), by rebuilding one step inline."""
+    from pyspark.sql import functions as F
+
+    es = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    ).repartition(4, "src")
+    state = spark.createDataFrame(
+        [(0, 0, 0, "0")], "v long, k int, cur long, path string"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-", F.lit("walk"), F.col("v"), F.col("k"), F.lit(1), F.col("dst")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    step = (
+        state.join(es, state.cur == es.src, "left")
+        .groupBy("v", "k", "cur", "path")
+        .agg(F.min_by("dst", h).alias("nxt"))
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+    assert "partial_min_by" in plan, plan  # map-side partial collapse
