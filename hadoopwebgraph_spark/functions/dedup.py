@@ -452,6 +452,78 @@ def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEP_BEST_ORACLE = "WITH RECURSIVE " + _MINHASH_CTE.lstrip().removeprefix("WITH") + """
+    , sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    members AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+               length(d.text) AS n_chars
+        FROM documents d LEFT JOIN members m ON m.node = d.doc_id
+    )
+    SELECT arg_max(doc_id, (CAST(n_chars AS BIGINT) << 33) - doc_id)
+               AS keep_doc_id,
+           CAST(count(*) AS BIGINT)  AS n_members,
+           CAST(max(n_chars) AS INTEGER) AS kept_chars
+    FROM labeled GROUP BY cluster_id
+"""
+
+
+@register(
+    "q134_dedup_keep_best",
+    oracle=_KEEP_BEST_ORACLE,
+    doc="Quality-aware near-dup resolution (the production corpus-dedup "
+    "policy): MinHash candidate pairs -> connected components -> keep "
+    "the LONGEST member of each cluster (common heuristic: the longest "
+    "near-duplicate usually subsumes the others), min doc_id on ties; "
+    "docs outside every cluster keep themselves. The argmax key is one "
+    "BIGINT ((n_chars<<33) - doc_id, exact for n_chars < 2^30 and "
+    "doc_id < 2^33) so the per-cluster pick is HashAggregate max_by in "
+    "Spark and the identical integer arg_max in DuckDB — no tuple "
+    "comparators, no float ties. Scale: candidates are band-bucket "
+    "equi-joins (q62), components shuffle (long,long) labels (g12), "
+    "the final pick is one partial-agg'd groupBy over narrow rows.",
+)
+def q134_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph_algos import connected_components
+
+    cand = q62_dedup_minhash(spark, sf_dir)
+    cc = connected_components(
+        cand.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    labeled = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    key = (F.col("n_chars").cast("long") * F.lit(1 << 33).cast("long")) - F.col(
+        "doc_id"
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.max_by("doc_id", key).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("kept_chars"),
+    ).select("keep_doc_id", "n_members", "kept_chars")
+
+
 # ---------------------------------------------------------------------------
 # exact substring (duplicated n-gram span) detection
 # ---------------------------------------------------------------------------
