@@ -80,9 +80,13 @@ HEADLINE = [
     "q132_chunk_documents",
     "g32_neighbor_sample",
     "g33_random_walks",
-    # round 10 addition: image pHash near-dup (PNG encode/decode +
-    # quantized-DCT hash + 7-band pigeonhole join)
-    "q133_phash_neardup",
+    # (q133 pHash near-dup and q134 keep-best dedup are NOT headliners:
+    # q133's work is fixed at N_MEDIA_DOCS=200 regardless of SF — the
+    # multimodal decode class is already represented by q93/q97/q108 —
+    # and q134's connected components is the iterative class g13
+    # represents; both stay certified by the oracle gate. The stdout
+    # line is also at its driver-capture budget: see
+    # tests/test_bench_contract.py before adding entries.)
 ]
 
 
