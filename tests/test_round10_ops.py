@@ -247,3 +247,83 @@ def test_random_walks_checkpoint_interval_guard(spark):
             spark.createDataFrame([(0, 1)], "src long, dst long"),
             checkpoint_interval=0,
         )
+
+
+def test_compact_files_crash_sweep_every_mutation(spark, tmp_path, monkeypatch):
+    """Exhaustive crash injection: kill compact_files at the 1st, 2nd,
+    ... k-th filesystem mutation (marker writes, moves, deletes) and
+    assert a plain re-run always converges with every row intact and no
+    residue. This certifies the whole marker protocol, not just the
+    hand-picked windows above."""
+    from hadoopwebgraph_spark.functions import maintenance
+    from hadoopwebgraph_spark.bvgraph.storage import move_dir as real_move
+
+    path = str(tmp_path / "tbl")
+    _make_small_files(spark, path)
+    before = {r.payload for r in spark.read.parquet(path).collect()}
+
+    class _Crash(RuntimeError):
+        pass
+
+    crash_at = 0
+    calls = {"n": 0}
+
+    def tick():
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise _Crash(f"injected at mutation {crash_at}")
+
+    def counting_move(fs, src, dst):
+        tick()
+        real_move(fs, src, dst)
+
+    # pyarrow filesystem objects are C extensions (attrs read-only), so
+    # inject the counter through a proxy returned by fs_for_path instead
+    from hadoopwebgraph_spark.bvgraph.storage import fs_for_path as real_ffp
+
+    class _CountingFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def open_output_stream(self, p, *a, **k):
+            if ".swap-" in p:
+                tick()
+            return self._fs.open_output_stream(p, *a, **k)
+
+        def delete_file(self, p, *a, **k):
+            tick()
+            return self._fs.delete_file(p, *a, **k)
+
+        def delete_dir(self, p, *a, **k):
+            tick()
+            return self._fs.delete_dir(p, *a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def counting_ffp(path_):
+        fs, base = real_ffp(path_)
+        return _CountingFS(fs), base
+
+    monkeypatch.setattr(maintenance, "fs_for_path", counting_ffp)
+    monkeypatch.setattr(maintenance, "move_dir", counting_move)
+
+    maintenance.compact_files(spark, path, target_bytes=1 << 30)
+    total_mutations = calls["n"]
+    assert total_mutations >= 6  # 2 markers + 2 moves + old dir + 2 marker dels
+
+    for k in range(1, total_mutations + 1):
+        crash_at, calls["n"] = k, 0
+        try:
+            maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        except _Crash:
+            pass
+        # recovery re-run (no injection)
+        crash_at = 0
+        maintenance.compact_files(spark, path, target_bytes=1 << 30)
+        after = {r.payload for r in spark.read.parquet(path).collect()}
+        assert after == before, f"rows lost after crash at mutation {k}"
+        assert sorted(p.name for p in tmp_path.iterdir()) == ["tbl"], (
+            f"residue after crash at mutation {k}: "
+            f"{sorted(p.name for p in tmp_path.iterdir())}"
+        )
