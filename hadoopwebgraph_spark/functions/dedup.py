@@ -509,7 +509,9 @@ def q134_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars")
     )
-    labeled = docs.join(cc, docs.doc_id == cc.node, "left").select(
+    # shuffle-hash: both sides are one narrow row per doc — a sort-merge
+    # join would sort the full corpus projection for nothing
+    labeled = docs.join(cc.hint("shuffle_hash"), docs.doc_id == cc.node, "left").select(
         "doc_id",
         F.coalesce("component", "doc_id").alias("cluster_id"),
         "n_chars",
