@@ -327,3 +327,101 @@ def test_compact_files_crash_sweep_every_mutation(spark, tmp_path, monkeypatch):
             f"residue after crash at mutation {k}: "
             f"{sorted(p.name for p in tmp_path.iterdir())}"
         )
+
+
+def test_digest_snapshot_crash_sweep_every_mutation(spark, tmp_path, monkeypatch):
+    """Exhaustive crash injection for compact_digest_snapshot: kill it
+    at the 1st..k-th filesystem mutation and assert the documented
+    superset invariant — after ANY crash the surviving partitions dedup
+    identically (digest set is a superset that contains every original
+    digest) — and that re-running the compaction converges to a single
+    partition with the exact original digest set."""
+    from hadoopwebgraph_spark.bvgraph.storage import (
+        fs_for_path as real_ffp,
+        move_dir as real_move,
+    )
+    from hadoopwebgraph_spark.functions import maintenance
+    from hadoopwebgraph_spark.functions.dedup import _dedup_one_batch
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    digests = str(tmp_path / "snap" / "digests")
+    out = str(tmp_path / "out")
+    for i, texts in enumerate([["a", "b"], ["b", "c"], ["c", "d"]]):
+        b = spark.createDataFrame(
+            [(10 * i + j, t, "en", "web", len(t)) for j, t in enumerate(texts)],
+            schema,
+        )
+        _dedup_one_batch(b, i, digests, out)
+    original = {r["h"] for r in spark.read.parquet(digests).collect()}
+    assert len(original) == 4
+
+    class _Crash(RuntimeError):
+        pass
+
+    crash_at = 0
+    calls = {"n": 0}
+
+    def tick():
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise _Crash(f"injected at mutation {crash_at}")
+
+    class _CountingFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def delete_dir(self, p, *a, **k):
+            tick()
+            return self._fs.delete_dir(p, *a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def counting_ffp(path_):
+        fs, base = real_ffp(path_)
+        return _CountingFS(fs), base
+
+    def counting_move(fs, src, dst):
+        tick()
+        real_move(fs, src, dst)
+
+    monkeypatch.setattr(maintenance, "fs_for_path", counting_ffp)
+    monkeypatch.setattr(maintenance, "move_dir", counting_move)
+
+    # count mutations in a clean run
+    maintenance.compact_digest_snapshot(spark, digests)
+    total = calls["n"]
+    assert total >= 4  # install move + >= 3 old-partition deletes
+    assert {r["h"] for r in spark.read.parquet(digests).collect()} == original
+
+    for k in range(1, total + 1):
+        # rebuild a fresh multi-partition snapshot for each crash point
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "snap"))
+        for i, texts in enumerate([["a", "b"], ["b", "c"], ["c", "d"]]):
+            b = spark.createDataFrame(
+                [
+                    (10 * i + j, t, "en", "web", len(t))
+                    for j, t in enumerate(texts)
+                ],
+                schema,
+            )
+            _dedup_one_batch(b, i, digests, out)
+        crash_at, calls["n"] = k, 0
+        try:
+            maintenance.compact_digest_snapshot(spark, digests)
+        except _Crash:
+            pass
+        # superset invariant: whatever survived still contains every
+        # original digest (anti-join dedups identically on a superset)
+        survived = {r["h"] for r in spark.read.parquet(digests).collect()}
+        assert survived >= original, f"digests lost after crash at {k}"
+        # convergence: a plain re-run folds to one partition, exact set
+        crash_at, calls["n"] = 0, 0
+        maintenance.compact_digest_snapshot(spark, digests)
+        import os
+
+        assert len(os.listdir(digests)) == 1
+        final = {r["h"] for r in spark.read.parquet(digests).collect()}
+        assert final == original, f"digest set wrong after crash at {k}"
