@@ -1247,3 +1247,117 @@ def q75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("c").alias("code_min"),
         F.array_max("c").alias("code_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q135: random-hyperplane LSH near-dup over embeddings
+# ---------------------------------------------------------------------------
+
+# Deterministic +-1 hyperplanes from md5 (engine-portable, computed once
+# here and embedded as literals in the DuckDB oracle): plane p's sign for
+# dimension i is +1 iff md5("rh-p-i") starts with hex 0..7.
+import hashlib as _hashlib
+
+RH_PLANES = 16  # 16-bit signature; 3-band (6/5/5) pigeonhole, Hamming<=2
+RH_DIMS = 64
+RH_SIGNS = [
+    [
+        1.0 if _hashlib.md5(f"rh-{p}-{i}".encode()).hexdigest()[0] < "8" else -1.0
+        for i in range(RH_DIMS)
+    ]
+    for p in range(RH_PLANES)
+]
+
+
+def rh_lsh_signatures(embeddings: DataFrame) -> DataFrame:
+    """16-bit random-hyperplane (SimHash-for-vectors, Charikar 2002)
+    signature per embedding: bit p = (v . s_p) > 0 with s_p the +-1
+    literal planes above. The dot product is the repo's left-to-right
+    float64 fold — bit-identical to DuckDB's list_dot_product (the q72
+    contract, driver-proven at sf0.1) — so the sign, and therefore the
+    signature, is engine-exact with NO quantization step. O(planes *
+    dims) per row, zero shuffle."""
+    bits = None
+    for p, signs in enumerate(RH_SIGNS):
+        arr = F.array(*[F.lit(s) for s in signs])
+        d = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return embeddings.select("vec_id", bits.cast("bigint").alias("sig"))
+
+
+def _rh_oracle_sql() -> str:
+    planes = ",".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ",".join(str(s) for s in RH_SIGNS[p])
+        )
+        for p in range(RH_PLANES)
+    )
+    return f"""
+    WITH planes(p, s) AS (VALUES {planes}),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(
+                                 list_transform(e.embedding,
+                                                x -> CAST(x AS DOUBLE)),
+                                 pl.s) > 0
+                             THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS sig
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """
+
+
+@register(
+    "q135_rh_lsh_embedding",
+    oracle=_rh_oracle_sql(),
+    doc="Random-hyperplane LSH near-dup over embeddings (Charikar 2002 "
+    "SimHash-for-vectors): 16 deterministic +-1 planes (md5-derived "
+    "literals shared with the oracle), bit = sign of the left-to-right "
+    "float64 dot product (bit-identical across engines per the q72 "
+    "contract), pairs by 6/5/5-bit pigeonhole banding with Hamming<=2 "
+    "(exact recall, never all-pairs). The cross-cell complement to "
+    "q72's label-blocked exact cosine: signatures are O(n), candidate "
+    "generation is three equi-joins on band keys — the shape that "
+    "survives a corpus too big to block.",
+)
+def q135_rh_lsh_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = rh_lsh_signatures(
+        load(spark, sf_dir, "embeddings")
+    ).localCheckpoint()  # band joins reference sig 6x; fold runs once
+    banded = sig.select(
+        "vec_id",
+        "sig",
+        (F.col("sig") / 1024).cast("bigint").alias("b0"),
+        ((F.col("sig") / 32).cast("bigint") % 32).alias("b1"),
+        (F.col("sig") % 32).alias("b2"),
+    )
+    pairs = None
+    for b in ("b0", "b1", "b2"):
+        a = banded.alias("a")
+        c = banded.alias("c")
+        p = a.join(
+            c,
+            (F.col(f"a.{b}") == F.col(f"c.{b}"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.col("a.sig").alias("ha"),
+            F.col("c.sig").alias("hb"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.distinct()
+        .filter(ham <= 2)
+        .select("vec_a", "vec_b", ham.cast("int").alias("hamming"))
+    )
