@@ -425,3 +425,36 @@ def test_digest_snapshot_crash_sweep_every_mutation(spark, tmp_path, monkeypatch
         assert len(os.listdir(digests)) == 1
         final = {r["h"] for r in spark.read.parquet(digests).collect()}
         assert final == original, f"digest set wrong after crash at {k}"
+
+
+def test_rh_lsh_banded_matches_allpairs(spark, sf_small):
+    """q135's 6/5/5 pigeonhole banding must find EXACTLY the all-pairs
+    Hamming<=2 set over the 16-bit signatures."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.similarity import (
+        q135_rh_lsh_embedding,
+        rh_lsh_signatures,
+    )
+
+    banded = {
+        (r.vec_a, r.vec_b, r.hamming)
+        for r in q135_rh_lsh_embedding(spark, sf_small).collect()
+    }
+    sig = rh_lsh_signatures(load(spark, sf_small, "embeddings")).localCheckpoint()
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    brute = {
+        (r.vec_a, r.vec_b, r.hamming)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert banded == brute
+    assert len(banded) > 0
