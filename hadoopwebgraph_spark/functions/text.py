@@ -333,3 +333,179 @@ def q130_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "gram")
         .limit(50)
     )
+
+
+@register(
+    "q137_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY 1
+    ),
+    top AS (
+        SELECT term, doc_id, tf,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rn
+        FROM tf
+    ),
+    postings AS (
+        SELECT term,
+               string_agg(doc_id || ':' || tf, ','
+                          ORDER BY tf DESC, doc_id) AS postings
+        FROM top WHERE rn <= 5 GROUP BY term
+    )
+    SELECT s.term, s.df, s.total_tf, p.postings
+    FROM stats s JOIN postings p USING (term)
+    """,
+    doc="Inverted-index construction: term -> document frequency, corpus "
+    "term frequency, and a bounded posting list (top-5 docs by tf, "
+    "rendered 'doc:tf,...' so the artifact is hashable cross-engine). "
+    "Scale shape: the (term, doc_id) pre-aggregation absorbs hot-term "
+    "skew via map-side partial aggregation BEFORE any term-only "
+    "grouping sees a stopword's full row stream; the posting list is "
+    "rank-capped per term (never collect_list of an unbounded group); "
+    "stats and postings are both term-partitioned after their aggs, so "
+    "the final join needs no extra exchange under AQE.",
+)
+def q137_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # tf feeds BOTH the stats and the postings branch; without persist the
+    # physical plan re-scans and re-aggregates the full token stream twice
+    # (Python DataFrame reuse does not dedupe subtrees). The cached (term,
+    # doc_id, tf) table is counts-only — far smaller than the corpus.
+    tf = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    wr = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    top = tf.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 5)
+    postings = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("tf")).alias("neg_tf"),
+                            F.col("doc_id").alias("d"),
+                            F.col("tf").alias("t"),
+                        )
+                    )
+                ),
+                lambda x: F.concat_ws(
+                    ":", x["d"].cast("string"), x["t"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(postings, "term").select("term", "df", "total_tf", "postings")
+
+
+PMI_MIN_COUNT = 5
+
+
+@register(
+    "q138_pmi_cooccur",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (
+        SELECT doc_id, w[i] AS term, i
+        FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+    ),
+    pairs AS (
+        SELECT least(a.term, b.term) AS term_a,
+               greatest(a.term, b.term) AS term_b
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+    ),
+    pc AS (
+        SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY 1, 2
+    ),
+    uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    tot AS (
+        SELECT CAST((SELECT sum(n) FROM uc) AS DOUBLE) AS n_tok,
+               CAST((SELECT sum(n_pair) FROM pc) AS DOUBLE) AS n_pairs_tot
+    )
+    SELECT pc.term_a, pc.term_b, pc.n_pair,
+           round(ln((pc.n_pair / t.n_pairs_tot)
+                    / ((ua.n / t.n_tok) * (ub.n / t.n_tok))), 6) AS pmi
+    FROM pc
+    JOIN uc ua ON ua.term = pc.term_a
+    JOIN uc ub ON ub.term = pc.term_b
+    CROSS JOIN tot t
+    WHERE pc.n_pair >= {PMI_MIN_COUNT}
+    """,
+    doc="PMI token co-occurrence (window <=2, unordered pairs): the "
+    "word2vec/GloVe co-occurrence-matrix preprocessing step. Pairs are "
+    "generated ROW-LOCALLY with zip_with over shifted array slices — "
+    "no positional self-join, zero shuffle until the pair count — then "
+    "one hash aggregation on the pair key; unigram counts and totals "
+    "are vocabulary-sized, broadcast into the scoring join. PMI's "
+    "division tree is written identically on both engines so the "
+    "doubles agree bit-for-bit before the shared round(6).",
+)
+def q138_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+
+    def shifted_pairs(k: int):
+        n = F.size(w)
+        pair = lambda x, y: F.struct(
+            F.least(x, y).alias("term_a"), F.greatest(x, y).alias("term_b")
+        )
+        return F.when(
+            n > k, F.zip_with(F.slice(w, 1, n - k), F.slice(w, k + 1, n - k), pair)
+        ).otherwise(F.array().cast("array<struct<term_a:string,term_b:string>>"))
+
+    pairs = d.select(
+        F.explode(F.concat(shifted_pairs(1), shifted_pairs(2))).alias("p")
+    ).select("p.term_a", "p.term_b")
+    # pc feeds the scored output AND the pair-total scalar; uc feeds both
+    # endpoint joins AND the token-total scalar. Persist both so each
+    # aggregation over the corpus runs exactly once (the plan otherwise
+    # duplicates the pair-gen scan twice and the unigram scan three times).
+    # Both caches are vocabulary-sized, not corpus-sized.
+    pc = (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .persist()
+    )
+    toks = d.select(F.explode(w).alias("term"))
+    uc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")).persist()
+    n_tok = uc.agg(F.sum("n").cast("double").alias("n_tok"))
+    n_pairs_tot = pc.agg(F.sum("n_pair").cast("double").alias("n_pairs_tot"))
+    ua = uc.select(F.col("term").alias("term_a"), F.col("n").alias("na"))
+    ub = uc.select(F.col("term").alias("term_b"), F.col("n").alias("nb"))
+    return (
+        pc.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_pairs_tot))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_pairs_tot"))
+                    / ((F.col("na") / F.col("n_tok")) * (F.col("nb") / F.col("n_tok")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

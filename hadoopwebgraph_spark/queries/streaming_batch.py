@@ -12,7 +12,7 @@ divisor durations used here the buckets coincide exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import ORACLE_EVENT_TS, load
@@ -314,4 +314,63 @@ def q117_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "q136_sessionize",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EVID}),
+    flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           min(ts)                     AS session_start,
+           max(ts)                     AS session_end,
+           round(sum(value), 2)        AS total_value
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    """,
+    doc="Batch sessionization (gaps-and-islands, 30-minute inactivity "
+    "gap): lag over (user, time) flags session starts, a running sum "
+    "numbers them, then one per-session rollup. The batch twin of "
+    "q52's streaming session_window — this form also yields the "
+    "session SEQUENCE NUMBER per user, which session_window does not "
+    "expose. Scale: both window passes and the final rollup hash on "
+    "user_id first, so Spark plans a single exchange on user_id and "
+    "runs lag + running-sum + partial agg in one stage; sessions per "
+    "user are bounded by the time range, so no group explodes. "
+    "Ordering key (ts, event_id) is collision-free (event_id unique), "
+    "making lag/running-sum deterministic on both engines.",
+)
+def q136_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL '30' MINUTE")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessioned = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessioned.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
