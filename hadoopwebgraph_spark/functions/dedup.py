@@ -833,3 +833,86 @@ def incremental_dedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+_LEAKAGE_SPLIT_ORACLE = (
+    "WITH RECURSIVE " + _MINHASH_CTE.lstrip().removeprefix("WITH") + """
+    , sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    members AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN members m ON m.node = d.doc_id
+    )
+    SELECT CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     IN ('c','d') THEN 'val'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     IN ('e','f') THEN 'test'
+                ELSE 'train' END               AS split,
+           CAST(count(*) AS BIGINT)            AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT)        AS total_chars
+    FROM labeled
+    GROUP BY 1
+"""
+)
+
+
+@register(
+    "q139_leakage_safe_split",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    doc="Leakage-safe train/val/test split: documents are assigned to "
+    "splits by the md5 hash band of their NEAR-DUP CLUSTER representative "
+    "(MinHash candidates -> connected components; singletons represent "
+    "themselves), so two near-duplicate documents can never land in "
+    "different splits — the contamination guarantee a doc-level hash "
+    "split (q87) cannot give. Same 75/12.5/12.5 bands as q87 and the "
+    "same corpus-growth stability (a cluster's representative is its min "
+    "doc_id, which only changes if an older duplicate appears). Scale: "
+    "banded candidate equi-joins (q62) + label propagation (g12) + one "
+    "narrow left join and a 3-row rollup; the no-straddling invariant is "
+    "unit-tested over every candidate pair.",
+)
+def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph_algos import connected_components
+    from .sampling import TEST_DIGITS, VAL_DIGITS
+
+    cand = q62_dedup_minhash(spark, sf_dir)
+    cc = connected_components(
+        cand.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = docs.join(
+        cc.hint("shuffle_hash"), docs.doc_id == cc.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    d = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    split = (
+        F.when(d.isin(*VAL_DIGITS), F.lit("val"))
+        .when(d.isin(*TEST_DIGITS), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return labeled.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -509,3 +509,78 @@ def q138_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# CCNet-style unigram LM quality threshold, in integer micro-nats of
+# average per-token log-probability (fixture geometry: corpus avg ~= -3.40M)
+LOGPROB_THRESH_MICRO = -3_410_000
+
+
+@register(
+    "q140_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    uc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc),
+    lnp AS (
+        SELECT term,
+               CAST(floor(ln(CAST(cnt AS DOUBLE) / t.ntot) * 1000000 + 0.5)
+                    AS BIGINT) AS lnp_micro
+        FROM uc, tot t
+    )
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT)          AS n_toks,
+           CAST(sum(l.lnp_micro) AS BIGINT)  AS sum_lnp_micro,
+           (sum(l.lnp_micro)
+            >= {LOGPROB_THRESH_MICRO} * count(*)) AS keep
+    FROM toks JOIN lnp l USING (term)
+    GROUP BY toks.doc_id
+    """,
+    doc="Unigram language-model quality filter (the CCNet/Wikipedia-LM "
+    "perplexity-filter shape, with the corpus itself as the LM): score "
+    "each document by its summed token log-probability and keep docs "
+    "above an average-per-token threshold. Float discipline: ln(p) is "
+    "computed ONCE PER VOCABULARY TERM and immediately quantized to "
+    "integer micro-nats (floor(x*1e6+0.5)), so the per-document "
+    "aggregation is an integer sum — immune to float summation order — "
+    "and the keep decision is an exact integer comparison "
+    "(sum >= thresh * n) on both engines. Scale: the vocabulary table "
+    "is broadcast; one hash aggregation on doc_id with map-side "
+    "partials; no shuffle of raw text.",
+)
+def q140_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    uc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uc.agg(F.sum("cnt").cast("double").alias("ntot"))
+    lnp = (
+        uc.join(F.broadcast(tot))
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("ntot")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lnp_micro"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lnp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("lnp_micro").alias("sum_lnp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_lnp_micro",
+            (
+                F.col("sum_lnp_micro")
+                >= F.lit(LOGPROB_THRESH_MICRO) * F.col("n_toks")
+            ).alias("keep"),
+        )
+    )

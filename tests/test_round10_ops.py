@@ -458,3 +458,79 @@ def test_rh_lsh_banded_matches_allpairs(spark, sf_small):
     }
     assert banded == brute
     assert len(banded) > 0
+
+
+def test_leakage_safe_split_no_straddling_pairs(spark, sf_small):
+    """The q139 contract: no MinHash candidate pair may straddle splits.
+    Recompute the per-doc split assignment and anti-join it against the
+    candidate pairs — the straddle set must be empty (and non-vacuously:
+    the fixture must actually have candidate pairs)."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.dedup import q62_dedup_minhash
+    from hadoopwebgraph_spark.functions.sampling import TEST_DIGITS, VAL_DIGITS
+    from hadoopwebgraph_spark.queries.graph_algos import connected_components
+
+    cand = q62_dedup_minhash(spark, sf_small)
+    assert cand.count() > 0, "fixture has no near-dup candidates - vacuous"
+    cc = connected_components(
+        cand.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    )
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    labeled = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    d = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    split = (
+        F.when(d.isin(*VAL_DIGITS), F.lit("val"))
+        .when(d.isin(*TEST_DIGITS), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    assign = labeled.select("doc_id", split.alias("split"))
+    a = assign.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"})
+    b = assign.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"})
+    straddle = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert straddle.count() == 0
+
+    # contrast: the doc-level split (q87's rule) DOES straddle some pair
+    # on this fixture — i.e. q139 is a strictly stronger guarantee here
+    d_doc = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    doc_split = (
+        F.when(d_doc.isin(*VAL_DIGITS), F.lit("val"))
+        .when(d_doc.isin(*TEST_DIGITS), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    doc_assign = docs.select("doc_id", doc_split.alias("split"))
+    a2 = doc_assign.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"})
+    b2 = doc_assign.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"})
+    doc_straddle = (
+        cand.join(a2, "doc_a")
+        .join(b2, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert doc_straddle.count() > 0
+
+
+def test_unigram_logprob_keep_rate_sane(spark, sf_small):
+    """q140 must neither keep everything nor drop everything, and the
+    keep flag must equal the integer threshold comparison exactly."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.text import (
+        LOGPROB_THRESH_MICRO,
+        q140_unigram_logprob,
+    )
+
+    out = q140_unigram_logprob(spark, sf_small).collect()
+    n_keep = sum(1 for r in out if r.keep)
+    assert 0 < n_keep < len(out)
+    for r in out:
+        assert r.keep == (r.sum_lnp_micro >= LOGPROB_THRESH_MICRO * r.n_toks)
