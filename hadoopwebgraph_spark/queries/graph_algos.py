@@ -2037,3 +2037,76 @@ def _skipgram_oracle_sql(twin: str, k: int, length: int, salt: str, window: int)
 )
 def g35_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(random_walks(edges_df(spark), walks_per_node=2, length=4), window=2)
+
+
+def double_sweep_diameter(
+    edges: DataFrame, source: int = 0, max_hops: int = 32
+):
+    """Double-sweep diameter lower bound on the symmetrized graph
+    (Magnien/Latapy/Habib; the seeding step of the WebGraph authors'
+    iFUB exact-diameter algorithm): BFS from ``source``, then BFS again
+    from the farthest node found (ties -> min node id). The second
+    eccentricity is a lower bound on the diameter that is exact on
+    trees and empirically tight on web-ish graphs — two BFS sweeps
+    instead of all-pairs.
+
+    Returns (far_node, ecc_from_source, sweep-2 distances DataFrame).
+    The far-node pick is a one-row driver action between the two
+    distributed sweeps — bounded output, the standard iterative-algo
+    driver step.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    d1 = bfs_distances(sym, source=source, max_hops=max_hops)
+    far = d1.orderBy(F.col("d").desc(), "node").limit(1).collect()[0]
+    d2 = bfs_distances(sym, source=int(far.node), max_hops=max_hops)
+    return int(far.node), int(far.d), d2
+
+
+@register(
+    "g36_double_sweep_diameter",
+    oracle=f"""
+    WITH RECURSIVE
+    e0 AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {_T}),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    walk1(node, d) AS (
+        SELECT 0 AS node, 0 AS d
+        UNION
+        SELECT sym.dst, w.d + 1 FROM walk1 w JOIN sym ON sym.src = w.node
+        WHERE w.d < 32
+    ),
+    dist1 AS MATERIALIZED (SELECT node, min(d) AS d FROM walk1 GROUP BY node),
+    far AS MATERIALIZED (SELECT node, d FROM dist1 ORDER BY d DESC, node LIMIT 1),
+    walk2(node, d) AS (
+        SELECT node, 0 AS d FROM far
+        UNION
+        SELECT sym.dst, w.d + 1 FROM walk2 w JOIN sym ON sym.src = w.node
+        WHERE w.d < 32
+    ),
+    dist2 AS (SELECT node, min(d) AS d FROM walk2 GROUP BY node)
+    SELECT CAST((SELECT node FROM far) AS BIGINT)  AS far_node,
+           CAST((SELECT d FROM far) AS INTEGER)    AS ecc_from_source,
+           CAST(max(d) AS INTEGER)                 AS diameter_lb,
+           CAST(count(*) AS BIGINT)                AS n_reached
+    FROM dist2
+    """,
+    doc="Diameter lower bound by double sweep on the symmetrized graph "
+    "(two BFS passes; the iFUB seeding heuristic of Crescenzi/Grossi/"
+    "Habib/Lanzi/Marino, whose exact follow-up the WebGraph tooling "
+    "ships). Oracle = two chained recursive-CTE level walks with the "
+    "identical min-node tie-break — integer-only, exact parity.",
+)
+def g36_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    far_node, ecc1, d2 = double_sweep_diameter(edges_df(spark))
+    return d2.agg(
+        F.max("d").cast("int").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+    ).select(
+        F.lit(far_node).cast("bigint").alias("far_node"),
+        F.lit(ecc1).cast("int").alias("ecc_from_source"),
+        "diameter_lb",
+        "n_reached",
+    )
