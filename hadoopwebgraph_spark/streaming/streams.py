@@ -267,3 +267,90 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def make_sessionize_update(gap_minutes: int = 30):
+    """Build the per-key state-walk closure for incremental_sessionize
+    (module-level factory so tests can drive chunked replays against a
+    stub GroupState, the make_extremes_processor pattern)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # force MICROsecond epoch ints regardless of the arriving pandas
+        # resolution (Arrow hands timestamp_ntz over as datetime64[ns])
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        if state.exists:
+            last_us, seq, n, start_us, total = state.get
+        else:
+            last_us, seq, n, start_us, total = None, 0, 0, 0, 0.0
+        out = []
+
+        def emit(seq, n, start_us, end_us, total):
+            out.append((key[0], seq, n, start_us, end_us, round(total, 2)))
+
+        for t, v in zip(ts_us.tolist(), pdf["value"].tolist()):
+            if last_us is None or t - last_us > gap_us:
+                if n > 0:  # close the previous session
+                    emit(seq, n, start_us, last_us, total)
+                seq, n, start_us, total = seq + 1, 0, t, 0.0
+            n += 1
+            total += float(v)
+            last_us = t
+        emit(seq, n, start_us, last_us, total)  # open session, running row
+        state.update((last_us, seq, n, start_us, total))
+        df = pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_seq", "n_events",
+                "session_start", "session_end", "total_value",
+            ],
+        )
+        df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+        df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
+        yield df
+
+    return update
+
+
+def incremental_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """q136's sessionization as an incremental stateful stream operator
+    (applyInPandasWithState): per-user state carries
+    (last event time, session sequence number, open-session aggregates)
+    across micro-batches; each batch emits every session it touched —
+    closed sessions finally, the open session as a running update.
+
+    Semantics contract with the batch twin (q136_sessionize): identical
+    when each user's events arrive in event-time order across batches
+    (within a batch they are sorted here). Out-of-order arrivals ACROSS
+    batches would need watermarked buffering before this operator —
+    the standard streaming-sessionization trade; the batch form is the
+    semantic reference. stream==batch parity and cross-batch state
+    carry-over are asserted in tests/test_streaming.py.
+
+    Scale: state is one narrow tuple per user (not per event); emitted
+    rows are bounded by sessions touched per batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_seq long, n_events long, "
+        "session_start timestamp_ntz, session_end timestamp_ntz, "
+        "total_value double"
+    )
+    state_schema = "last_us long, seq long, n long, start_us long, total double"
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionize_update(gap_minutes),
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

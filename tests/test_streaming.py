@@ -376,3 +376,90 @@ def test_custom_python_stream_source_replay(spark, sf_small):
     }
     assert got == want
     assert n_batches >= 3  # 1000 rows / 300 per trigger -> >= 4 batches
+
+
+def test_incremental_sessionize_matches_batch(spark, sf_small, events_dir):
+    """Full fixture replayed as one micro-batch: the stateful sessionizer's
+    emitted rows must equal q136_sessionize's batch output exactly (counts
+    and times; value sums to float tolerance — pandas vs JVM sum order)."""
+    from hadoopwebgraph_spark.queries.streaming_batch import q136_sessionize
+
+    ev = streams.stream_events(spark, events_dir)
+    q = streams.run_to_memory(
+        streams.incremental_sessionize(ev), "t_sessionize", "update"
+    )
+    try:
+        got = {
+            (r.user_id, r.session_seq): r
+            for r in spark.sql("SELECT * FROM t_sessionize").collect()
+        }
+        want = {
+            (r.user_id, r.session_seq): r
+            for r in q136_sessionize(spark, sf_small).collect()
+        }
+        assert set(got) == set(want)
+        for k, w in want.items():
+            g = got[k]
+            assert g.n_events == w.n_events, k
+            assert g.session_start == w.session_start, k
+            assert g.session_end == w.session_end, k
+            assert abs(g.total_value - w.total_value) < 0.011, k
+    finally:
+        q.stop()
+
+
+def test_incremental_sessionize_state_carryover():
+    """Drive the REAL update closure (make_sessionize_update) directly with
+    a stub GroupState: replaying a user's events in two chunks must
+    finalize the same sessions as one chunk — including a session that
+    STRADDLES the chunk boundary."""
+    import pandas as pd
+
+    from hadoopwebgraph_spark.streaming.streams import make_sessionize_update
+
+    class StubState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    def ev(ts_minutes, base="2024-01-01 09:00:00"):
+        t0 = pd.Timestamp(base)
+        return pd.DataFrame(
+            {
+                "ts": [t0 + pd.Timedelta(minutes=m) for m in ts_minutes],
+                "event_id": range(len(ts_minutes)),
+                "value": [1.5] * len(ts_minutes),
+            }
+        )
+
+    update = make_sessionize_update()
+
+    def run(chunks):
+        st = StubState()
+        rows = {}
+        for c in chunks:
+            for df in update((7,), iter([c]), st):
+                for r in df.itertuples(index=False):
+                    rows[(r.user_id, r.session_seq)] = r
+        return rows
+
+    # session 1 = minutes 0..60 step 5, 40-min hole, session 2 = 105,110;
+    # chunk split at minute 35 (mid-session-1)
+    minutes = list(range(0, 61, 5)) + [105, 110]
+    one = run([ev(minutes)])
+    two = run([ev([m for m in minutes if m <= 35]),
+               ev([m for m in minutes if m > 35])])
+    assert set(one) == set(two) == {(7, 1), (7, 2)}
+    for k in one:
+        assert one[k].n_events == two[k].n_events
+        assert one[k].session_start == two[k].session_start
+        assert one[k].session_end == two[k].session_end
+        assert abs(one[k].total_value - two[k].total_value) < 1e-9
+    # and the straddling session really did span both chunks
+    assert one[(7, 1)].n_events == 13
