@@ -408,3 +408,63 @@ CHUNK_OVERLAP = 4
 def q132_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
+# The graph fixture is the fixed 2000-node BVGraph triple (FIXTURES.md);
+# documents map onto its node space by doc_id mod N — the structural
+# stand-in for a real corpus's page-URL <-> graph-node join key.
+_GRAPH_FIXTURE_NODES = 2000
+
+
+def _q141_oracle() -> str:
+    from ..queries.graph import _T
+    from ..queries.graph_algos import _pagerank_cte
+
+    return (
+        _pagerank_cte(_T)
+        + f"""
+    SELECT d.doc_id,
+           CAST(d.doc_id % {_GRAPH_FIXTURE_NODES} AS INTEGER) AS node,
+           round(p.rank, 6) AS rank,
+           d.n_chars
+    FROM documents d
+    JOIN pr10 p ON p.node = d.doc_id % {_GRAPH_FIXTURE_NODES}
+    ORDER BY round(p.rank, 6) DESC, d.doc_id
+    LIMIT 50
+    """
+    )
+
+
+@register(
+    "q141_centrality_weighted_corpus",
+    oracle=_q141_oracle(),
+    doc="Link-centrality-prioritized corpus selection — the web-graph x "
+    "curation crossover the reference's domain exists for (crawl "
+    "frontiers and corpus quality ranked by link analysis): join each "
+    "document to its web-graph node (doc_id mod N on the fixture; the "
+    "page-URL<->node key on a real crawl), rank by the node's PageRank "
+    "(g11's exact 10-iteration fixpoint), take the top 50. Oracle "
+    "embeds the identical unrolled-CTE PageRank, so the selection is "
+    "certified end-to-end. Scale: the rank table is node-count-sized "
+    "(broadcast), the selection a TakeOrderedAndProject — no shuffle "
+    "of the corpus; ties at the 6-digit rounded rank break by doc_id "
+    "on both engines.",
+)
+def q141_centrality_weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph import edges_df, graph_df
+    from ..queries.graph_algos import pagerank
+
+    e = edges_df(spark)
+    nodes = graph_df(spark).select(F.col("src").alias("node"))
+    pr = pagerank(e, iterations=10, nodes=nodes)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = docs.withColumn(
+        "node", (F.col("doc_id") % _GRAPH_FIXTURE_NODES).cast("int")
+    ).join(F.broadcast(pr), "node")
+    return (
+        joined.select(
+            "doc_id", "node", F.round("rank", 6).alias("rank"), "n_chars"
+        )
+        .orderBy(F.col("rank").desc(), "doc_id")
+        .limit(50)
+    )

@@ -217,6 +217,17 @@ def _pagerank_oracle_sql(twin: str, iterations: int = 10, damping: float = 0.85)
     both engines compute with bit-identical doubles (1.0 - 0.85 !=
     literal 0.15 in binary); contributions are single divisions
     (p.rank / od) matching the Spark side term-for-term."""
+    return (
+        _pagerank_cte(twin, iterations, damping) + f"""
+    SELECT node, round(rank, 6) AS rank FROM pr{iterations}
+    ORDER BY round(rank, 6) DESC, node LIMIT 20
+    """
+    )
+
+
+def _pagerank_cte(twin: str, iterations: int = 10, damping: float = 0.85) -> str:
+    """The WITH-prefix of _pagerank_oracle_sql (ending at pr{iterations}),
+    shared with oracles that consume the rank table downstream (q141)."""
     base = repr(1.0 - damping)
     d = repr(damping)
     blocks = [
@@ -242,12 +253,7 @@ def _pagerank_oracle_sql(twin: str, iterations: int = 10, damping: float = 0.85)
               FROM nodes n CROSS JOIN d{i} CROSS JOIN nn
               LEFT JOIN s{i} ON s{i}.dst = n.node)"""
         )
-    return (
-        "WITH" + ",".join(blocks) + f"""
-    SELECT node, round(rank, 6) AS rank FROM pr{iterations}
-    ORDER BY round(rank, 6) DESC, node LIMIT 20
-    """
-    )
+    return "WITH" + ",".join(blocks)
 
 
 @register(
