@@ -2116,3 +2116,109 @@ def g36_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diameter_lb",
         "n_reached",
     )
+
+
+def ktruss(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """Synchronous k-truss peeling on the undirected simple graph, run
+    for a FIXED number of rounds (the g17 k-core recipe one level up:
+    peel EDGES by triangle support instead of nodes by degree): every
+    round simultaneously drops all edges lying in fewer than k-2
+    triangles of the surviving subgraph. A fixed round count keeps the
+    result an exactly-oracle-able integer computation; tests assert the
+    fixture reaches its fixpoint within ``rounds``, so the fixed-round
+    output IS the k-truss.
+
+    Per round: triangle support by two equi-joins of the edge list
+    against its symmetrized form on the shared neighbor (only
+    (long,long) pairs shuffle — adjacency sets never materialize), one
+    partial-agg'd count, one filter. The canonical skew note applies:
+    at web scale the wedge join is done from the lower-degree endpoint
+    (degree orientation); at the fixture's scale the symmetric form is
+    the clearer contract and the oracle mirrors it exactly.
+
+    Returns DataFrame[u, v, support] for edges alive after ``rounds``,
+    with support recomputed within the surviving subgraph.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def support(t: DataFrame) -> DataFrame:
+        sym = t.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+            t.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        a = sym.select(F.col("x").alias("au"), F.col("y").alias("w"))
+        b = sym.select(F.col("x").alias("bv"), F.col("y").alias("w"))
+        return (
+            t.join(a, t.u == a.au)
+            .join(b, (t.v == b.bv) & (a.w == b.w))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    t = und
+    for _ in range(rounds):
+        t = (
+            support(t)
+            .filter(F.col("c") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return support(t).select("u", "v", F.col("c").cast("bigint").alias("support"))
+
+
+def _ktruss_oracle_sql(twin: str, k: int = 3, rounds: int = 4) -> str:
+    """Unrolled-CTE oracle for g37: the same synchronous edge-peel
+    schedule, integer-only, exact parity."""
+    blocks = [
+        f"""
+    e0 AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+                               greatest(src, dst) AS v
+             FROM e0 WHERE src <> dst)"""
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(
+            f"""
+    s{i} AS MATERIALIZED (SELECT u AS x, v AS y FROM t{i - 1}
+             UNION ALL SELECT v, u FROM t{i - 1}),
+    sup{i} AS MATERIALIZED (SELECT t.u, t.v, count(*) AS c
+             FROM t{i - 1} t
+             JOIN s{i} a ON a.x = t.u
+             JOIN s{i} b ON b.x = t.v AND b.y = a.y
+             GROUP BY t.u, t.v),
+    t{i} AS MATERIALIZED (SELECT u, v FROM sup{i} WHERE c >= {k - 2})"""
+        )
+    blocks.append(
+        f"""
+    sf AS (SELECT u AS x, v AS y FROM t{rounds}
+           UNION ALL SELECT v, u FROM t{rounds})"""
+    )
+    return (
+        "WITH" + ",".join(blocks) + f"""
+    SELECT t.u, t.v, CAST(count(*) AS BIGINT) AS support
+    FROM t{rounds} t
+    JOIN sf a ON a.x = t.u
+    JOIN sf b ON b.x = t.v AND b.y = a.y
+    GROUP BY t.u, t.v
+    """
+    )
+
+
+@register(
+    "g37_ktruss",
+    oracle=_ktruss_oracle_sql(_T),
+    doc="3-truss of the symmetrized simple graph via 4 synchronous "
+    "edge-peeling rounds (every surviving edge lies in >= 1 triangle "
+    "of the surviving subgraph; fixture reaches fixpoint inside the "
+    "round budget — asserted in tests); emits surviving edges with "
+    "their in-truss triangle support. Oracle = the same peel schedule "
+    "unrolled into CTE blocks, exact integer parity.",
+)
+def g37_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ktruss(edges_df(spark), k=3, rounds=4)

@@ -506,3 +506,25 @@ def test_skipgram_pairs_exact(spark):
     }
     want2 = {(9, 8, 1), (8, 9, -1), (8, 7, 1), (7, 8, -1), (7, 6, 1), (6, 7, -1)}
     assert got2 == want2
+
+
+def test_ktruss_fixpoint_within_round_budget(spark):
+    """g37's fixed 4-round peel must BE the 3-truss: a 5th round changes
+    nothing, and the result is non-trivial (some edges survive, some
+    were peeled)."""
+    from hadoopwebgraph_spark.queries.graph import edges_df
+    from hadoopwebgraph_spark.queries.graph_algos import ktruss
+
+    e = edges_df(spark)
+    t4 = {(r.u, r.v): r.support for r in ktruss(e, k=3, rounds=4).collect()}
+    t5 = {(r.u, r.v): r.support for r in ktruss(e, k=3, rounds=5).collect()}
+    assert t4 == t5
+    n_und = (
+        e.selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+        .filter("u < v")
+        .distinct()
+        .count()
+    )
+    assert 0 < len(t4) < n_und
+    # truss membership implies the support bound everywhere
+    assert all(s >= 1 for s in t4.values())
