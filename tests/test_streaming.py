@@ -463,3 +463,69 @@ def test_incremental_sessionize_state_carryover():
         assert abs(one[k].total_value - two[k].total_value) < 1e-9
     # and the straddling session really did span both chunks
     assert one[(7, 1)].n_events == 13
+
+
+def test_incremental_sessionize_chunk_invariance_property():
+    """Property (hypothesis): for ANY in-order event sequence and ANY
+    chunking of it, the finalized sessions equal the one-shot replay —
+    the state machine is prefix-composable."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from hadoopwebgraph_spark.streaming.streams import make_sessionize_update
+
+    class StubState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    update = make_sessionize_update(gap_minutes=30)
+
+    def run(chunks):
+        st_ = StubState()
+        rows = {}
+        for c in chunks:
+            if len(c) == 0:
+                continue
+            for df in update((1,), iter([c]), st_):
+                for r in df.itertuples(index=False):
+                    rows[(r.user_id, r.session_seq)] = (
+                        r.n_events, r.session_start, r.session_end,
+                        round(r.total_value, 2),
+                    )
+        return rows
+
+    def mk(minutes):
+        t0 = pd.Timestamp("2024-01-01")
+        return pd.DataFrame(
+            {
+                "ts": [t0 + pd.Timedelta(minutes=m) for m in minutes],
+                "event_id": range(len(minutes)),
+                "value": [float(i) for i in range(len(minutes))],
+            }
+        )
+
+    @given(
+        gaps=st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=40),
+        cut=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def prop(gaps, cut):
+        minutes, t = [], 0
+        for g in gaps:
+            t += g
+            minutes.append(t)
+        df = mk(minutes)
+        k = cut.draw(st.integers(min_value=0, max_value=len(minutes)))
+        k2 = cut.draw(st.integers(min_value=k, max_value=len(minutes)))
+        one = run([df])
+        three = run([df.iloc[:k], df.iloc[k:k2], df.iloc[k2:]])
+        assert one == three
+
+    prop()
