@@ -459,3 +459,80 @@ def test_random_walk_step_plans_hash_aggregate(spark):
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan, plan
     assert "partial_min_by" in plan, plan  # map-side partial collapse
+
+
+def test_q136_sessionize_single_exchange(spark, sf_small):
+    """Both window passes and the session rollup hash on user_id first:
+    exactly ONE Exchange in the whole plan."""
+    from hadoopwebgraph_spark.queries.streaming_batch import q136_sessionize
+
+    import re
+
+    plan = _plan(q136_sessionize(spark, sf_small))
+    exchanges = [
+        l for l in plan.splitlines() if re.match(r"^\(\d+\) Exchange", l)
+    ]
+    windows = [l for l in plan.splitlines() if re.match(r"^\(\d+\) Window", l)]
+    assert len(exchanges) == 1
+    assert len(windows) == 2
+
+
+def test_q137_inverted_index_scans_corpus_once(spark, sf_small):
+    """The shared tf table is persisted: one parquet scan feeding an
+    InMemoryRelation, both consumer branches read the cache; the posting
+    sort is rank-capped by WindowGroupLimit before AND after its
+    exchange."""
+    from hadoopwebgraph_spark.functions.text import q137_inverted_index
+
+    import re
+
+    plan = _plan(q137_inverted_index(spark, sf_small))
+    def ops(name):
+        return [l for l in plan.splitlines()
+                if re.match(r"^\(\d+\) " + name, l)]
+    assert len(ops("Scan parquet")) == 1
+    assert len(ops("InMemoryTableScan")) == 2
+    assert len(ops("WindowGroupLimit")) == 2
+
+
+def test_q138_pmi_generates_pairs_without_self_join(spark, sf_small):
+    """Pair generation is row-local array work: no SortMergeJoin anywhere
+    (endpoint/unigram joins broadcast), and each corpus aggregation runs
+    once behind its cache."""
+    from hadoopwebgraph_spark.functions.text import q138_pmi_cooccur
+
+    plan = _plan(q138_pmi_cooccur(spark, sf_small))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    import re
+
+    def ops(name):
+        return [l for l in plan.splitlines()
+                if re.match(r"^\(\d+\) " + name, l)]
+    assert len(ops("BroadcastHashJoin")) == 2
+    # pair-count cache read twice (scored output + total), unigram cache
+    # read three times (two endpoints + total)
+    assert len(ops("InMemoryTableScan")) == 5
+
+
+def test_q140_unigram_logprob_broadcasts_vocab(spark, sf_small):
+    """The micro-nat vocabulary table broadcasts; the per-doc sum is a
+    partial-agg'd hash aggregation — no sort aggregate anywhere."""
+    from hadoopwebgraph_spark.functions.text import q140_unigram_logprob
+
+    plan = _plan(q140_unigram_logprob(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_q141_rank_broadcast_and_topk_heap(spark, sf_small):
+    """The node-count-sized rank table broadcasts into the corpus join and
+    the top-50 plans TakeOrderedAndProject — the corpus never shuffles."""
+    from hadoopwebgraph_spark.functions.llmprep import (
+        q141_centrality_weighted_corpus,
+    )
+
+    plan = _plan(q141_centrality_weighted_corpus(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    tail = plan[plan.index("TakeOrderedAndProject"):]
+    assert "BroadcastHashJoin" in tail
