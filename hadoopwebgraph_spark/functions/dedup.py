@@ -916,3 +916,125 @@ def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_id").alias("n_clusters"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (exact Jaccard, PPJoin-style)
+# ---------------------------------------------------------------------------
+
+JACCARD_TAU_BP = 9000  # tau = 0.90 in basis points
+
+
+@register(
+    "q142_prefix_jaccard_join",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text <> ''
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST((10000 * i) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_bp
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE (10000 * i) // (sa.n + sb.n - i) >= {JACCARD_TAU_BP}
+    """,
+    doc="Exact set-similarity self-join (token-set Jaccard >= 0.90) with "
+    "PPJoin-style prefix filtering. Tokens are globally ordered rare-first "
+    "(by document frequency, then token); each doc only indexes its first "
+    "|T| - ceil(tau*|T|) + 1 tokens, and candidate pairs come from an "
+    "equi-join on those prefix tokens — the classic completeness guarantee "
+    "(Xiao et al., PPJoin, WWW'08): any pair with Jaccard >= tau must "
+    "share a prefix token, so no true pair is lost. A size filter "
+    "(tau*|A| <= |B|) prunes further before verification; verification is "
+    "row-local array_intersect on the carried token arrays — no extra "
+    "shuffle per pair beyond the two doc_id lookups. The ORACLE is the "
+    "brute-force all-pairs join, so the hash-exact match PROVES the filter "
+    "lossless on the fixture, not just plausible. Similarity is emitted in "
+    "integer basis points ((10000*i) div (union)) — floor-threshold "
+    "compare is exactly equivalent to J >= tau and no float crosses "
+    "engines. Scale: prefix tokens are by construction the RAREST tokens "
+    "of each doc, so the candidate join key distribution is anti-skewed "
+    "(stopwords never become join keys); the per-doc token-set table "
+    "shuffles once on doc_id for verification. At 100 TB the df ranking "
+    "table is vocabulary-sized and broadcast.",
+)
+def q142_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _jaccard_token_sets(spark, sf_dir)
+    cand = _prefix_filter_candidates(sets)
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    i = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("i", i)
+        .withColumn(
+            "jaccard_bp", F.expr("CAST((10000 * i) div (na + nb - i) AS BIGINT)")
+        )
+        .filter(F.col("jaccard_bp") >= JACCARD_TAU_BP)
+        .select("doc_a", "doc_b", "jaccard_bp")
+    )
+
+
+def _jaccard_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, n): per-doc DISTINCT token array sorted rare-first by
+    (global df, token), with n = |set|. The rare-first order is what makes
+    the prefix both small AND selective."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = _spread(d).select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(F.broadcast(df), "tok")
+    sets = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok").alias("tok")))
+            ),
+            lambda x: x["tok"],
+        ).alias("toks")
+    )
+    return sets.withColumn("n", F.size("toks").cast("bigint"))
+
+
+def _prefix_filter_candidates(sets: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one PREFIX token,
+    pre-pruned by the Jaccard size bound tau*max <= min. Prefix length
+    p = n - ceil(tau*n) + 1, in pure integer arithmetic:
+    ceil(0.9 n) = (9n + 9) div 10."""
+    p = F.expr(f"CAST(n - ({JACCARD_TAU_BP // 1000} * n + 9) div 10 + 1 AS INT)")
+    pref = sets.select(
+        "doc_id", "n", F.explode(F.slice("toks", 1, p)).alias("tok")
+    )
+    a = pref.select(
+        F.col("tok"), F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    b = pref.select(
+        F.col("tok"), F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # J >= tau forces tau*|A| <= |B| and tau*|B| <= |A|
+            & (F.col("na") * JACCARD_TAU_BP <= F.col("nb") * 10000)
+            & (F.col("nb") * JACCARD_TAU_BP <= F.col("na") * 10000)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -534,3 +534,40 @@ def test_unigram_logprob_keep_rate_sane(spark, sf_small):
     assert 0 < n_keep < len(out)
     for r in out:
         assert r.keep == (r.sum_lnp_micro >= LOGPROB_THRESH_MICRO * r.n_toks)
+
+
+def test_prefix_filter_prunes_and_is_complete(spark, sf_small):
+    """The PPJoin prefix filter must (a) never lose a true pair —
+    candidates are a superset of the Jaccard>=tau result — and (b)
+    actually prune: strictly fewer candidates than overlapping pairs
+    (the quadratic baseline it replaces)."""
+    from hadoopwebgraph_spark.functions.dedup import (
+        _jaccard_token_sets,
+        _prefix_filter_candidates,
+        q142_prefix_jaccard_join,
+    )
+    from pyspark.sql import functions as F
+
+    sets = _jaccard_token_sets(spark, sf_small)
+    cand = _prefix_filter_candidates(sets).persist()
+    true_pairs = q142_prefix_jaccard_join(spark, sf_small).select(
+        "doc_a", "doc_b"
+    )
+    # completeness: every true pair is a candidate
+    assert true_pairs.join(cand, ["doc_a", "doc_b"], "left_anti").count() == 0
+
+    # pruning: candidates < all pairs sharing ANY token (what a naive
+    # inverted-index join would generate)
+    toks = sets.select("doc_id", F.explode("toks").alias("tok"))
+    a = toks.select("tok", F.col("doc_id").alias("doc_a"))
+    b = toks.select("tok", F.col("doc_id").alias("doc_b"))
+    overlapping = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    n_cand = cand.count()
+    cand.unpersist()
+    assert 0 < n_cand < overlapping
