@@ -1,11 +1,13 @@
 """Text-analysis operators — SURVEY.md §2 Tier C: quality scoring,
 language identification, token statistics, document fingerprinting, and
-TF-IDF terms. All pure ``pyspark.sql.functions`` (JVM-side, codegen'd),
-each with an exact DuckDB oracle.
+TF-IDF terms. Pure ``pyspark.sql.functions`` (JVM-side, codegen'd)
+except the Misra-Gries pre-filter (Arrow-batched mapInPandas), each with
+an exact DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -583,4 +585,100 @@ def q140_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(LOGPROB_THRESH_MICRO) * F.col("n_toks")
             ).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact frequency-threshold heavy hitters (Misra–Gries pre-filter)
+# ---------------------------------------------------------------------------
+
+HH_PHI_BP = 320  # heavy-hitter threshold: count/total >= 320/10000 (3.2%)
+# Lossless-candidate bound: every token with global frequency >= phi is
+# guaranteed to survive some partition's Misra–Gries summary as long as
+# capacity + 1 > 1/phi (see misra_gries_candidates). 1/phi = 31.25 here.
+HH_MG_CAPACITY = 32
+
+
+def misra_gries_candidates(toks: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries over column ``tok``, unioned
+    and deduped — a GUARANTEED superset of every token whose global
+    count exceeds ``n_p/(capacity+1)`` in at least one partition p.
+
+    Implementation is the mergeable-summaries formulation (Agarwal,
+    Cormode et al., PODS'12): each Arrow batch is counted exactly
+    (``value_counts`` — an error-free MG summary of the batch), merged
+    into the running summary by adding counts, then shrunk back to
+    ``capacity`` entries by subtracting the (capacity+1)-th largest
+    count from all and dropping the non-positives. Total decrement over
+    a partition is <= n_p/(capacity+1), so any token with partition
+    count above that bound ends with a positive counter — the classic
+    MG guarantee, vectorized (no per-token Python loop).
+
+    Scale: the summary is O(capacity) per partition regardless of
+    vocabulary size, so the long tail of a 100 TB token stream never
+    leaves its input partition; only <= partitions * capacity candidate
+    rows shuffle into the distinct. The output is an INTERMEDIATE
+    superset (partitioning-dependent), which is why callers must verify
+    with an exact count — see q143.
+    """
+    def summarize(batches):
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            acc = acc.add(vc, fill_value=0)
+            if len(acc) > capacity:
+                kth = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc - kth
+                acc = acc[acc > 0]
+        if len(acc):
+            yield pd.DataFrame({"tok": acc.index.astype(str)})
+
+    return toks.select("tok").mapInPandas(summarize, "tok string").distinct()
+
+
+@register(
+    "q143_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text <> ''
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY tok, n
+    HAVING count(*) * 10000 >= {HH_PHI_BP} * n
+    """,
+    doc="EXACT frequency-threshold heavy hitters (tokens with >= 3.2% of "
+    "all token occurrences) with a Misra-Gries per-partition pre-filter. "
+    "Two passes: (1) mapInPandas MG summaries of capacity 32 per "
+    "partition, unioned+deduped into a candidate set — lossless for this "
+    "threshold because capacity+1 > 1/phi and, by pigeonhole, a token "
+    "with global frequency >= phi has frequency >= phi in SOME "
+    "partition; (2) exact counts of the candidates only (the broadcast "
+    "candidate join keeps the long tail from ever shuffling), filtered "
+    "against the exact total with pure integer arithmetic "
+    "(cnt*10000 >= phi_bp*n). The MG candidate set depends on the "
+    "partitioning, but the verified OUTPUT is partition-independent and "
+    "engine-exact — the oracle is the brute-force full groupBy. Scale: "
+    "pass 1 shuffles <= partitions*capacity rows; pass 2 shuffles only "
+    "true-candidate occurrences; at extreme partition counts the "
+    "candidate distinct is itself a tree of MG merges away from "
+    "constant size, and AQE falls back from broadcast if candidates "
+    "somehow exceed the threshold.",
+)
+def q143_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    cand = misra_gries_candidates(toks, HH_MG_CAPACITY)
+    tot = toks.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cnt = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        cnt.join(F.broadcast(tot))
+        .filter(F.col("cnt") * 10000 >= F.lit(HH_PHI_BP) * F.col("n"))
+        .select("tok", "cnt")
     )

@@ -571,3 +571,56 @@ def test_prefix_filter_prunes_and_is_complete(spark, sf_small):
     n_cand = cand.count()
     cand.unpersist()
     assert 0 < n_cand < overlapping
+
+
+def test_misra_gries_candidates_lossless_and_bounded(spark):
+    """On a constructed Zipf-ish stream (500 distinct tokens, head token
+    ~1000x the tail), the MG candidate set must (a) contain EVERY token
+    whose global frequency clears the q143 threshold — the losslessness
+    the operator's exactness rests on — and (b) be bounded by
+    partitions * capacity, i.e. actually prune the 500-token vocabulary."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.text import (
+        HH_MG_CAPACITY,
+        HH_PHI_BP,
+        misra_gries_candidates,
+    )
+
+    rows = []
+    for i in range(1, 501):
+        rows.extend([(f"t{i}",)] * max(1, 3000 // (i * i)))
+    toks = spark.createDataFrame(rows, "tok string").repartition(8)
+    n = len(rows)
+
+    cand = misra_gries_candidates(toks, HH_MG_CAPACITY)
+    cand_set = {r.tok for r in cand.collect()}
+    assert len(cand_set) <= 8 * HH_MG_CAPACITY < 500
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+    heavy = {r.tok for r in exact if r.c * 10000 >= HH_PHI_BP * n}
+    assert heavy, "constructed stream must have at least one heavy hitter"
+    assert heavy <= cand_set
+
+
+def test_q143_equals_bruteforce(spark, sf_small):
+    """The verified heavy-hitter output must equal the brute-force full
+    groupBy — partition-count independent despite the MG intermediate."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.text import (
+        HH_PHI_BP,
+        q143_heavy_hitters,
+    )
+    from hadoopwebgraph_spark.catalog import load
+
+    out = {(r.tok, r.cnt) for r in q143_heavy_hitters(spark, sf_small).collect()}
+    d = load(spark, sf_small, "documents").filter(F.col("text") != "")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    n = toks.count()
+    brute = {
+        (r.tok, r.c)
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c * 10000 >= HH_PHI_BP * n
+    }
+    assert out == brute and len(out) > 0
