@@ -2222,3 +2222,100 @@ def _ktruss_oracle_sql(twin: str, k: int = 3, rounds: int = 4) -> str:
 )
 def g37_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(edges_df(spark), k=3, rounds=4)
+
+
+def topological_levels(edges: DataFrame, max_levels: int = 1024) -> DataFrame:
+    """Longest-path layering of a DAG: level(v) = length of the longest
+    path ending at v (sources sit at level 0) — the scheduling order of
+    every dependency DAG and the "crawl tier" of a condensation. A
+    valid topological sort is any order consistent with the levels, and
+    the level count minus one is the DAG's longest path.
+
+    Frontier iteration with NO visited set — on purpose: the hop-h
+    frontier is exactly the set of nodes with SOME path of length h
+    ending there (deduped per hop, so each hop is bounded by |V| rows),
+    and the per-node max over hops is the longest such path. Terminates
+    at the DAG depth; a cycle would keep the frontier alive forever, so
+    surviving past ``max_levels`` raises instead of looping — this is
+    also a distributed cycle DETECTOR. Scale: the edge table is
+    hash-partitioned on src once and persisted; per hop only the
+    frontier side shuffles (the g16 BFS budget), and the final
+    union+groupBy(max) shuffles at most |V| * depth narrow (long, int)
+    rows. Returns DataFrame[node, level].
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(_shuffle_partitions(spark), "src")
+        .persist()
+    )
+    frontier = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).alias("d"))
+        .localCheckpoint()
+    )
+    levels = [frontier]
+    for hop in range(1, max_levels + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .select("node", F.lit(hop).alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        frontier = nxt
+    else:
+        e.unpersist()
+        raise ValueError(
+            f"frontier still alive after {max_levels} hops: input has a "
+            "cycle (or is deeper than max_levels) — not a DAG"
+        )
+    e.unpersist()
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.groupBy("node").agg(F.max("d").cast("bigint").alias("level"))
+
+
+@register(
+    "g38_topo_levels",
+    oracle=f"""
+    WITH RECURSIVE {_SCC_SUB},
+    cond AS MATERIALIZED (
+        SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+        FROM f
+        JOIN scc s1 ON s1.node = f.src
+        JOIN scc s2 ON s2.node = f.dst
+        WHERE s1.scc_id <> s2.scc_id
+    ),
+    cn AS MATERIALIZED (SELECT DISTINCT scc_id AS node FROM scc),
+    walk(node, d) AS (
+        SELECT node, 0 FROM cn
+        UNION
+        SELECT c.dst, w.d + 1 FROM walk w JOIN cond c ON c.src = w.node
+    )
+    SELECT node, CAST(max(d) AS BIGINT) AS level FROM walk GROUP BY node
+    """,
+    doc="Topological levels (longest-path layering) of the condensation "
+    "DAG of the <400-node fixture subgraph: level(scc) = longest chain "
+    "of components ending there, the web-structure analogue of a crawl "
+    "tier / dependency schedule. Spark side reuses the memoized SCC "
+    "fixture + g30's contraction, then a frontier fixpoint with a "
+    "per-hop distinct and a cycle-raising hop budget; oracle walks the "
+    "same DAG with a UNION-deduped recursive CTE and takes max(d). "
+    "Rows are (node, d) pairs in both engines, so neither side "
+    "enumerates the (exponential) path set.",
+)
+def g38_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cond = condensation(_hb_edges(spark), scc=_scc_fixture(spark))
+    return topological_levels(cond)

@@ -624,3 +624,37 @@ def test_q143_equals_bruteforce(spark, sf_small):
         if r.c * 10000 >= HH_PHI_BP * n
     }
     assert out == brute and len(out) > 0
+
+
+def test_topo_levels_edge_invariant_and_cycle_raise(spark):
+    """Longest-path levels must satisfy level(dst) >= level(src) + 1 on
+    EVERY condensation edge (non-vacuously: the fixture DAG has depth
+    >= 1), and a cyclic input must raise instead of spinning."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        _hb_edges,
+        _scc_fixture,
+        condensation,
+        topological_levels,
+    )
+
+    cond = condensation(_hb_edges(spark), scc=_scc_fixture(spark)).persist()
+    lvl = topological_levels(cond)
+    ls = lvl.select(F.col("node").alias("src"), F.col("level").alias("lsrc"))
+    ld = lvl.select(F.col("node").alias("dst"), F.col("level").alias("ldst"))
+    bad = (
+        cond.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("ldst") < F.col("lsrc") + 1)
+        .count()
+    )
+    assert bad == 0
+    assert lvl.agg(F.max("level")).first()[0] >= 1
+    assert lvl.filter(F.col("level") == 0).count() >= 1
+    cond.unpersist()
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(cyc, max_levels=16)
