@@ -682,3 +682,101 @@ def q143_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 10000 >= F.lit(HH_PHI_BP) * F.col("n"))
         .select("tok", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # words per gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+@register(
+    "q144_winnow_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, i.i AS pos,
+               substr(md5(array_to_string(w[i.i:i.i + {WINNOW_K - 1}], ' ')),
+                      1, 16) AS h
+        FROM w, LATERAL (
+            SELECT unnest(range(1, len(w) - {WINNOW_K - 2})) AS i
+        ) i
+        WHERE len(w) >= {WINNOW_K}
+    ),
+    win AS (
+        SELECT doc_id,
+               min(h || '-' || lpad(CAST(pos AS VARCHAR), 8, '0')) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+               ) AS sel,
+               count(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+               ) AS n
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, substr(sel, 1, 16) AS fp,
+           CAST(substr(sel, 18) AS BIGINT) AS pos
+    FROM win WHERE n = {WINNOW_W}
+    """,
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, "
+    f"SIGMOD'03, the MOSS algorithm): hash every {WINNOW_K}-word gram, "
+    f"slide a {WINNOW_W}-gram window, keep the window minimum "
+    "(lowest-position tie-break) — the fingerprint selection behind "
+    "robust substring matching and plagiarism/quote detection. The "
+    "GUARANTEE: any shared word run covering a full window shares a "
+    "selected fingerprint, and selection density is <= 2/(w+1) of "
+    "grams. Min-selection is ONE window function over a single "
+    "(hash||'-'||zero-padded-pos) sortable key — fixed-width hex+pad "
+    "makes lexicographic order == (hash, pos) order in both engines, so "
+    "no struct-min cross-engine gap. Scale: one exchange (hash-partition "
+    "by doc_id) + an in-partition sorted window; output is density-"
+    "bounded, never the full gram stream; partial trailing windows are "
+    "excluded by the window count so every selection is a true "
+    "w-window minimum.",
+)
+def q144_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Winnowing over any (doc_id, text) frame — see q144's contract.
+    Returns DataFrame[doc_id, fp, pos] of selected fingerprints."""
+    w = F.split("text", " ")
+    grams = (
+        d.filter(F.size(w) >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - WINNOW_K),
+                    lambda i: F.array_join(F.slice(w, i + 1, WINNOW_K), " "),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.substring(F.md5("gram"), 1, 16).alias("h"),
+        )
+    )
+    key = F.concat_ws(
+        "-", F.col("h"), F.lpad(F.col("pos").cast("string"), 8, "0")
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    sel = grams.select(
+        "doc_id",
+        F.min(key).over(win).alias("sel"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    ).filter(F.col("n") == WINNOW_W)
+    return sel.select(
+        "doc_id",
+        F.substring("sel", 1, 16).alias("fp"),
+        F.substring("sel", 18, 8).cast("bigint").alias("pos"),
+    ).distinct()

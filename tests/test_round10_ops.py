@@ -658,3 +658,35 @@ def test_topo_levels_edge_invariant_and_cycle_raise(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="cycle"):
         topological_levels(cyc, max_levels=16)
+
+
+def test_winnow_shared_substring_guarantee_and_density(spark):
+    """The MOSS guarantee: two documents sharing a word run long enough
+    to cover a full winnowing window (>= W + K - 1 words) must share at
+    least one selected fingerprint HASH; and selection is denser-bounded
+    — strictly fewer fingerprints than grams on a long document."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    doc_a = "alpha beta gamma " + shared + " delta epsilon"
+    doc_b = "one two three four five " + shared + " six seven"
+    long_doc = " ".join(f"w{i % 17}x{i % 13}" for i in range(200))
+    d = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, long_doc)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(d).persist()
+
+    a = {r.fp for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r.fp for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a & b, "documents sharing a full-window run must share a fingerprint"
+
+    n_sel = fps.filter(F.col("doc_id") == 3).count()
+    n_grams = 200 - WINNOW_K + 1
+    assert 0 < n_sel < n_grams / 2
+    fps.unpersist()
