@@ -692,10 +692,10 @@ WINNOW_K = 4  # words per gram
 WINNOW_W = 4  # grams per winnowing window
 
 
-@register(
-    "q144_winnow_fingerprint",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# shared oracle CTE: q144 emits it directly, q145 joins over it — keep the
+# two in lockstep (the _walks_oracle_sql discipline).
+_WINNOW_ORACLE_CTE = f"""
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     grams AS (
         SELECT doc_id, i.i AS pos,
                substr(md5(array_to_string(w[i.i:i.i + {WINNOW_K - 1}], ' ')),
@@ -716,10 +716,19 @@ WINNOW_W = 4  # grams per winnowing window
                    ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
                ) AS n
         FROM grams
-    )
-    SELECT DISTINCT doc_id, substr(sel, 1, 16) AS fp,
-           CAST(substr(sel, 18) AS BIGINT) AS pos
-    FROM win WHERE n = {WINNOW_W}
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, substr(sel, 1, 16) AS fp,
+               CAST(substr(sel, 18) AS BIGINT) AS pos
+        FROM win WHERE n = {WINNOW_W}
+    )"""
+
+
+@register(
+    "q144_winnow_fingerprint",
+    oracle=f"""
+    WITH {_WINNOW_ORACLE_CTE}
+    SELECT doc_id, fp, pos FROM fps
     """,
     doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, "
     f"SIGMOD'03, the MOSS algorithm): hash every {WINNOW_K}-word gram, "
@@ -780,3 +789,41 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
         F.substring("sel", 1, 16).alias("fp"),
         F.substring("sel", 18, 8).cast("bigint").alias("pos"),
     ).distinct()
+
+
+@register(
+    "q145_winnow_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_ORACLE_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.fp) >= 2
+    """,
+    doc="Substring-overlap near-dup pairs — what winnowing is FOR (the "
+    "MOSS matcher): join documents on shared selected fingerprints and "
+    "keep pairs sharing >= 2 distinct fingerprints, i.e. pairs with "
+    "repeated long verbatim word runs (boilerplate, quotes, mirrored "
+    "passages). Composes q144's selection: only the density-bounded "
+    "fingerprint stream is joined, never grams — the winnowing guarantee "
+    "makes this equivalent to full-window substring overlap while the "
+    "join input is <= 2/(w+1) of the corpus gram stream. Scale: one "
+    "shuffle keyed on fp; corpus-wide boilerplate fingerprints are the "
+    "hot keys, exactly the q98-shingle skew profile (salt or frequency-"
+    "cap them upstream at extreme scale — a df-cap filter composes "
+    "directly on the fps side before the join).",
+)
+def q145_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = winnow_fingerprints(
+        load(spark, sf_dir, "documents")
+    ).select("doc_id", "fp").distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
