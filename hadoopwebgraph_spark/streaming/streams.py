@@ -354,3 +354,85 @@ def incremental_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFram
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def make_heavy_hitters_update(capacity: int = 32):
+    """Build the per-bucket Misra-Gries state-walk closure for
+    incremental_heavy_hitters (module-level factory so tests can drive
+    chunked replays against a stub GroupState — the
+    make_sessionize_update pattern).
+
+    State is the bucket's current MG summary as two parallel arrays;
+    each batch's tokens are counted exactly (value_counts — an
+    error-free summary of the batch), merged by adding counts, then
+    shrunk back to ``capacity`` by subtracting the (capacity+1)-th
+    largest count and dropping non-positives (mergeable summaries,
+    Agarwal/Cormode et al., PODS'12). Total decrement over the bucket's
+    whole stream is <= n_bucket/(capacity+1), so every token whose
+    FULL-STREAM count exceeds that bound is in the final summary."""
+
+    def update(key, pdfs, state):
+        if state.exists:
+            toks, cnts = state.get
+            acc = pd.Series(list(cnts), index=list(toks), dtype="int64")
+        else:
+            acc = pd.Series(dtype="int64")
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            acc = acc.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(acc) > capacity:
+                kth = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc - kth
+                acc = acc[acc > 0]
+        state.update((list(acc.index.astype(str)), [int(v) for v in acc]))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(acc),
+                "tok": acc.index.astype(str),
+                "lb": acc.astype("int64").values,
+            }
+        )
+
+    return update
+
+
+def incremental_heavy_hitters(
+    toks: DataFrame, n_buckets: int = 8, capacity: int = 32
+) -> DataFrame:
+    """q143's Misra-Gries candidate stage as an incremental stateful
+    stream operator (applyInPandasWithState): tokens are hash-routed so
+    each token's ENTIRE stream lands in exactly one bucket, whose state
+    is one bounded MG summary; each batch re-emits the bucket's current
+    candidates with their lower-bound counters.
+
+    Guarantee (stronger than the batch pre-filter's): with the full
+    stream of token x in one bucket, x survives the final summary
+    whenever its global count exceeds n_bucket/(capacity+1) <=
+    n/(capacity+1) — so for any phi with capacity+1 > 1/phi the final
+    candidate union is a superset of the exact phi-heavy hitters, and a
+    downstream exact count (the q143 verify stage, batch or windowed)
+    makes it exact. Parity with the batch guarantee is asserted in
+    tests/test_streaming.py.
+
+    Scale: state is <= capacity (token, count) pairs per bucket —
+    constant — regardless of stream length or vocabulary; emitted rows
+    per batch are <= n_buckets * capacity. n_buckets only needs to
+    cover state-store parallelism, not data volume.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        toks.select(
+            F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            "tok",
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            make_heavy_hitters_update(capacity),
+            "bucket int, tok string, lb long",
+            "toks array<string>, cnts array<long>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

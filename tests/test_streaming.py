@@ -529,3 +529,79 @@ def test_incremental_sessionize_chunk_invariance_property():
         assert one == three
 
     prop()
+
+
+def test_incremental_heavy_hitters_chunked_superset():
+    """Drive the REAL MG update closure with a stub GroupState over a
+    chunked Zipf-ish replay: the FINAL summary must contain every token
+    whose full-stream count clears the q143 threshold, despite tokens
+    entering, being decremented, and re-entering across chunks."""
+    import pandas as pd
+
+    from hadoopwebgraph_spark.functions.text import HH_MG_CAPACITY, HH_PHI_BP
+    from hadoopwebgraph_spark.streaming.streams import make_heavy_hitters_update
+
+    class StubState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    toks = []
+    for i in range(1, 301):
+        toks.extend([f"t{i}"] * max(1, 2000 // (i * i)))
+    n = len(toks)
+    update = make_heavy_hitters_update(HH_MG_CAPACITY)
+    st = StubState()
+    final = None
+    # interleaved chunks: heavy tokens spread across all chunks
+    for c in range(5):
+        chunk = pd.DataFrame({"tok": toks[c::5]})
+        for df in update((0,), iter([chunk]), st):
+            final = df
+    exact = pd.Series(toks).value_counts()
+    heavy = {t for t, c in exact.items() if c * 10000 >= HH_PHI_BP * n}
+    assert heavy, "replay must have heavy tokens"
+    assert heavy <= set(final["tok"])
+    assert len(final) <= HH_MG_CAPACITY
+
+
+def test_incremental_heavy_hitters_stream_superset_of_batch(
+    spark, sf_small, events_dir
+):
+    """Full fixture replayed through the stateful operator: the emitted
+    candidate union must cover the exact phi-heavy event types computed
+    in batch, with bounded state per bucket."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.text import HH_MG_CAPACITY, HH_PHI_BP
+
+    ev = streams.stream_events(spark, events_dir)
+    q = streams.run_to_memory(
+        streams.incremental_heavy_hitters(
+            ev.select(F.col("event_type").alias("tok")), n_buckets=4
+        ),
+        "t_hh",
+        "update",
+    )
+    try:
+        got = spark.sql("SELECT * FROM t_hh").collect()
+        cand = {r.tok for r in got}
+        per_bucket = {}
+        for r in got:
+            per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + 1
+        assert all(v <= HH_MG_CAPACITY for v in per_bucket.values())
+        b = load(spark, sf_small, "events").groupBy("event_type").count()
+        n = b.agg(F.sum("count")).first()[0]
+        heavy = {
+            r.event_type for r in b.collect() if r["count"] * 10000 >= HH_PHI_BP * n
+        }
+        assert heavy and heavy <= cand
+    finally:
+        q.stop()
