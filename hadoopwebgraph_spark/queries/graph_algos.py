@@ -2319,3 +2319,120 @@ def topological_levels(edges: DataFrame, max_levels: int = 1024) -> DataFrame:
 def g38_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = condensation(_hb_edges(spark), scc=_scc_fixture(spark))
     return topological_levels(cond)
+
+
+def _edge_weight_expr():
+    """Deterministic positive integer edge weight, identical in both
+    engines: 1 + (ascii of the first md5 hex char of "src-dst") mod 4,
+    i.e. w in {1,2,3,4} as a pure function of the edge. ascii() of a
+    single lowercase-hex char agrees across Spark and DuckDB, so no
+    hex-to-integer parse is needed anywhere."""
+    return (
+        F.ascii(F.substring(F.md5(F.concat_ws("-", "src", "dst")), 1, 1)) % 4
+        + 1
+    ).cast("long")
+
+
+def weighted_sssp(
+    edges: DataFrame, source: int = 0, rounds: int = 16
+) -> DataFrame:
+    """Single-source shortest paths under deterministic positive integer
+    edge weights — frontier-only Bellman-Ford: each round relaxes ONLY
+    the edges out of nodes whose distance improved last round, and stops
+    early once no distance improves. After k rounds every shortest path
+    of <= k edges is final, so the result is exactly "min distance over
+    paths of <= ``rounds`` edges" — the same quantity the unrolled
+    oracle computes, converged or not.
+
+    Scale: the edge table is hash-partitioned on src once and persisted;
+    per round only the (shrinking) improved-frontier side shuffles into
+    the join and a HashAggregate min collapses candidates per node
+    map-side (fixed-width LongType distances). The dist table is
+    rewritten via anti-join+union and localCheckpoint'ed so lineage
+    stays O(1) per round. Returns DataFrame[node, dist] for nodes
+    reachable within ``rounds`` edges.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", _edge_weight_expr())
+        .repartition(_shuffle_partitions(spark), "src")
+        .persist()
+    )
+    e.count()
+    dist = spark.createDataFrame(
+        [(source, 0)], "node long, dist long"
+    ).localCheckpoint()
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if improved.count() == 0:
+            break
+        dist = (
+            dist.join(improved, "node", "left_anti")
+            .union(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    e.unpersist()
+    return dist
+
+
+def _sssp_oracle_sql(twin: str, source: int, rounds: int) -> str:
+    """Unrolled Bellman-Ford rounds (AS MATERIALIZED per the DuckDB
+    multi-reference inlining gotcha). The weight expression mirrors
+    _edge_weight_expr exactly — keep the two in lockstep."""
+    blocks = [
+        f"""
+    e AS MATERIALIZED (
+        SELECT src, dst,
+               1 + ascii(substr(md5(CAST(src AS VARCHAR) || '-'
+                   || CAST(dst AS VARCHAR)), 1, 1)) % 4 AS w
+        FROM (SELECT DISTINCT src, unnest(adj) AS dst FROM {twin})
+    ),
+    d0 AS MATERIALIZED (SELECT {source} AS node, 0 AS dist)"""
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(f"""
+    d{i} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM d{i - 1} d JOIN e ON e.src = d.node
+        ) GROUP BY node
+    )""")
+    return (
+        "WITH" + ",".join(blocks)
+        + f"\n    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+@register(
+    "g39_weighted_sssp",
+    oracle=_sssp_oracle_sql(_T, 0, 16),
+    doc="Single-source shortest paths from node 0 under deterministic "
+    "md5-derived integer edge weights (w in 1..4) — frontier-only "
+    "Bellman-Ford, 16 relaxation rounds with early stop; result = min "
+    "distance over paths of <= 16 edges, exactly what the unrolled "
+    "round-by-round SQL oracle computes, so parity holds converged or "
+    "not. Per round only the improved frontier shuffles; all-integer "
+    "distances, HashAggregate min.",
+)
+def g39_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sssp(edges_df(spark), source=0, rounds=16)

@@ -690,3 +690,52 @@ def test_winnow_shared_substring_guarantee_and_density(spark):
     n_grams = 200 - WINNOW_K + 1
     assert 0 < n_sel < n_grams / 2
     fps.unpersist()
+
+
+def test_weighted_sssp_converged_relaxation_invariant(spark):
+    """At the fixture, 16 rounds must reach the fixpoint (18 rounds give
+    the identical result), and the converged distances must satisfy the
+    Bellman relaxation invariant dist(v) <= dist(u) + w(u,v) on EVERY
+    edge whose source is reached — with dist(source)=0 and all
+    distances bounded by [hops, 4*hops] of the unweighted BFS."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.queries.graph import edges_df
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        _edge_weight_expr,
+        bfs_distances,
+        weighted_sssp,
+    )
+
+    e = edges_df(spark)
+    d16 = weighted_sssp(e, source=0, rounds=16).persist()
+    d18 = weighted_sssp(e, source=0, rounds=18)
+    assert d16.exceptAll(d18).count() == 0
+    assert d18.exceptAll(d16).count() == 0
+
+    assert d16.filter(F.col("node") == 0).first().dist == 0
+
+    we = e.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct().withColumn("w", _edge_weight_expr())
+    du = d16.select(F.col("node").alias("src"), F.col("dist").alias("dsrc"))
+    dv = d16.select(F.col("node").alias("dst"), F.col("dist").alias("ddst"))
+    violations = (
+        we.join(du, "src")
+        .join(dv, "dst")
+        .filter(F.col("ddst") > F.col("dsrc") + F.col("w"))
+        .count()
+    )
+    assert violations == 0
+
+    hops = bfs_distances(e, source=0, max_hops=16).select(
+        F.col("node"), F.col("d").cast("long").alias("h")
+    )
+    bad_bounds = (
+        d16.join(hops, "node")
+        .filter((F.col("dist") < F.col("h")) | (F.col("dist") > 4 * F.col("h")))
+        .count()
+    )
+    assert bad_bounds == 0
+    d16.unpersist()
