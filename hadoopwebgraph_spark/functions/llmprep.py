@@ -468,3 +468,98 @@ def q141_centrality_weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("rank").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection (quality-greedy, no global sort)
+# ---------------------------------------------------------------------------
+
+BUDGET_BP = 2500  # select best docs until 25% of total corpus tokens
+
+
+@register(
+    "q146_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               CAST((1000 * len(list_distinct(string_split(text, ' '))))
+                    // len(string_split(text, ' ')) AS BIGINT) AS score
+        FROM documents WHERE text <> ''
+    ),
+    tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS n FROM t),
+    r AS (
+        SELECT doc_id, score, n_toks,
+               sum(n_toks) OVER (ORDER BY score DESC, doc_id) AS run
+        FROM t
+    )
+    SELECT doc_id, score, n_toks
+    FROM r, tot WHERE run * 10000 <= {BUDGET_BP} * n
+    """,
+    doc="Greedy token-budget corpus selection: rank documents by an "
+    "integer quality score (type-token ratio in milli-units) and keep "
+    "them best-first, (score DESC, doc_id ASC), while the inclusive "
+    f"running token count stays within {BUDGET_BP} bp of the corpus "
+    "total — 'fill a 10B-token budget with the best documents', the "
+    "final assembly step of every curated pretraining mix. The oracle "
+    "is the textbook single global window cumsum; the Spark side "
+    "computes the SAME set without ever globally sorting the corpus: "
+    "per-score bucket token sums (the score is already an integer in "
+    "0..1000, so the bucket table is <= 1001 rows) get a driver-scale "
+    "cumulative sum, whole buckets strictly inside the budget are kept "
+    "by a broadcast join, and only the ONE boundary bucket is sorted "
+    "(by doc_id, within its score partition) to place the cut. "
+    "Integer-only arithmetic end to end (run*10000 <= bp*total), no "
+    "float crosses engines. Scale: the corpus shuffles once (hash by "
+    "score) for the bucket aggregation and the boundary window touches "
+    "one bucket's rows; worst case (all docs one score) degrades to "
+    "the single-bucket sort and is documented, not silent.",
+)
+def q146_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text") != "")
+    w = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_toks"),
+        F.expr(
+            "CAST((1000 * size(array_distinct(split(text, ' '))))"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    # <=1001-row bucket table: cumulative token mass best-score-first.
+    # cum_before = tokens in strictly better buckets (score DESC, so a
+    # row's cum_before plus its own bucket = cum_incl).
+    buckets = t.groupBy("score").agg(F.sum("n_toks").alias("btoks"))
+    bw = Window.orderBy(F.col("score").desc())
+    cum = buckets.select(
+        "score",
+        "btoks",
+        (F.sum("btoks").over(bw) - F.col("btoks")).alias("cum_before"),
+        F.sum("btoks").over(bw).alias("cum_incl"),
+    )
+    tot = t.groupBy().agg(F.sum("n_toks").alias("n"))
+    marked = cum.join(F.broadcast(tot)).select(
+        "score",
+        "cum_before",
+        (F.col("cum_incl") * 10000 <= F.lit(BUDGET_BP) * F.col("n")).alias(
+            "whole_in"
+        ),
+        (F.col("cum_before") * 10000 <= F.lit(BUDGET_BP) * F.col("n")).alias(
+            "touches"
+        ),
+        F.col("n"),
+    )
+    td = t.join(F.broadcast(marked), "score")
+    inside = td.filter(F.col("whole_in")).select("doc_id", "score", "n_toks")
+    # exactly one boundary bucket: touches AND NOT whole_in; cut within it
+    # by doc_id order, cumsum seeded with cum_before.
+    dw = Window.partitionBy("score").orderBy("doc_id")
+    boundary = (
+        td.filter(F.col("touches") & ~F.col("whole_in"))
+        .withColumn("run", F.col("cum_before") + F.sum("n_toks").over(dw))
+        .filter(F.col("run") * 10000 <= F.lit(BUDGET_BP) * F.col("n"))
+        .select("doc_id", "score", "n_toks")
+    )
+    return inside.union(boundary)

@@ -536,3 +536,66 @@ def test_q141_rank_broadcast_and_topk_heap(spark, sf_small):
     assert "TakeOrderedAndProject" in plan
     tail = plan[plan.index("TakeOrderedAndProject"):]
     assert "BroadcastHashJoin" in tail
+
+
+def test_q142_prefix_join_broadcasts_df_ranks(spark, sf_small):
+    """The vocabulary-sized df rank table broadcasts into the token
+    ranking; candidate verification carries no extra aggregate sorts."""
+    from hadoopwebgraph_spark.functions.dedup import q142_prefix_jaccard_join
+
+    plan = _plan(q142_prefix_jaccard_join(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_q143_heavy_hitters_broadcasts_candidates(spark, sf_small):
+    """Both the MG candidate set and the 1-row total broadcast; every
+    aggregate is a HashAggregate (map-side partials on the tail-free
+    candidate count)."""
+    from hadoopwebgraph_spark.functions.text import q143_heavy_hitters
+
+    import re
+
+    plan = _plan(q143_heavy_hitters(spark, sf_small))
+    bhj = [l for l in plan.splitlines()
+           if re.match(r"^\(\d+\) BroadcastHashJoin", l)]
+    assert len(bhj) >= 1  # candidate set (total joins nested-loop, 1 row)
+    assert "SortAggregate" not in plan
+
+
+def test_q144_winnow_single_exchange_before_window(spark, sf_small):
+    """Winnowing is one hash-partition on doc_id + an in-partition sorted
+    window: exactly one Exchange ahead of the Window operator, and the
+    distinct's exchange reuses that partitioning only if keyed the same —
+    pin the total at <= 2."""
+    from hadoopwebgraph_spark.functions.text import q144_winnow_fingerprint
+
+    import re
+
+    plan = _plan(q144_winnow_fingerprint(spark, sf_small))
+    exchanges = [l for l in plan.splitlines()
+                 if re.match(r"^\(\d+\) Exchange", l)]
+    windows = [l for l in plan.splitlines()
+               if re.match(r"^\(\d+\) Window", l)]
+    assert len(windows) == 1
+    assert len(exchanges) <= 2
+
+
+def test_q146_no_global_corpus_sort(spark, sf_small):
+    """The corpus is never globally sorted: every Window over corpus rows
+    is partitioned (the boundary cut hashes by score); only the <=1001-row
+    bucket table may use the unpartitioned running-sum window."""
+    from hadoopwebgraph_spark.functions.llmprep import q146_token_budget_select
+
+    import re
+
+    plan = _plan(q146_token_budget_select(spark, sf_small))
+    # single-partition exchanges feed only the tiny bucket-table window:
+    # the corpus path must hash-partition on score ahead of the boundary
+    # window (formatted explain puts Arguments on their own line, so
+    # search the whole text, not the operator line).
+    assert "hashpartitioning(score" in plan, plan
+    windows = [
+        l for l in plan.splitlines() if re.match(r"^\(\d+\) Window", l)
+    ]
+    assert windows, plan

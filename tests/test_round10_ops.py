@@ -739,3 +739,54 @@ def test_weighted_sssp_converged_relaxation_invariant(spark):
     )
     assert bad_bounds == 0
     d16.unpersist()
+
+
+def test_token_budget_select_boundary_bucket_is_split(spark, sf_small):
+    """Non-vacuous cut placement: the selection must include SOME but not
+    ALL docs of exactly one score bucket (the boundary), include every
+    doc of strictly better buckets, and stay within budget while the
+    next doc_id in the boundary bucket would overflow it."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.llmprep import (
+        BUDGET_BP,
+        q146_token_budget_select,
+    )
+
+    sel = q146_token_budget_select(spark, sf_small).persist()
+    d = load(spark, sf_small, "documents").filter(F.col("text") != "")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        F.expr(
+            "CAST((1000 * size(array_distinct(split(text, ' '))))"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    ).persist()
+    n = t.agg(F.sum("n_toks")).first()[0]
+
+    have = {r.score: r["count"] for r in sel.groupBy("score").count().collect()}
+    all_ = {r.score: r["count"] for r in t.groupBy("score").count().collect()}
+    partial = [s for s in have if have[s] < all_[s]]
+    assert len(partial) == 1, (have, all_)
+    boundary = partial[0]
+    assert all(s >= boundary for s in have)
+    for s, c in all_.items():
+        if s > boundary:
+            assert have.get(s) == c, s
+
+    used = sel.agg(F.sum("n_toks")).first()[0]
+    assert used * 10000 <= BUDGET_BP * n
+    # the cheapest unselected boundary doc would overflow the budget
+    sel_b = {r.doc_id for r in sel.filter(F.col("score") == boundary).collect()}
+    rest = (
+        t.filter(F.col("score") == boundary)
+        .filter(~F.col("doc_id").isin(list(sel_b)))
+        .orderBy("doc_id")
+        .first()
+    )
+    assert rest is not None
+    assert (used + rest.n_toks) * 10000 > BUDGET_BP * n
+    sel.unpersist()
+    t.unpersist()
