@@ -1015,9 +1015,12 @@ def _jaccard_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _prefix_filter_candidates(sets: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing at least one PREFIX token,
     pre-pruned by the Jaccard size bound tau*max <= min. Prefix length
-    p = n - ceil(tau*n) + 1, in pure integer arithmetic:
-    ceil(0.9 n) = (9n + 9) div 10."""
-    p = F.expr(f"CAST(n - ({JACCARD_TAU_BP // 1000} * n + 9) div 10 + 1 AS INT)")
+    p = n - ceil(tau*n) + 1, in pure integer arithmetic over basis
+    points: ceil(tau*n) = (TAU_BP*n + 9999) div 10000 — exact for any
+    TAU_BP, not just multiples of 1000."""
+    p = F.expr(
+        f"CAST(n - ({JACCARD_TAU_BP} * n + 9999) div 10000 + 1 AS INT)"
+    )
     pref = sets.select(
         "doc_id", "n", F.explode(F.slice("toks", 1, p)).alias("tok")
     )
@@ -1037,4 +1040,86 @@ def _prefix_filter_candidates(sets: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered containment join (eval-in-train decontamination)
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU_BP = 9500  # containment threshold |A ∩ B| / |A| >= 0.95
+
+
+@register(
+    "q147_containment_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text <> ''
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_eval, b.doc_id AS doc_train,
+               CAST(count(*) AS BIGINT) AS i
+        FROM toks a JOIN toks b ON a.tok = b.tok
+        WHERE a.doc_id < 50 AND b.doc_id >= 50
+        GROUP BY 1, 2
+    )
+    SELECT doc_eval, doc_train,
+           CAST((10000 * i) // sa.n AS BIGINT) AS containment_bp
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_eval
+    WHERE (10000 * i) // sa.n >= {CONTAIN_TAU_BP}
+    """,
+    doc="Containment-decontamination join: flag (eval, train) pairs where "
+    "the train document contains >= 95% of the eval document's token SET "
+    "— the asymmetric cousin of q142's Jaccard join and the "
+    "set-containment form of q98's shingle overlap (which flags ANY "
+    "single shared shingle; this flags near-superset leakage with a "
+    "per-pair ratio). Prefix filter for containment: if "
+    "|A∩B| >= tau*|A| then A misses at most (1-tau)*|A| tokens of B, so "
+    "any fixed (|A| - ceil(tau*|A|) + 1)-subset of A intersects B — "
+    "probing only each eval doc's RAREST 1-3 tokens (rare-first global "
+    "order, q142's ranking) against the train postings is complete; a "
+    "size bound (|B| >= ceil(tau*|A|)) prunes before verification, and "
+    "verification is row-local array_intersect. Integer basis points "
+    "throughout. The brute-force oracle PROVES the filter lossless on "
+    "the fixture. Scale: the eval prefix table is (eval docs x <=3) rows "
+    "— broadcast — so the candidate join streams the train postings "
+    "map-side with no shuffle of the corpus; rare-first probes keep "
+    "posting fan-out minimal (stopwords are never probed).",
+)
+def q147_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_id < 50 plays the held-out eval set (llmprep.N_EVAL_DOCS).
+    sets = _jaccard_token_sets(spark, sf_dir)
+    ev = sets.filter(F.col("doc_id") < 50)
+    tr = sets.filter(F.col("doc_id") >= 50)
+    p = F.expr(f"CAST(n - ({CONTAIN_TAU_BP} * n + 9999) div 10000 + 1 AS INT)")
+    ev_prefix = ev.select(
+        F.col("doc_id").alias("doc_eval"),
+        F.col("n").alias("na"),
+        F.explode(F.slice("toks", 1, p)).alias("tok"),
+    )
+    tr_toks = tr.select(
+        F.col("doc_id").alias("doc_train"),
+        F.col("n").alias("nb"),
+        F.explode("toks").alias("tok"),
+    )
+    cand = (
+        tr_toks.join(F.broadcast(ev_prefix), "tok")
+        # i <= |B| and i >= tau*|A| force |B| >= ceil(tau*|A|)
+        .filter(F.col("nb") * 10000 >= F.lit(CONTAIN_TAU_BP) * F.col("na"))
+        .select("doc_eval", "doc_train")
+        .distinct()
+    )
+    a = ev.select(F.col("doc_id").alias("doc_eval"), F.col("toks").alias("ta"),
+                  F.col("n").alias("na"))
+    b = tr.select(F.col("doc_id").alias("doc_train"), F.col("toks").alias("tb"))
+    return (
+        cand.join(F.broadcast(a), "doc_eval")
+        .join(b, "doc_train")
+        .withColumn("containment_bp",
+                    F.expr("CAST((10000 * size(array_intersect(ta, tb)))"
+                           " div na AS BIGINT)"))
+        .filter(F.col("containment_bp") >= CONTAIN_TAU_BP)
+        .select("doc_eval", "doc_train", "containment_bp")
     )

@@ -790,3 +790,36 @@ def test_token_budget_select_boundary_bucket_is_split(spark, sf_small):
     assert (used + rest.n_toks) * 10000 > BUDGET_BP * n
     sel.unpersist()
     t.unpersist()
+
+
+def test_containment_prefix_is_tiny_and_complete(spark, sf_small):
+    """The containment probe indexes only each eval doc's rarest 1-3
+    tokens: the broadcast prefix table must be <= 3 rows per eval doc,
+    and the candidate set must still cover every true >= tau pair
+    (completeness is also proven by the oracle; this pins the PRUNING)."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.dedup import (
+        CONTAIN_TAU_BP,
+        _jaccard_token_sets,
+        q147_containment_decontaminate,
+    )
+
+    sets = _jaccard_token_sets(spark, sf_small)
+    ev = sets.filter(F.col("doc_id") < 50)
+    p = F.expr(f"CAST(n - ({CONTAIN_TAU_BP} * n + 9999) div 10000 + 1 AS INT)")
+    prefix = ev.select("doc_id", F.explode(F.slice("toks", 1, p)).alias("tok"))
+    per_doc = prefix.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    n_prefix = prefix.count()
+    n_all = ev.select("doc_id", F.explode("toks")).count()
+    assert per_doc <= 3
+    assert n_prefix < n_all / 5  # the probe side is a small fraction
+
+    out = q147_containment_decontaminate(spark, sf_small)
+    # every flagged pair clears the threshold and spans the eval/train cut
+    bad = out.filter(
+        (F.col("containment_bp") < CONTAIN_TAU_BP)
+        | (F.col("doc_eval") >= 50)
+        | (F.col("doc_train") < 50)
+    ).count()
+    assert bad == 0 and out.count() > 0
