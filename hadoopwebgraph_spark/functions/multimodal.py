@@ -705,15 +705,15 @@ def ulaw_features(media: DataFrame) -> DataFrame:
 # the G.711 companding pipeline in closed form: what decode(encode(x))
 # reconstructs, stated entirely in SQL over the synthesis formula
 _ULAW_SQL = """
-    SELECT d.doc_id,
+    SELECT d.doc_id, d.i,
            ((((mag >> (ex + 3)) & 15) * 8 + 132) << ex) - 132 AS rec_mag,
            sgn
     FROM (
-        SELECT d.doc_id,
+        SELECT d.doc_id, d.i,
                CASE WHEN raw < 0 THEN -1 ELSE 1 END AS sgn,
                least(abs(raw), 32635) + 132 AS mag
         FROM (
-            SELECT d.doc_id,
+            SELECT d.doc_id, s.i,
                    (d.doc_id * 7 + s.i * 13) % 64000 - 32000 AS raw
             FROM (SELECT doc_id FROM documents WHERE doc_id < {n_docs}) d
             JOIN (SELECT unnest(range(150)) AS i) s
@@ -957,3 +957,80 @@ def _phash_oracle_sql() -> str:
 def q133_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = phash_media_table(load(spark, sf_dir, "documents"))
     return phash_neardup_pairs(phash_signatures(media))
+
+
+# ---------------------------------------------------------------------------
+# q148: audio energy-delta fingerprint (multimodal x dedup)
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_FRAMES = 8  # frames per clip; fingerprint = 7 energy-delta bits
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Decode mu-law WAV payloads and fingerprint each clip with the
+    energy-delta sign hash (the Haitsma-Kalker robust-audio-hash shape,
+    reduced to one band): samples are split into AUDIO_FP_FRAMES
+    near-equal frames by integer framing (frame = (F*i) div n), frame
+    energy is the exact int64 sum of |sample|, and bit k of the
+    fingerprint is set iff energy[k] > energy[k+1]. All-integer, so the
+    fingerprint is bit-identical across engines and re-runs."""
+    import numpy as np
+
+    from .codecs import wav_decode_ulaw
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = wav_decode_ulaw(bytes(b))
+                n = len(samples)
+                frames = (AUDIO_FP_FRAMES * np.arange(n)) // n
+                a = np.abs(samples.astype(np.int64))
+                e = [int(a[frames == k].sum()) for k in range(AUDIO_FP_FRAMES)]
+                fp = sum(
+                    1 << k
+                    for k in range(AUDIO_FP_FRAMES - 1)
+                    if e[k] > e[k + 1]
+                )
+                ids.append(int(mid))
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "fp": pd.Series(fps, dtype="int64")}
+            )
+
+    return media.mapInPandas(fp_batch, "media_id long, fp long")
+
+
+@register(
+    "q148_audio_fingerprint",
+    oracle=f"""
+    WITH rec AS ({_ULAW_SQL.format(n_docs=N_MEDIA_DOCS)}),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rec GROUP BY 1),
+    fr AS (
+        SELECT r.doc_id,
+               CAST(({AUDIO_FP_FRAMES} * r.i) // n.n AS BIGINT) AS frame,
+               CAST(sum(abs(r.sgn * r.rec_mag)) AS BIGINT) AS e
+        FROM rec r JOIN n ON n.doc_id = r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a.doc_id AS media_id,
+           CAST(sum(CASE WHEN a.e > b.e THEN (1 << a.frame) ELSE 0 END)
+                AS BIGINT) AS fp
+    FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+    GROUP BY 1
+    """,
+    doc="Audio fingerprinting over REAL compressed audio (multimodal x "
+    "dedup): the G.711 mu-law WAVs are decoded by the stdlib codec "
+    "inside mapInPandas, framed into 8 near-equal integer frames, and "
+    "hashed by the 7 energy-delta sign bits (Haitsma-Kalker robust-hash "
+    "shape) — exact int64 end to end. The oracle replays the companding "
+    "transfer function in closed-form SQL (q114's _ULAW_SQL, now "
+    "carrying the sample index) and re-derives the identical bits, so "
+    "the hash certifies decode + framing + fingerprint bit-for-bit. "
+    "Scale: one narrow (media_id, fp) row per clip out of the Arrow "
+    "batches; identical-fp grouping downstream is a plain hash groupBy.",
+)
+def q148_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ulaw_media_table(load(spark, sf_dir, "documents"))
+    return audio_fingerprints(media)
