@@ -680,3 +680,52 @@ def g34_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("adj").alias("outdeg"),
         F.concat_ws(",", F.col("adj")).alias("adj_str"),
     )
+
+
+@register(
+    "g40_gap_histogram",
+    oracle=f"""
+    WITH g AS (SELECT src, adj FROM {_T} WHERE len(adj) >= 2),
+    succ AS (
+        SELECT src, i.i AS i, adj[i.i] AS s
+        FROM g, LATERAL (SELECT unnest(range(1, len(adj) + 1)) AS i) i
+    ),
+    gaps AS (
+        SELECT s - lag(s) OVER (PARTITION BY src ORDER BY i) AS gap
+        FROM succ
+    )
+    SELECT CAST(length(bin(gap)) - 1 AS INTEGER) AS log2_gap,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Successor-gap histogram — the BVGraph compression diagnostic "
+    "(Boldi & Vigna, WWW'04 fig. analysis; gap coding is WHY adjacency "
+    "lists compress): per node, deltas between consecutive sorted "
+    "successors, bucketed by floor(log2(gap)) and counted. The bucket "
+    "uses length(bin(gap))-1 — INTEGER bit-length, not float log2, so "
+    "no power-of-two rounding edge exists in either engine. Spark side "
+    "derives gaps row-locally (zip_with over shifted array slices — no "
+    "self-join, no window); the explode is narrow and only (bucket, "
+    "count) partials ever shuffle; the oracle unnests with a lag "
+    "window. Reading the real "
+    "decoder's output, this doubles as a decode-order certificate: "
+    "any out-of-order successor list would produce a non-positive gap "
+    "and a NULL bin() bucket mismatch.",
+)
+def g40_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = graph_df(spark).filter(F.size("adj") >= 2)
+    gaps = g.select(
+        F.explode(
+            F.zip_with(
+                F.slice("adj", 2, F.size("adj") - 1),
+                F.slice("adj", 1, F.size("adj") - 1),
+                lambda a, b: a - b,
+            )
+        ).alias("gap")
+    )
+    return (
+        gaps.select(F.expr("CAST(length(bin(gap)) - 1 AS INT)").alias("log2_gap"))
+        .groupBy("log2_gap")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
