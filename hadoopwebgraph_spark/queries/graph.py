@@ -729,3 +729,89 @@ def g40_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("log2_gap")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+RENUMBER_BUCKET = 64  # ids per rank bucket; bucket table is |V|/64 rows
+
+
+@register(
+    "g41_subgraph_renumber",
+    oracle=f"""
+    WITH e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
+    kept AS (SELECT node FROM n WHERE node % 3 <> 0),
+    m AS (SELECT node,
+                 CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+                     AS new_id
+          FROM kept),
+    ke AS (
+        SELECT ms.new_id AS s, md.new_id AS d
+        FROM e0
+        JOIN m ms ON ms.node = e0.src
+        JOIN m md ON md.node = e0.dst
+    ),
+    adj AS (SELECT s, list_sort(list(d)) AS a FROM ke GROUP BY s)
+    SELECT m.new_id AS src,
+           CAST(coalesce(len(a), 0) AS INTEGER) AS outdeg,
+           coalesce(array_to_string(a, ','), '') AS adj_str
+    FROM m LEFT JOIN adj ON adj.s = m.new_id
+    """,
+    doc="Induced-subgraph extraction with DENSE renumbering — WebGraph's "
+    "filtered-graph + contiguous-relabel transform, the prerequisite of "
+    "every 'study this subset' workflow (BVGraph node ids must be "
+    "0..K-1): keep nodes with id % 3 != 0, keep edges with both "
+    "endpoints kept, relabel old ids to their dense rank, emit the "
+    "renumbered adjacency (isolated survivors keep an empty list). The "
+    "dense rank is computed WITHOUT a single-partition global window — "
+    "the q146 technique: per-(id div 64) bucket counts, a running sum "
+    "over the tiny bucket table, then row_number partitioned BY BUCKET "
+    "plus the broadcast bucket offset; monotone in the original id, so "
+    "it equals the oracle's global row_number exactly. Scale: two "
+    "narrow label joins remap the edge list (the g25/g30 contraction "
+    "shape); the only per-node sort is within rank buckets of <= 64 "
+    "ids.",
+)
+def g41_subgraph_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = edges_df(spark)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 3 != 0)
+        .withColumn("bucket", F.expr(f"node div {RENUMBER_BUCKET}"))
+    )
+    bcnt = nodes.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    bw = Window.orderBy("bucket")
+    offsets = bcnt.select(
+        "bucket", (F.sum("cnt").over(bw) - F.col("cnt")).alias("off")
+    )
+    rw = Window.partitionBy("bucket").orderBy("node")
+    m = (
+        nodes.join(F.broadcast(offsets), "bucket")
+        .select(
+            "node",
+            (F.col("off") + F.row_number().over(rw) - 1).alias("new_id"),
+        )
+    )
+    ms = m.select(F.col("node").alias("src"), F.col("new_id").alias("s"))
+    md = m.select(F.col("node").alias("dst"), F.col("new_id").alias("d"))
+    adj = (
+        e.join(ms, "src")
+        .join(md, "dst")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("d")).alias("a"))
+    )
+    return (
+        m.select("new_id")
+        .join(adj.select(F.col("s").alias("new_id"), "a"), "new_id", "left")
+        .select(
+            F.col("new_id").alias("src"),
+            F.coalesce(F.size("a"), F.lit(0)).cast("int").alias("outdeg"),
+            F.when(F.col("a").isNull(), F.lit("")).otherwise(
+                F.concat_ws(",", F.col("a"))
+            ).alias("adj_str"),
+        )
+    )

