@@ -966,7 +966,12 @@ JACCARD_TAU_BP = 9000  # tau = 0.90 in basis points
     "table is vocabulary-sized and broadcast.",
 )
 def q142_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sets = _jaccard_token_sets(spark, sf_dir)
+    # persist: the token-set subtree feeds the candidate prefixes AND both
+    # verification sides — unpersisted, Spark re-runs the whole
+    # explode+df-join+sort pipeline ~4x (Python DataFrame reuse does NOT
+    # dedupe plan subtrees, the r1 minhash lesson; measured 47s -> 4.6s
+    # at sf0.1). Process-lifetime cache, the q137 tf-table precedent.
+    sets = _jaccard_token_sets(spark, sf_dir).persist()
     cand = _prefix_filter_candidates(sets)
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
@@ -1090,7 +1095,9 @@ CONTAIN_TAU_BP = 9500  # containment threshold |A ∩ B| / |A| >= 0.95
 )
 def q147_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id < 50 plays the held-out eval set (llmprep.N_EVAL_DOCS).
-    sets = _jaccard_token_sets(spark, sf_dir)
+    # persist: the subtree feeds eval prefixes, eval arrays and the train
+    # side — see q142's note on plan-subtree duplication.
+    sets = _jaccard_token_sets(spark, sf_dir).persist()
     ev = sets.filter(F.col("doc_id") < 50)
     tr = sets.filter(F.col("doc_id") >= 50)
     p = F.expr(f"CAST(n - ({CONTAIN_TAU_BP} * n + 9999) div 10000 + 1 AS INT)")

@@ -815,9 +815,15 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
     "directly on the fps side before the join).",
 )
 def q145_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = winnow_fingerprints(
-        load(spark, sf_dir, "documents")
-    ).select("doc_id", "fp").distinct()
+    # persist: both self-join sides read the winnowing pipeline — without
+    # it the gram+window selection runs twice (q142's subtree-duplication
+    # note; process-lifetime cache, the q137 precedent).
+    fps = (
+        winnow_fingerprints(load(spark, sf_dir, "documents"))
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
