@@ -520,6 +520,8 @@ def q146_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.col("text") != "")
     w = F.split("text", " ")
+    # persist: the scored table feeds the bucket sums, the total and the
+    # selection join — see q142's plan-subtree duplication note
     t = d.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_toks"),
@@ -527,7 +529,7 @@ def q146_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * size(array_distinct(split(text, ' '))))"
             " div size(split(text, ' ')) AS BIGINT)"
         ).alias("score"),
-    )
+    ).persist()
     # <=1001-row bucket table: cumulative token mass best-score-first.
     # cum_before = tokens in strictly better buckets (score DESC, so a
     # row's cum_before plus its own bucket = cum_incl).

@@ -775,7 +775,9 @@ RENUMBER_BUCKET = 64  # ids per rank bucket; bucket table is |V|/64 rows
 def g41_subgraph_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = edges_df(spark)
+    # one BVGraph decode feeds the node union AND the edge remap (the
+    # g05 localCheckpoint sharing — Python DS scans don't dedupe)
+    e = edges_df(spark).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
