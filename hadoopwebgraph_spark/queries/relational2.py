@@ -257,3 +257,79 @@ def q49_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_set("s_name")).alias("n_uniq"),
         )
     )
+
+
+Q149_KEYS = "(0, 2, 4, 6, 8, 10, 12)"  # the Q22 'country code' IN-list
+
+
+@register(
+    "q149_global_sales_opportunity",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+        WHERE c_nationkey IN {Q149_KEYS}
+    ),
+    pos AS (SELECT * FROM base WHERE cents > 0),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(cents) AS BIGINT) AS total
+        FROM pos
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+    FROM base, stats
+    WHERE cents * cnt > total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = base.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 (global sales opportunity) adapted to the fixture "
+    "schema (c_nationkey plays the phone country code): customers from "
+    "a fixed key set with above-average positive balance and NO URGENT "
+    "orders (the fixture's order density makes the literal "
+    "never-ordered set empty below sf0.1 — vacuous; the priority-"
+    "filtered anti join keeps Q22's exact shape non-vacuously at every "
+    "SF), grouped with count + balance total. The composite exercises "
+    "IN-list pruning, a scalar aggregate threshold, a null-aware anti "
+    "join and a final rollup in ONE query. Float discipline: balances "
+    "are integer cents and the above-mean test is the cross-multiplied "
+    "cents*cnt > total — no float average crosses engines, no summation-"
+    "order risk. Scale: the 1-row stats table broadcast-nested-loops "
+    "into the customer scan; the anti join shuffles only the key-set "
+    "customers against the orders key column (Catalyst rewrites NOT "
+    "EXISTS to a left-anti hash join).",
+)
+def q149_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    base = c.filter(
+        F.col("c_nationkey").isin([0, 2, 4, 6, 8, 10, 12])
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    stats = base.filter(F.col("cents") > 0).groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    return (
+        base.join(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("cnt") > F.col("total"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("cents").cast("bigint").alias("totacctbal_cents"),
+        )
+    )
