@@ -860,3 +860,37 @@ def test_subgraph_renumber_ids_dense_and_edges_preserved(spark):
     )
     assert bad == 0
     out.unpersist()
+
+
+def test_triad_census_totals_and_connected_classes_only(spark):
+    """The census total must equal the independently-counted number of
+    distinct connected triples (>= 2 connected dyads), every emitted
+    class must BE a >=2-dyad class (no 0-0-3 / 0-1-2 / 1-0-2), and the
+    class codes must come from the validated canonical set."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.queries.graph import edges_df
+    from hadoopwebgraph_spark.queries.motif import TRIAD_MAN, g42_triad_census
+
+    out = g42_triad_census(spark, "unused").collect()
+    assert all(r.man not in ("0-0-3", "0-1-2", "1-0-2") for r in out)
+    assert all(r.triad_code in TRIAD_MAN for r in out)
+    census_total = sum(r.n_triads for r in out)
+
+    e = edges_df(spark).filter(F.col("src") != F.col("dst")).distinct()
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    ends = und.select(F.col("u").alias("c"), F.col("v").alias("o")).union(
+        und.select(F.col("v").alias("c"), F.col("u").alias("o"))
+    )
+    a, b = ends.alias("a"), ends.alias("b")
+    triples = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.o") < F.col("b.o")))
+        .select(
+            F.array_sort(F.array("a.c", "a.o", "b.o")).alias("t")
+        )
+        .distinct()
+        .count()
+    )
+    assert census_total == triples > 0
