@@ -833,3 +833,176 @@ def q145_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("fp").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi BM25, k1 = 6/5, b = 3/4)
+# ---------------------------------------------------------------------------
+
+# Fixed literal query, alphabetical: the score is summed in this exact
+# syntactic order in BOTH engines, so the float result is bit-identical.
+BM25_TERMS = ("hash", "spark", "stream", "window")
+BM25_TOP_N = 20
+
+
+def _bm25_oracle_sql() -> str:
+    """DuckDB twin of q150. Mirrors the Spark arithmetic step for step:
+    integer micro-nat idf, cross-multiplied integer tf-normalization,
+    fixed-order double addition."""
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    any_term = " OR ".join(f"list_contains(w, '{t}')" for t in BM25_TERMS)
+    df_cols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    idf_cols = ",\n               ".join(
+        f"CAST(round(ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        f" * 1000000) AS BIGINT) AS idf_{t}"
+        for t in BM25_TERMS
+    )
+    contribs = "\n             + ".join(
+        f"(CAST(idf_{t} * 22 * tf_{t} * n_toks AS DOUBLE)"
+        f" / CAST(10 * tf_{t} * n_toks + 3 * n_toks + 9 * dl * n_docs"
+        f" AS DOUBLE))"
+        for t in BM25_TERMS
+    )
+    n_match = " + ".join(
+        f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    tf AS (
+        SELECT doc_id, dl,
+               {tf_cols}
+        FROM d
+        WHERE {any_term}
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS n_toks
+        FROM d
+    ),
+    dfs AS (
+        SELECT {df_cols}
+        FROM tf
+    ),
+    consts AS (
+        SELECT n_docs, n_toks,
+               {idf_cols}
+        FROM stats, dfs
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST({n_match} AS INTEGER) AS n_match,
+               {contribs} AS score
+        FROM tf, consts
+    )
+    SELECT doc_id, n_match, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP_N}
+    """
+
+
+@register(
+    "q150_bm25_topk",
+    oracle=_bm25_oracle_sql(),
+    doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75) of the top-20 "
+    "documents for a fixed multi-term query — the classic lexical "
+    "retrieval stage of a RAG / training-data curation pipeline, "
+    "composing the q137 inverted-index statistics into a ranked "
+    "scorer. Float discipline (the repo's cross-engine contract): idf "
+    "is quantized ONCE per query term to integer micro-nats "
+    "(round(ln(...)*1e6)); the tf normalization is cross-multiplied to "
+    "an exact integer ratio (k1=6/5, b=3/4, avgdl=n_toks/n_docs give "
+    "contrib = idf_micro*22*tf*T / (10*tf*T + 3*T + 9*dl*N), both "
+    "sides < 2^53 so the division is one correctly-rounded IEEE op), "
+    "and the per-document sum adds the per-term doubles in a fixed "
+    "syntactic order — bit-identical across Spark and DuckDB, so the "
+    "ranking and the hashed values both transfer exactly. Scale: tf "
+    "candidates come from one explode+filter (predicate on the 4 query "
+    "terms prunes the token stream before the doc_id aggregation); "
+    "corpus stats and idf are a broadcast 1-row table; the top-20 is "
+    "TakeOrderedAndProject (per-partition heap + driver merge), never "
+    "a global sort or single-partition window.",
+)
+def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    base = d.select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
+    # per-doc term frequencies for the query terms only: explode is
+    # filtered to the 4-term IN-list before anything shuffles, so the
+    # aggregation input is bounded by query-term occurrences, not corpus
+    # token count
+    toks = base.select(
+        "doc_id", "dl", F.explode("w").alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "dl").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_toks"),
+    )
+    dfs = tf.agg(
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    consts = stats.crossJoin(dfs).select(
+        "n_docs",
+        "n_toks",
+        *[
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+                    / (F.col(f"df_{t}") + 0.5)
+                    + 1.0
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias(f"idf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def contrib(t: str) -> F.Column:
+        num = (
+            F.col(f"idf_{t}") * 22 * F.col(f"tf_{t}") * F.col("n_toks")
+        ).cast("double")
+        den = (
+            10 * F.col(f"tf_{t}") * F.col("n_toks")
+            + 3 * F.col("n_toks")
+            + 9 * F.col("dl") * F.col("n_docs")
+        ).cast("double")
+        return num / den
+
+    score = contrib(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + contrib(t)
+    n_match = None
+    for t in BM25_TERMS:
+        flag = (F.col(f"tf_{t}") > 0).cast("int")
+        n_match = flag if n_match is None else n_match + flag
+    return (
+        tf.join(F.broadcast(consts))
+        .select("doc_id", n_match.alias("n_match"), score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_N)
+    )
