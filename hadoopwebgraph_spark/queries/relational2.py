@@ -333,3 +333,138 @@ def q149_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("cents").cast("bigint").alias("totacctbal_cents"),
         )
     )
+
+
+LATE_DAYS = 365  # synthetic dates have no commit/receipt pair; "late" is
+# shipdate lagging the order date by more than a year (p75-ish here)
+
+
+@register(
+    "q151_waiting_suppliers",
+    oracle=f"""
+    WITH l1 AS MATERIALIZED (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): late line "
+    "items on finalized multi-supplier orders where the blamed supplier "
+    "is the ONLY late one — an EXISTS plus a NOT EXISTS, both "
+    "correlated on the order key with a supplier inequality. The late "
+    "predicate is adapted to this schema (no commit/receipt dates): "
+    "shipdate more than a year after the order date. Scale shape: the "
+    "late set is computed once and persisted (it feeds both the probe "
+    "side and the NOT-EXISTS side); the EXISTS becomes a LEFT SEMI and "
+    "the NOT EXISTS a LEFT ANTI hash join, both keyed on l_orderkey "
+    "with the supplier inequality as a residual — per-order fan-in is "
+    "line-count bounded, so no quadratic blowup; supplier is broadcast; "
+    "the top-20 is TakeOrderedAndProject. Counts are exact integers, "
+    "the s_name tiebreak makes the cut deterministic.",
+)
+def q151_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    # the late set feeds two consumers (probe + anti side): persist, or
+    # the join subtree runs twice (the q137/q142 subtree-duplication note)
+    late = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .persist()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    blamed = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q152_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): left outer "
+    "join so zero-order customers survive with c_count = 0, a non-key "
+    "predicate folded INTO the join condition (not a post-filter — an "
+    "outer-join-semantics distinction Catalyst must not flatten), then "
+    "a histogram of the per-customer counts. Scale shape: the first "
+    "aggregation is keyed on c_custkey (unique, skew-free, map-side "
+    "partials); the second input is one row per customer and the "
+    "histogram output is near-constant cardinality, so the final "
+    "shuffle is trivially small. Exact integer output.",
+)
+def q152_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
