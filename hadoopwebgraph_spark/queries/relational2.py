@@ -468,3 +468,67 @@ def q152_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+LARGE_ORDER_QTY = 250  # sum-of-quantities cut: ~1% of orders at every SF
+
+
+@register(
+    "q153_large_volume_customer",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > {LARGE_ORDER_QTY}
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): an IN subquery over a "
+    "HAVING-filtered aggregate of the SAME fact table, joined back "
+    "through orders to the customer dimension, re-aggregated per order "
+    "and top-100'd by price. Scale shape: Catalyst rewrites the IN as "
+    "a left-semi hash join keyed on l_orderkey, and the qualifying-key "
+    "set (~1% of orders) arrives ALREADY aggregated — only (orderkey) "
+    "keys shuffle into the semi, never a second copy of lineitem; both "
+    "lineitem aggregations are map-side-partial on the natural "
+    "l_orderkey clustering; customer is NOT broadcast-hinted (it is a "
+    "fact-sized dimension at warehouse scale — AQE picks broadcast at "
+    "small SF and a shuffled hash join beyond); the top-100 is "
+    "TakeOrderedAndProject with "
+    "an o_orderkey tiebreak so the cut is deterministic. Quantities "
+    "are integral in this fixture, so sum_qty is an exact BIGINT on "
+    "both engines; o_totalprice passes through untouched (same parquet "
+    "bits, no float arithmetic).",
+)
+def q153_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > LARGE_ORDER_QTY)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
