@@ -841,8 +841,8 @@ def q145_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fixed literal query, alphabetical: the score is summed in this exact
 # syntactic order in BOTH engines, so the float result is bit-identical.
-BM25_TERMS = ("hash", "spark", "stream", "window")
-BM25_TOP_N = 20
+Q150_QUERY_TERMS = ("hash", "spark", "stream", "window")
+Q150_TOP_N = 20
 
 
 def _bm25_oracle_sql() -> str:
@@ -851,26 +851,26 @@ def _bm25_oracle_sql() -> str:
     fixed-order double addition."""
     tf_cols = ",\n               ".join(
         f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
-        for t in BM25_TERMS
+        for t in Q150_QUERY_TERMS
     )
-    any_term = " OR ".join(f"list_contains(w, '{t}')" for t in BM25_TERMS)
+    any_term = " OR ".join(f"list_contains(w, '{t}')" for t in Q150_QUERY_TERMS)
     df_cols = ",\n               ".join(
         f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
-        for t in BM25_TERMS
+        for t in Q150_QUERY_TERMS
     )
     idf_cols = ",\n               ".join(
         f"CAST(round(ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
         f" * 1000000) AS BIGINT) AS idf_{t}"
-        for t in BM25_TERMS
+        for t in Q150_QUERY_TERMS
     )
     contribs = "\n             + ".join(
         f"(CAST(idf_{t} * 22 * tf_{t} * n_toks AS DOUBLE)"
         f" / CAST(10 * tf_{t} * n_toks + 3 * n_toks + 9 * dl * n_docs"
         f" AS DOUBLE))"
-        for t in BM25_TERMS
+        for t in Q150_QUERY_TERMS
     )
     n_match = " + ".join(
-        f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS
+        f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in Q150_QUERY_TERMS
     )
     return f"""
     WITH d AS (
@@ -906,18 +906,19 @@ def _bm25_oracle_sql() -> str:
     SELECT doc_id, n_match, score
     FROM scored
     ORDER BY score DESC, doc_id
-    LIMIT {BM25_TOP_N}
+    LIMIT {Q150_TOP_N}
     """
 
 
 @register(
     "q150_bm25_topk",
     oracle=_bm25_oracle_sql(),
-    doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75) of the top-20 "
-    "documents for a fixed multi-term query — the classic lexical "
-    "retrieval stage of a RAG / training-data curation pipeline, "
-    "composing the q137 inverted-index statistics into a ranked "
-    "scorer. Float discipline (the repo's cross-engine contract): idf "
+    doc="Okapi BM25 ranked RETRIEVAL (k1=1.2, b=0.75): the global top-20 "
+    "documents for a fixed multi-term query — the lexical retrieval "
+    "stage of a RAG / training-data curation pipeline. Distinct from "
+    "q85 (per-document BM25 scores, rounded for comparison): this is "
+    "the top-k cut itself, which demands a BIT-IDENTICAL score so the "
+    "ranking boundary transfers across engines with no rounding. Float discipline (the repo's cross-engine contract): idf "
     "is quantized ONCE per query term to integer micro-nats "
     "(round(ln(...)*1e6)); the tf normalization is cross-multiplied to "
     "an exact integer ratio (k1=6/5, b=3/4, avgdl=n_toks/n_docs give "
@@ -943,13 +944,13 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token count
     toks = base.select(
         "doc_id", "dl", F.explode("w").alias("term")
-    ).filter(F.col("term").isin(*BM25_TERMS))
+    ).filter(F.col("term").isin(*Q150_QUERY_TERMS))
     tf = toks.groupBy("doc_id", "dl").agg(
         *[
             F.sum(F.when(F.col("term") == t, 1).otherwise(0))
             .cast("bigint")
             .alias(f"tf_{t}")
-            for t in BM25_TERMS
+            for t in Q150_QUERY_TERMS
         ]
     )
     stats = base.agg(
@@ -961,7 +962,7 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col(f"tf_{t}") > 0).cast("bigint"))
             .cast("bigint")
             .alias(f"df_{t}")
-            for t in BM25_TERMS
+            for t in Q150_QUERY_TERMS
         ]
     )
     consts = stats.crossJoin(dfs).select(
@@ -978,7 +979,7 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias(f"idf_{t}")
-            for t in BM25_TERMS
+            for t in Q150_QUERY_TERMS
         ],
     )
 
@@ -993,16 +994,16 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         return num / den
 
-    score = contrib(BM25_TERMS[0])
-    for t in BM25_TERMS[1:]:
+    score = contrib(Q150_QUERY_TERMS[0])
+    for t in Q150_QUERY_TERMS[1:]:
         score = score + contrib(t)
     n_match = None
-    for t in BM25_TERMS:
+    for t in Q150_QUERY_TERMS:
         flag = (F.col(f"tf_{t}") > 0).cast("int")
         n_match = flag if n_match is None else n_match + flag
     return (
         tf.join(F.broadcast(consts))
         .select("doc_id", n_match.alias("n_match"), score.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOP_N)
+        .limit(Q150_TOP_N)
     )
