@@ -945,13 +945,21 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = base.select(
         "doc_id", "dl", F.explode("w").alias("term")
     ).filter(F.col("term").isin(*Q150_QUERY_TERMS))
-    tf = toks.groupBy("doc_id", "dl").agg(
-        *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"tf_{t}")
-            for t in Q150_QUERY_TERMS
-        ]
+    # tf feeds BOTH the df-statistics branch and the final scorer:
+    # persist, or the explode+aggregate subtree (and its corpus scan)
+    # runs twice (the q137/q142 subtree-duplication note; the cached
+    # table is one narrow row per candidate document)
+    tf = (
+        toks.groupBy("doc_id", "dl")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf_{t}")
+                for t in Q150_QUERY_TERMS
+            ]
+        )
+        .persist()
     )
     stats = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -599,3 +599,70 @@ def test_q146_no_global_corpus_sort(spark, sf_small):
         l for l in plan.splitlines() if re.match(r"^\(\d+\) Window", l)
     ]
     assert windows, plan
+
+
+def test_q150_bm25_pruned_explode_and_topk_heap(spark, sf_small):
+    """BM25 retrieval: the candidate tf table is persisted (one explode
+    feeding both the df-statistics and the scorer), the per-document
+    aggregation stays HashAggregate, and the global top-20 is a heap
+    (TakeOrderedAndProject), never a global sort."""
+    from hadoopwebgraph_spark.functions.text import q150_bm25_topk
+
+    import re
+
+    plan = _plan(q150_bm25_topk(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortAggregate" not in plan
+    cached = [
+        l for l in plan.splitlines()
+        if re.match(r"^\(\d+\) InMemoryTableScan", l)
+    ]
+    assert len(cached) == 2, plan  # df-stats branch + scorer branch
+
+
+def test_q151_semi_anti_on_orderkey(spark, sf_small):
+    """Q21 shape: EXISTS plans a LeftSemi and NOT EXISTS a LeftAnti, both
+    hash-keyed on the order key (supplier inequality as residual, never a
+    cartesian); the persisted late set feeds both consumers; the top-20
+    is TakeOrderedAndProject."""
+    from hadoopwebgraph_spark.queries.relational2 import q151_waiting_suppliers
+
+    import re
+
+    plan = _plan(q151_waiting_suppliers(spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    cached = [
+        l for l in plan.splitlines()
+        if re.match(r"^\(\d+\) InMemoryTableScan", l)
+    ]
+    assert len(cached) == 2, plan  # probe side + anti side
+
+
+def test_q152_outer_join_condition_not_flattened(spark, sf_small):
+    """Q13 shape: the priority predicate must stay INSIDE the outer join
+    (a post-filter would drop zero-order customers); both aggregations
+    are hash aggregates with map-side partials."""
+    from hadoopwebgraph_spark.queries.relational2 import (
+        q152_customer_distribution,
+    )
+
+    plan = _plan(q152_customer_distribution(spark, sf_small))
+    assert "LeftOuter" in plan
+    assert "SortAggregate" not in plan
+    assert "partial_count" in plan
+
+
+def test_q153_in_subquery_rewrites_to_semi(spark, sf_small):
+    """Q18 shape: the IN over the HAVING aggregate becomes a LeftSemi hash
+    join fed by already-aggregated keys; top-100 is a heap."""
+    from hadoopwebgraph_spark.queries.relational2 import (
+        q153_large_volume_customer,
+    )
+
+    plan = _plan(q153_large_volume_customer(spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
