@@ -2436,3 +2436,181 @@ def _sssp_oracle_sql(twin: str, source: int, rounds: int) -> str:
 )
 def g39_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sssp(edges_df(spark), source=0, rounds=16)
+
+
+# ---------------------------------------------------------------------------
+# g43: maximal independent set (deterministic Luby) — symmetry breaking
+# ---------------------------------------------------------------------------
+
+MIS_ROUNDS = 6  # fixture converges in 4 synchronous rounds (tested)
+
+
+def maximal_independent_set(
+    nodes: DataFrame, edges: DataFrame, rounds: int = MIS_ROUNDS
+) -> DataFrame:
+    """Deterministic Luby-style maximal independent set over the
+    symmetrized graph, run for a FIXED number of synchronous rounds.
+
+    Each node gets a fixed priority p(v) = md5('mis-' || v) (the repo's
+    cross-engine tiebreak contract, as in g32/g33). Per round, every
+    still-undecided node whose priority is a strict local minimum among
+    its undecided neighbors joins the MIS simultaneously (a node with no
+    undecided neighbor always joins — 'g' sentinel sorts above every hex
+    digest); its undecided neighbors become removed. With fixed
+    priorities the parallel schedule is fully deterministic — the same
+    MIS the sequential greedy-by-priority would pick — so the unrolled
+    round-by-round SQL oracle reproduces it exactly, converged or not
+    (the classic Luby'86 symmetry-breaking primitive, md5-derandomized).
+
+    Scale: per round one (edges ⋈ undecided) join + min-aggregation
+    (HashAggregate — priorities are fixed-width strings in the GROUP
+    key, only min(p) in the buffer) plus two anti joins, all keyed on
+    node/dst; the static symmetrized edge table is hash-partitioned on
+    dst and persisted so only the shrinking undecided set moves each
+    round. Decided nodes leave the frontier immediately — total work is
+    O(sum of per-round frontier degrees), the g16/g39 frontier
+    discipline. Expected O(log n) rounds for md5 (i.e. random-like)
+    priorities.
+
+    Returns DataFrame[node, status, decided_round] with status 1 = in
+    MIS, 2 = removed (has an MIS neighbor), 0 = undecided after
+    ``rounds`` (absent once converged; tests assert convergence).
+    """
+    spark = nodes.sparkSession
+    nshuf = _shuffle_partitions(spark)
+    e0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(nshuf, "dst")
+        .persist()
+    )
+    und = nodes.select(
+        "node",
+        F.md5(F.concat(F.lit("mis-"), F.col("node").cast("string"))).alias(
+            "p"
+        ),
+    )
+    decided: list[DataFrame] = []
+    for i in range(1, rounds + 1):
+        nbmin = (
+            sym.join(
+                und.select(
+                    F.col("node").alias("_dn"), F.col("p").alias("_dp")
+                ),
+                sym.dst == F.col("_dn"),
+            )
+            .groupBy("src")
+            .agg(F.min("_dp").alias("nbmin"))
+        )
+        # m feeds three consumers (removed-set, output, frontier update):
+        # materialize, or the join subtree replays per consumer
+        m = (
+            und.join(nbmin, und.node == nbmin.src, "left")
+            .filter(F.col("p") < F.coalesce(F.col("nbmin"), F.lit("g")))
+            .select("node")
+            .localCheckpoint()
+        )
+        rem = (
+            sym.join(
+                m.select(F.col("node").alias("_mn")), sym.src == F.col("_mn")
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(und, "node", "left_semi")
+            .join(m, "node", "left_anti")
+            .localCheckpoint()
+        )
+        decided.append(
+            m.select(
+                "node",
+                F.lit(1).alias("status"),
+                F.lit(i).alias("decided_round"),
+            )
+        )
+        decided.append(
+            rem.select(
+                "node",
+                F.lit(2).alias("status"),
+                F.lit(i).alias("decided_round"),
+            )
+        )
+        und = (
+            und.join(m, "node", "left_anti")
+            .join(rem, "node", "left_anti")
+            .localCheckpoint()
+        )
+    out = decided[0]
+    for d in decided[1:]:
+        out = out.unionAll(d)
+    out = out.unionAll(
+        und.select(
+            "node", F.lit(0).alias("status"), F.lit(0).alias("decided_round")
+        )
+    )
+    sym.unpersist()
+    return out
+
+
+def _mis_oracle_sql(twin: str, rounds: int = MIS_ROUNDS) -> str:
+    """Unrolled-CTE oracle for g43: the same synchronous schedule round
+    by round (AS MATERIALIZED per block — DuckDB inlines multi-referenced
+    CTEs, which would make the unrolled fixpoint exponential)."""
+    blocks = [
+        f"""
+    e0 AS MATERIALIZED (SELECT src, unnest(adj) AS dst FROM {twin}),
+    sym AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst
+            UNION SELECT dst, src FROM e0 WHERE src <> dst),
+    u0 AS MATERIALIZED (SELECT src AS node,
+            md5('mis-' || CAST(src AS VARCHAR)) AS p FROM {twin})"""
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(
+            f"""
+    nb{i} AS MATERIALIZED (SELECT s.src AS node, min(u.p) AS nbmin
+            FROM sym s JOIN u{i - 1} u ON u.node = s.dst GROUP BY s.src),
+    m{i} AS MATERIALIZED (SELECT u.node FROM u{i - 1} u
+            LEFT JOIN nb{i} b ON b.node = u.node
+            WHERE u.p < coalesce(b.nbmin, 'g')),
+    r{i} AS MATERIALIZED (SELECT DISTINCT s.dst AS node
+            FROM sym s JOIN m{i} m ON m.node = s.src
+            JOIN u{i - 1} u ON u.node = s.dst
+            WHERE s.dst NOT IN (SELECT node FROM m{i})),
+    u{i} AS MATERIALIZED (SELECT u.node, u.p FROM u{i - 1} u
+            WHERE u.node NOT IN (SELECT node FROM m{i})
+              AND u.node NOT IN (SELECT node FROM r{i}))"""
+        )
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"SELECT node, CAST(1 AS INTEGER) AS status,"
+            f" CAST({i} AS INTEGER) AS decided_round FROM m{i}"
+        )
+        parts.append(
+            f"SELECT node, CAST(2 AS INTEGER),"
+            f" CAST({i} AS INTEGER) FROM r{i}"
+        )
+    parts.append(
+        f"SELECT node, CAST(0 AS INTEGER), CAST(0 AS INTEGER) FROM u{rounds}"
+    )
+    return "WITH" + ",".join(blocks) + "\n    " + "\n    UNION ALL ".join(parts)
+
+
+@register(
+    "g43_maximal_independent_set",
+    oracle=_mis_oracle_sql(_T),
+    doc="Maximal independent set via derandomized Luby symmetry breaking "
+    "(fixed md5 priorities, 6 synchronous rounds; the fixture converges "
+    "in 4 — asserted in tests, with independence and maximality "
+    "invariants). Emits (node, status, decided_round). Oracle = the "
+    "identical schedule unrolled into materialized CTE blocks.",
+)
+def g43_maximal_independent_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    g = graph_df(spark)
+    nodes = g.select(F.col("src").alias("node"))
+    edges = g.select("src", F.explode("adj").alias("dst"))
+    return maximal_independent_set(nodes, edges, rounds=MIS_ROUNDS)

@@ -528,3 +528,30 @@ def test_ktruss_fixpoint_within_round_budget(spark):
     assert 0 < len(t4) < n_und
     # truss membership implies the support bound everywhere
     assert all(s >= 1 for s in t4.values())
+
+
+def test_g43_mis_converges_and_invariants(spark):
+    """The fixture must converge within the fixed rounds (no undecided
+    rows), and the result must be a true MIS: independent (no edge joins
+    two MIS nodes) and maximal (every non-MIS node has an MIS neighbor)."""
+    from hadoopwebgraph_spark.queries.graph import graph_df
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        g43_maximal_independent_set,
+    )
+
+    rows = g43_maximal_independent_set(spark, "unused").collect()
+    status = {r.node: r.status for r in rows}
+    assert 0 not in status.values()  # converged inside MIS_ROUNDS
+    g = graph_df(spark).collect()
+    sym = set()
+    for r in g:
+        for d in r.adj:
+            if d != r.src:
+                sym.add((r.src, d))
+                sym.add((d, r.src))
+    mis = {n for n, s in status.items() if s == 1}
+    assert not any(u in mis and v in mis for u, v in sym)  # independence
+    nbrs_in_mis = {u for u, v in sym if v in mis}
+    non_mis = {n for n, s in status.items() if s == 2}
+    assert non_mis <= nbrs_in_mis  # maximality: removed ⇒ MIS neighbor
+    assert len(status) == len(g)  # every node classified exactly once
