@@ -555,3 +555,46 @@ def test_g43_mis_converges_and_invariants(spark):
     non_mis = {n for n, s in status.items() if s == 2}
     assert non_mis <= nbrs_in_mis  # maximality: removed ⇒ MIS neighbor
     assert len(status) == len(g)  # every node classified exactly once
+
+
+def test_g43_mis_equals_sequential_greedy(spark):
+    """Structural determinism: with FIXED priorities, the synchronous
+    parallel schedule must produce exactly the MIS the sequential greedy
+    computes scanning nodes in ascending priority — the classic
+    fixed-priority Luby equivalence. Checked on several random digraphs
+    (rounds = n guarantees convergence: each round decides at least the
+    globally minimal undecided node)."""
+    import hashlib
+    import random
+
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        maximal_independent_set,
+    )
+
+    def prio(v: int) -> str:
+        return hashlib.md5(f"mis-{v}".encode()).hexdigest()
+
+    for seed in (1, 7, 42, 99):
+        rng = random.Random(seed)
+        n = rng.randint(6, 12)
+        arcs = [
+            (u, v)
+            for u in range(n)
+            for v in range(n)
+            if u != v and rng.random() < 0.3
+        ]
+        sym = set(arcs) | {(v, u) for u, v in arcs}
+        expected = set()
+        for v in sorted(range(n), key=prio):
+            if not any((v, u) in sym for u in expected):
+                expected.add(v)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges = (
+            spark.createDataFrame(arcs, "src long, dst long")
+            if arcs
+            else spark.createDataFrame([], "src long, dst long")
+        )
+        res = maximal_independent_set(nodes, edges, rounds=n).collect()
+        got = {r.node for r in res if r.status == 1}
+        assert got == expected, (seed, sorted(got), sorted(expected))
+        assert {r.node for r in res} == set(range(n))
