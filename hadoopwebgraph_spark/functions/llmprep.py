@@ -293,13 +293,28 @@ _QF_RULES_SQL = """
 )
 def q105_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    reasons = quality_reasons()
+    return quality_signals(docs).select(
+        "doc_id",
+        "n_words",
+        reasons.alias("reasons"),
+        (reasons == "").alias("pass"),
+    )
+
+
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """Per-document quality signals shared by q105 and q154 (one Spark
+    implementation so the composed pipeline can never drift from the
+    standalone filter): word count, most-frequent-word share, type-token
+    ratio, stopword count — ratios rounded to 4 decimals so both engines
+    threshold identical doubles."""
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     wc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sig = wc.groupBy("doc_id").agg(
+    return wc.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),
         F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_word_frac"),
         F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 4).alias("ttr"),
@@ -307,19 +322,18 @@ def q105_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_stop"
         ),
     )
-    reasons = F.concat_ws(
+
+
+def quality_reasons() -> F.Column:
+    """The ordered Gopher-rule reasons string over quality_signals
+    columns — the Spark twin of _QF_RULES_SQL."""
+    return F.concat_ws(
         ",",
         F.when(F.col("n_words") < 15, "too_short"),
         F.when(F.col("n_words") > 120, "too_long"),
         F.when(F.col("top_word_frac") > 0.15, "repetitive"),
         F.when(F.col("ttr") < 0.5, "low_diversity"),
         F.when(F.col("n_stop") < 2, "no_stopwords"),
-    )
-    return sig.select(
-        "doc_id",
-        "n_words",
-        reasons.alias("reasons"),
-        (reasons == "").alias("pass"),
     )
 
 
@@ -565,3 +579,77 @@ def q146_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "n_toks")
     )
     return inside.union(boundary)
+
+
+# ---------------------------------------------------------------------------
+# q154: the composed curation pipeline (dedup -> quality -> split)
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle_sql() -> str:
+    from .sampling import TEST_DIGITS, VAL_DIGITS
+
+    return f"""
+    WITH kept0 AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    tok AS (
+        SELECT d.doc_id, unnest(string_split(x.text, ' ')) AS word
+        FROM kept0 d JOIN documents x ON x.doc_id = d.doc_id
+    ),
+    wc AS (
+        SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_word_frac,
+               round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+               CAST(count(*) FILTER (WHERE word IN {_STOP_SQL}) AS BIGINT)
+                   AS n_stop
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN {VAL_DIGITS!r} THEN 'val'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN {TEST_DIGITS!r} THEN 'test'
+                ELSE 'train'
+           END AS split,
+           n_words
+    FROM sig
+    WHERE concat_ws(',', {_QF_RULES_SQL}) = ''
+    """
+
+
+@register(
+    "q154_curation_pipeline",
+    oracle=_curation_oracle_sql(),
+    doc="The composed end-to-end curation pipeline a pretraining run "
+    "actually executes, as ONE declarative plan: exact dedup "
+    "(keep-first per sha256(text), q61's contract) -> Gopher quality "
+    "filter (q105's signals and rules, via the SHARED "
+    "quality_signals/quality_reasons helpers so the composition can "
+    "never drift from the standalone operators) -> leakage-safe "
+    "train/val/test assignment (q87's md5 hash bands). Emits the "
+    "surviving corpus manifest (doc_id, split, n_words). Scale shape: "
+    "dedup shuffles 32-byte digests (never full text twice), the "
+    "survivor set joins back LEFT SEMI so only kept docs are tokenized, "
+    "quality is the q105 two-level partial agg, and the split is a "
+    "row-local hash — three shuffles total for a three-stage pipeline, "
+    "each keyed to avoid skew (digest / doc_id / none). Membership is "
+    "md5-stable: a document's split never changes as the corpus grows.",
+)
+def q154_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import dataset_split
+
+    docs = load(spark, sf_dir, "documents")
+    kept_ids = (
+        docs.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(kept_ids, "doc_id", "left_semi")
+    sig = quality_signals(survivors)
+    kept = sig.filter(quality_reasons() == "").select("doc_id", "n_words")
+    return dataset_split(kept).select("doc_id", "split", "n_words")
