@@ -280,6 +280,41 @@ _DRIVER_GREEN.update(
 # while g35 transitively covered the old one.
 _DRIVER_GREEN["g33_random_walks"] = 0
 
+# Round 10 verified the 50-row window of the 30 round-10 registrations
+# (g36-g43, q133-q154, plus the g33 reset) and the 20 least-recently-verified
+# names — CORRECTNESS_r10.json: 48 hash-matched, q76/q77 rows-only by design
+# (iterative ANN training; recall-tested locally instead). Stamping them 10
+# rotates the 41 remaining round-6-or-earlier names into round 11's window
+# (VERDICT r10 item #1: keep new round-11 registrations <= 9 so the whole
+# stale cohort clears).
+_DRIVER_GREEN.update(
+    {
+        name: 10
+        for name in (
+            "g01_adjacency g02_degree_distribution g03_edges "
+            "g04_indegree_topk g05_two_hop g06_triangle_motif "
+            "g07_graph_counts g08_symmetrize g09_src_range_scan "
+            "g33_random_walks g36_double_sweep_diameter g37_ktruss "
+            "g38_topo_levels g39_weighted_sssp g40_gap_histogram "
+            "g41_subgraph_renumber g42_triad_census "
+            "g43_maximal_independent_set q133_phash_neardup "
+            "q134_dedup_keep_best q135_rh_lsh_embedding q136_sessionize "
+            "q137_inverted_index q138_pmi_cooccur q139_leakage_safe_split "
+            "q140_unigram_logprob q141_centrality_weighted_corpus "
+            "q142_prefix_jaccard_join q143_heavy_hitters "
+            "q144_winnow_fingerprint q145_winnow_overlap_pairs "
+            "q146_token_budget_select q147_containment_decontaminate "
+            "q148_audio_fingerprint q149_global_sales_opportunity "
+            "q150_bm25_topk q151_waiting_suppliers q152_customer_distribution "
+            "q153_large_volume_customer q154_curation_pipeline "
+            "q48_inmemory_scan q49_collect_agg q56_shipping_priority "
+            "q57_local_supplier_volume q58_pure_theta q76_sim_opq_topk "
+            "q77_sim_knn_graph_topk q97_jpeg_decode q98_decontaminate "
+            "q99_pii_scrub"
+        ).split()
+    }
+)
+
 
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
