@@ -120,6 +120,16 @@ def _recover_compaction(fs, base: str) -> None:
                 # originals fully in old; base holds staging leftovers
                 if base_exists():
                     fs.delete_dir(base)
+                # Demote to the begin-only state BEFORE restoring:
+                # move_dir is per-object on object storage, so a crash
+                # mid-restore leaves originals split across base and
+                # old — and with the cleared marker still present the
+                # NEXT recovery would hit base_exists() -> delete_dir
+                # and destroy the already-restored rows. With the
+                # marker gone first, a mid-restore crash re-enters the
+                # begin-only branch below, whose merge is idempotent.
+                fs.delete_file(f"{base}.swap-cleared-{token}")
+                cleareds.discard(token)
                 move_dir(fs, old, base)
             else:
                 # base->old crashed midway: merge the moved-out part back

@@ -249,6 +249,58 @@ def test_random_walks_checkpoint_interval_guard(spark):
         )
 
 
+def test_crash_mid_recovery_restore_merges_not_deletes(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): recovery's cleared branch must demote to the
+    begin-only state (delete the .swap-cleared marker) BEFORE restoring
+    .old-token -> base. On object storage the restore is per-object; a
+    crash midway leaves originals split across base and .old-token. If
+    the cleared marker survived that crash, the NEXT recovery would
+    base_exists() -> delete_dir(base) and permanently destroy the
+    already-restored half. This test injects exactly that mid-restore
+    crash and asserts the second run MERGES, never deletes."""
+    import os
+    import shutil
+
+    from hadoopwebgraph_spark.functions import maintenance
+    from hadoopwebgraph_spark.bvgraph.storage import move_dir as real_move
+
+    path = str(tmp_path / "tbl")
+    _make_small_files(spark, path)
+    before = {r.payload for r in spark.read.parquet(path).collect()}
+    # fabricate the cleared crash state: originals fully in .old-tok,
+    # base holding a partial staging install
+    shutil.move(path, str(tmp_path / "tbl.old-tok"))
+    _make_small_files(spark, path, n_files=1, rows=40)
+    (tmp_path / "tbl.swap-begin-tok").touch()
+    (tmp_path / "tbl.swap-cleared-tok").touch()
+
+    class _Crash(RuntimeError):
+        pass
+
+    def half_move_then_crash(fs, src, dst):
+        # per-object move that dies halfway, as object storage would
+        os.makedirs(dst, exist_ok=True)
+        files = sorted(os.listdir(src))
+        for f in files[: max(1, len(files) // 2)]:
+            shutil.move(os.path.join(src, f), os.path.join(dst, f))
+        raise _Crash("injected mid-restore")
+
+    monkeypatch.setattr(maintenance, "move_dir", half_move_then_crash)
+    with pytest.raises(_Crash):
+        maintenance.compact_files(spark, path, target_bytes=1 << 30)
+    # the cleared marker must already be gone (demoted before the move),
+    # so the next recovery takes the idempotent begin-only merge branch
+    assert not (tmp_path / "tbl.swap-cleared-tok").exists()
+    assert (tmp_path / "tbl.swap-begin-tok").exists()
+    assert (tmp_path / "tbl").exists() and (tmp_path / "tbl.old-tok").exists()
+
+    monkeypatch.setattr(maintenance, "move_dir", real_move)
+    maintenance.compact_files(spark, path, target_bytes=1 << 30)
+    after = {r.payload for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["tbl"]
+
+
 def test_compact_files_crash_sweep_every_mutation(spark, tmp_path, monkeypatch):
     """Exhaustive crash injection: kill compact_files at the 1st, 2nd,
     ... k-th filesystem mutation (marker writes, moves, deletes) and
