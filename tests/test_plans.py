@@ -666,3 +666,45 @@ def test_q153_in_subquery_rewrites_to_semi(spark, sf_small):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q77_ring_build_no_global_corpus_window(spark, sf_small):
+    """VERDICT r10 scale fix: the kNN-graph build's ring edges must never
+    plan an un-partitioned Window over corpus rows. The bucket-offset
+    rewrite hash-partitions the intra-bucket lead on (vec_id div 1024);
+    the only single-partition window runs on the post-Aggregate per-bucket
+    boundary table (n/1024 rows). Pin: the corpus-row Window is preceded
+    by hashpartitioning(bucket...), and every SinglePartition exchange in
+    the plan feeds a subtree that already aggregated."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.similarity import _ring_edges
+
+    import re
+
+    assigned = load(spark, sf_small, "embeddings").select("vec_id")
+    plan = _plan(_ring_edges(assigned))
+    assert "hashpartitioning(bucket" in plan, plan
+    # exactly one unpartitioned exchange — the tiny boundary table — and
+    # the plan must contain a HashAggregate between it and the scan
+    single = plan.count("SinglePartition")
+    assert single <= 1, plan
+    if single:
+        assert "HashAggregate" in plan, plan
+
+
+def test_ring_edges_equal_global_lead(spark):
+    """The bucket-offset ring emits exactly the globally consecutive id
+    pairs — including across bucket boundaries and with sparse/absent
+    buckets — matching the old global-window construction it replaced."""
+    from pyspark.sql import Window, functions as F
+
+    from hadoopwebgraph_spark.functions.similarity import _ring_edges
+
+    # sparse, gap-heavy ids spanning several 1024-buckets, some empty
+    ids = [0, 1, 5, 1023, 1024, 1025, 4096, 4097, 9999, 10240, 99999]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = sorted(
+        (r.vec_id, r.nxt) for r in _ring_edges(df).collect()
+    )
+    want = sorted(zip(sorted(ids), sorted(ids)[1:]))
+    assert got == want
