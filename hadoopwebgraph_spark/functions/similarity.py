@@ -401,6 +401,77 @@ def _read_model(path: str) -> dict:
         return json.load(f)
 
 
+# ---------------------------------------------------------------------------
+# Committed oracle mirrors (VERDICT r10 item #3) — the trained index
+# artifacts (centroids / inverted file / codebooks / code tables / rotated
+# queries / kNN-graph edges) exported once per fixture corpus by
+# scripts/export_ann_mirror.py and committed under fixtures/ann/, hive-
+# partitioned by a content-derived integer corpus key. Given a PERSISTED
+# index, every ANN probe is a deterministic SQL-expressible scan, so with
+# BOTH engines reading the same committed artifacts the probes gain full
+# DuckDB hash oracles (previously rows-only: training is iterative float
+# k-means and stays outside the oracle contract — exactly the train-once /
+# probe-forever lifecycle split these indexes already had).
+#
+# The corpus key is count(*) + sum(floor(embedding[1] * 1e6)) — pure
+# int64 arithmetic on IEEE doubles, bit-identical across Spark and DuckDB
+# (the q150 integer-contract discipline), and content-derived because the
+# driver's sf0.001 and sf0.01 embeddings tables have the SAME row count.
+# Probes fall back to the live-built index when no mirror matches (e.g. a
+# user's own corpus); the oracles only exist for mirrored fixtures.
+# ---------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+ANN_MIRROR_ROOT = os.path.join(_REPO_ROOT, "fixtures", "ann")
+
+_CKEY_SQL = (
+    "(SELECT count(*) + sum(CAST(floor(CAST(embedding[1] AS DOUBLE) "
+    "* 1000000) AS BIGINT)) FROM embeddings)"
+)
+
+
+def _corpus_key(e: DataFrame) -> int:
+    """Content-derived int64 fingerprint of an embeddings table; the
+    Spark twin of _CKEY_SQL (identical by IEEE-double + int64 exactness)."""
+    row = e.select(
+        (
+            F.count(F.lit(1))
+            + F.sum(
+                F.floor(
+                    F.element_at("embedding", 1).cast("double")
+                    * F.lit(1000000.0)
+                ).cast("long")
+            )
+        ).alias("k")
+    ).collect()[0]
+    return int(row.k)
+
+
+def _mirror_dir(sub: str, ckey: int) -> str | None:
+    d = os.path.join(ANN_MIRROR_ROOT, sub, f"ckey={ckey}")
+    if os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d)):
+        return d
+    return None
+
+
+def _mirror_df(spark: SparkSession, sub: str, ckey: int) -> DataFrame | None:
+    d = _mirror_dir(sub, ckey)
+    return None if d is None else spark.read.parquet(d)
+
+
+def _mirror_sql(sub: str, cols: str) -> str:
+    """DuckDB-side mirror reader: the hive glob selects every committed
+    corpus, the ckey filter picks the one matching the session's
+    embeddings view."""
+    return (
+        f"SELECT {cols} FROM read_parquet("
+        f"'{ANN_MIRROR_ROOT}/{sub}/*/*.parquet', hive_partitioning = 1) "
+        f"WHERE ckey = {_CKEY_SQL}"
+    )
+
+
 def build_ivf_index(
     spark: SparkSession, sf_dir: str, k: int = 10, iterations: int = 4
 ) -> str:
@@ -437,15 +508,35 @@ def ivf_probe(
     """Probe-only half: broadcast the persisted centroids, pick nprobe
     cells per query, scan ONLY those cells of the inverted file (cid is
     the parquet partition key — the cell join prunes partitions), exact
-    rerank within them via the two-phase top-k."""
-    path = index_path or build_ivf_index(spark, sf_dir)
-    model = _read_model(path)
-    cent = spark.createDataFrame(
-        [(cid, cvec) for cid, cvec in model["centroids"]],
-        "cid int, cvec array<double>",
-    )
-    assigned = spark.read.parquet(os.path.join(path, "invfile"))
-    queries = load(spark, sf_dir, "embeddings").filter(
+    rerank within them via the two-phase top-k.
+
+    When the corpus matches a committed fixture mirror the centroids and
+    inverted file come from fixtures/ann/ (the same artifacts the DuckDB
+    oracle reads — parity is structural); otherwise the live-built index
+    serves, with its vector-carrying cid-partitioned inverted file (the
+    production layout: pruning + no rerank join)."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = assigned = None
+    if index_path is None:
+        ck = _corpus_key(e)
+        cent = _mirror_df(spark, "ivf_centroids", ck)
+        inv = _mirror_df(spark, "ivf_invfile", ck)
+        if cent is not None and inv is not None:
+            corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+                "vec_id", F.col("embedding").alias("v")
+            )
+            assigned = inv.join(corpus, "vec_id")
+        else:
+            cent = assigned = None
+    if assigned is None:
+        path = index_path or build_ivf_index(spark, sf_dir)
+        model = _read_model(path)
+        cent = spark.createDataFrame(
+            [(cid, cvec) for cid, cvec in model["centroids"]],
+            "cid int, cvec array<double>",
+        )
+        assigned = spark.read.parquet(os.path.join(path, "invfile"))
+    queries = e.filter(
         F.col("vec_id") < N_QUERIES
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
 
@@ -527,8 +618,44 @@ def ivf_index_append_stream(
 
 @register(
     "q73_sim_ivf_kmeans_topk",
-    oracle=None,  # iterative k-means isn't one SQL statement; certified by
-    # the recall test vs the exact q70 baseline (tests/test_extensions.py)
+    # Probe-stage oracle (VERDICT r10 #3): both engines read the SAME
+    # committed index mirror (fixtures/ann/, see scripts/
+    # export_ann_mirror.py), so the probe — centroid ranking, nprobe=2
+    # cell selection, exact cosine rerank — is a deterministic SQL scan.
+    # TRAINING stays outside the contract (iterative float k-means).
+    oracle=f"""
+    WITH cent AS MATERIALIZED ({_mirror_sql('ivf_centroids', 'cid, cvec')}),
+    inv AS MATERIALIZED ({_mirror_sql('ivf_invfile', 'vec_id, cid')}),
+    q AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    probe AS MATERIALIZED (
+        SELECT query_id, cid, qv,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_cos_sql('qv', 'cvec')} DESC, cid) AS INTEGER)
+                   AS cr
+        FROM q CROSS JOIN cent
+    ),
+    cand AS (
+        SELECT p.query_id, i.vec_id AS neighbor_id,
+               {_cos_sql('p.qv', 'e.embedding')} AS cos
+        FROM probe p
+        JOIN inv i ON i.cid = p.cid
+        JOIN embeddings e ON e.vec_id = i.vec_id
+        WHERE p.cr <= 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS INTEGER) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
     doc="IVF top-k over LEARNED centroids: 4 distributed Lloyd iterations "
     "(k=10, deterministic seed = lowest vec_ids) run ONCE in "
     "build_ivf_index (persisted model + cid-partitioned inverted file); "
@@ -731,6 +858,7 @@ def pq_probe(
     sf_dir: str,
     k: int = TOP_K,
     index_path: str | None = None,
+    kind: str = "pq",
 ) -> DataFrame:
     """Probe-only half: ADC scan of the persisted code table via
     broadcast per-query distance tables, two-phase candidate top-k, then
@@ -739,14 +867,13 @@ def pq_probe(
     carries an OPQ ``rotation``, queries are rotated into codebook space
     before the ADC scan (an Arrow-batched matmul); the exact rerank
     always runs on the ORIGINAL vectors, so rotation only affects which
-    candidates surface, never the reported cosines."""
-    path = index_path or build_pq_index(spark, sf_dir)
-    model = _read_model(path)
-    cb = spark.createDataFrame(
-        [(sub, code, cvec) for sub, code, cvec in model["codebooks"]],
-        "sub int, code int, cvec array<double>",
-    )
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    candidates surface, never the reported cosines.
+
+    When the corpus matches a committed fixture mirror the codebooks,
+    code table and (for OPQ) pre-rotated queries come from fixtures/ann/
+    — the same artifacts the DuckDB oracle reads; otherwise the
+    live-built index serves (``kind`` picks pq vs opq for the lazy
+    build)."""
     e = load(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id", F.col("embedding").alias("v")
@@ -755,24 +882,48 @@ def pq_probe(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
 
-    q_for_adc = queries
-    rot = model.get("rotation")
-    if rot is not None:
-        import numpy as np
-        import pandas as pd
-
-        R = np.asarray(rot, dtype=np.float64)
-
-        def rotate(batches):
-            for pdf in batches:
-                V = np.array(pdf["qv"].tolist(), dtype=np.float64) @ R
-                yield pd.DataFrame(
-                    {"query_id": pdf["query_id"], "qv": list(V)}
-                )
-
-        q_for_adc = queries.mapInPandas(
-            rotate, "query_id long, qv array<double>"
+    cb = codes = q_for_adc = None
+    if index_path is None:
+        ck = _corpus_key(e)
+        cb = _mirror_df(spark, f"{kind}_codebooks", ck)
+        codes = _mirror_df(spark, f"{kind}_codes", ck)
+        if kind == "opq":
+            q_for_adc = _mirror_df(spark, "opq_rotq", ck)
+        else:
+            q_for_adc = queries
+        if cb is None or codes is None or q_for_adc is None:
+            cb = codes = q_for_adc = None
+    if cb is None:
+        path = index_path or (
+            build_opq_index(spark, sf_dir)
+            if kind == "opq"
+            else build_pq_index(spark, sf_dir)
         )
+        model = _read_model(path)
+        cb = spark.createDataFrame(
+            [(sub, code, cvec) for sub, code, cvec in model["codebooks"]],
+            "sub int, code int, cvec array<double>",
+        )
+        codes = spark.read.parquet(os.path.join(path, "codes"))
+
+        q_for_adc = queries
+        rot = model.get("rotation")
+        if rot is not None:
+            import numpy as np
+            import pandas as pd
+
+            R = np.asarray(rot, dtype=np.float64)
+
+            def rotate(batches):
+                for pdf in batches:
+                    V = np.array(pdf["qv"].tolist(), dtype=np.float64) @ R
+                    yield pd.DataFrame(
+                        {"query_id": pdf["query_id"], "qv": list(V)}
+                    )
+
+            q_for_adc = queries.mapInPandas(
+                rotate, "query_id long, qv array<double>"
+            )
 
     # ADC distance tables: one row per (query, sub, code) — tiny, built by
     # crossing the 10 queries with the broadcast codebook
@@ -817,10 +968,80 @@ def pq_probe(
     )
 
 
+def _adc_oracle(kind: str) -> str:
+    """DuckDB oracle for the PQ/OPQ probe (VERDICT r10 #3): ADC distance
+    tables from the committed codebook mirror, compressed-domain scan of
+    the committed code table, top-PQ_CAND candidate cut, exact cosine
+    rerank on the live embeddings — the same persisted artifacts the
+    Spark probe reads, so parity is structural. For OPQ the ADC queries
+    are the committed PRE-ROTATED vectors (numpy matmul is not
+    SQL-reproducible; the rotation ran once at export)."""
+    if kind == "opq":
+        qsrc = _mirror_sql("opq_rotq", "query_id, qv")
+    else:
+        qsrc = (
+            f"SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+            f"WHERE vec_id < {N_QUERIES}"
+        )
+    diff = (
+        f"list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"j -> CAST(sv[j] AS DOUBLE) - cvec[j])"
+    )
+    return f"""
+    WITH cb AS MATERIALIZED ({_mirror_sql(kind + '_codebooks', 'sub, code, cvec')}),
+    codes AS MATERIALIZED ({_mirror_sql(kind + '_codes', 'vec_id, sub, code')}),
+    qadc AS MATERIALIZED ({qsrc}),
+    q AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    qsub AS MATERIALIZED (
+        SELECT query_id, s.sub,
+               list_transform(range(1, {PQ_SUBDIM + 1}),
+                              j -> CAST(qv[s.sub * {PQ_SUBDIM} + j] AS DOUBLE))
+                   AS sv
+        FROM qadc CROSS JOIN (SELECT unnest(range({PQ_M})) AS sub) s
+    ),
+    tbl AS MATERIALIZED (
+        SELECT query_id, sub, code,
+               round(list_dot_product({diff}, {diff}), 6) AS d
+        FROM qsub JOIN cb USING (sub)
+    ),
+    approx AS MATERIALIZED (
+        SELECT t.query_id, c.vec_id, round(sum(t.d), 6) AS adist
+        FROM codes c JOIN tbl t ON t.sub = c.sub AND t.code = c.code
+        GROUP BY t.query_id, c.vec_id
+    ),
+    cands AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist, vec_id) AS cr
+            FROM approx
+        ) WHERE cr <= {PQ_CAND}
+    ),
+    rerank AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q.qv', 'e.embedding')} AS cos
+        FROM cands c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS INTEGER) AS rank
+        FROM rerank
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 @register(
     "q74_sim_pq_topk",
-    oracle=None,  # iterative codebook training; certified by the recall
-    # test vs the exact q70 baseline (tests/test_extensions.py)
+    oracle=_adc_oracle("pq"),
     doc="Product-quantization ANN: per-subspace k-means codebooks (8 "
     "subspaces x 16 codes) trained ONCE in build_pq_index (persisted "
     "model + code table), probe-only query: asymmetric-distance scan of "
@@ -979,8 +1200,7 @@ def build_opq_index(
 
 @register(
     "q76_sim_opq_topk",
-    oracle=None,  # iterative rotation + codebook training; certified by
-    # the recall test vs plain PQ and the exact q70 baseline
+    oracle=_adc_oracle("opq"),
     doc="OPQ ANN: an orthonormal rotation (eigenvalue-balanced PCA init + "
     "non-parametric Procrustes alternations) learned ONCE on a bounded "
     "sample redistributes variance across the 8 PQ subspaces before "
@@ -990,9 +1210,7 @@ def build_opq_index(
     "recall (0.80 vs 0.74 @ 10% scanned on the fixture).",
 )
 def q76_sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_probe(
-        spark, sf_dir, k=TOP_K, index_path=build_opq_index(spark, sf_dir)
-    )
+    return pq_probe(spark, sf_dir, k=TOP_K, kind="opq")
 
 
 # ---------------------------------------------------------------------------
@@ -1120,9 +1338,6 @@ def knn_graph_probe(
     only UNSEEN candidates (anti-join on the visited set), and keeps the
     per-query beam; the answer is the top-k of everything scored. Hop
     work is O(n_queries x beam x degree) — corpus-size-independent."""
-    path = index_path or build_knn_graph_index(spark, sf_dir)
-    model = _read_model(path)
-    edges = spark.read.parquet(os.path.join(path, "edges"))
     e = load(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
@@ -1130,11 +1345,25 @@ def knn_graph_probe(
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    # edges + cell assignment: the committed mirror when the corpus
+    # matches a fixture (same artifacts as the DuckDB oracle), else the
+    # live-built index
+    edges = assigned = None
+    if index_path is None:
+        ck = _corpus_key(e)
+        edges = _mirror_df(spark, "knng_edges", ck)
+        assigned = _mirror_df(spark, "ivf_invfile", ck)
+        if edges is None or assigned is None:
+            edges = assigned = None
+    if edges is None:
+        path = index_path or build_knn_graph_index(spark, sf_dir)
+        model = _read_model(path)
+        edges = spark.read.parquet(os.path.join(path, "edges"))
+        assigned = spark.read.parquet(
+            os.path.join(model["ivf_index"], "invfile")
+        )
     # deterministic entry points spread over the space: the lowest vec_id
     # of each IVF cell (the graph build persisted which IVF index it used)
-    assigned = spark.read.parquet(
-        os.path.join(model["ivf_index"], "invfile")
-    )
     entries = (
         assigned.groupBy("cid")
         .agg(F.min("vec_id").alias("nid"))
@@ -1182,10 +1411,84 @@ def knn_graph_probe(
     )
 
 
+def _knng_oracle(hops: int = BEAM_HOPS, beam: int = BEAM_WIDTH) -> str:
+    """DuckDB oracle for the graph-ANN probe: the fixed-hop beam search
+    unrolled into MATERIALIZED CTE blocks — hop h expands frontier f{h-1}
+    through the committed edge mirror, anti-joins the running visited set
+    v{h-1}, scores against the live embeddings, and beam-prunes; the
+    answer is the top-k of v{hops}. Entry points are derived exactly as
+    the probe does: min vec_id per IVF cell of the committed invfile."""
+    cos = _cos_sql("q.qv", "co.cv")
+    blocks = [
+        f"""
+    edges AS MATERIALIZED ({_mirror_sql('knng_edges', 'src, dst')}),
+    inv AS MATERIALIZED ({_mirror_sql('ivf_invfile', 'vec_id, cid')}),
+    corpus AS MATERIALIZED (
+        SELECT vec_id AS nid, embedding AS cv FROM embeddings
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    q AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    entries AS MATERIALIZED (
+        SELECT min(vec_id) AS nid FROM inv GROUP BY cid
+    ),
+    f0 AS MATERIALIZED (
+        SELECT q.query_id, en.nid, {cos} AS cos
+        FROM q CROSS JOIN entries en JOIN corpus co ON co.nid = en.nid
+    ),
+    v0 AS MATERIALIZED (SELECT * FROM f0)"""
+    ]
+    for h in range(1, hops + 1):
+        p = h - 1
+        blocks.append(
+            f"""
+    c{h} AS MATERIALIZED (
+        SELECT DISTINCT f.query_id, e.dst AS nid
+        FROM f{p} f JOIN edges e ON e.src = f.nid
+        WHERE NOT EXISTS (SELECT 1 FROM v{p} v
+                          WHERE v.query_id = f.query_id AND v.nid = e.dst)
+    ),
+    s{h} AS MATERIALIZED (
+        SELECT c.query_id, c.nid, {cos} AS cos
+        FROM c{h} c JOIN corpus co ON co.nid = c.nid
+        JOIN q ON q.query_id = c.query_id
+    ),
+    v{h} AS MATERIALIZED (
+        SELECT * FROM v{p} UNION ALL SELECT * FROM s{h}
+    ),
+    f{h} AS MATERIALIZED (
+        SELECT query_id, nid, cos FROM (
+            SELECT query_id, nid, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, nid) AS r
+            FROM s{h}
+        ) WHERE r <= {beam}
+    )"""
+        )
+    return f"""
+    WITH {','.join(blocks)},
+    ranked AS (
+        SELECT query_id, nid AS neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, nid) AS INTEGER)
+                   AS rank
+        FROM v{hops}
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 @register(
     "q77_sim_knn_graph_topk",
-    oracle=None,  # iterative beam search; certified by the recall +
-    # scanned-fraction test (tests/test_extensions.py)
+    # Probe-stage oracle: the beam search runs a FIXED hop count, so it
+    # unrolls into one SQL statement (the g33-walk discipline) over the
+    # committed edge/invfile mirrors. AS MATERIALIZED per block is load-
+    # bearing: DuckDB inlines multiply-referenced CTEs exponentially
+    # otherwise (NOTES gotcha). Build stays outside the contract.
+    oracle=_knng_oracle(),
     doc="Graph ANN (NSW/HNSW family): an approximate kNN graph (degree "
     f"{KNN_DEGREE}, IVF-cell-blocked build + deterministic ring edges "
     "for cross-cell connectivity) probed by batched beam search — each "

@@ -314,6 +314,20 @@ _DRIVER_GREEN.update(
         ).split()
     }
 )
+# Round 11 gives the ANN probes full DuckDB oracles (committed index
+# mirrors under fixtures/ann/ — VERDICT r10 item #3), upgrading them from
+# rows-only checks. Their prior stamps certify the weaker gate, so all
+# four RESET to 0 for direct driver re-verification with the new oracles.
+# Window math: 4 resets + 41 round-6 stragglers + 5 round-8 names = 50,
+# so the full stale cohort still clears this round (keep any further new
+# registrations <= 5).
+for _name in (
+    "q73_sim_ivf_kmeans_topk",
+    "q74_sim_pq_topk",
+    "q76_sim_opq_topk",
+    "q77_sim_knn_graph_topk",
+):
+    _DRIVER_GREEN[_name] = 0
 
 
 def all_queries() -> dict[str, Query]:
