@@ -137,9 +137,49 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-_MINHASH_CTE = f"""
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) MinHash-LSH candidate pairs over any documents
+    DataFrame — q62's body, factored so composed pipelines (q155) share
+    the exact operator and can't drift from the standalone gate.
+
+    Join-free candidate generation: one shuffle into (band, sig)
+    buckets, pairs expanded inside each bucket array — the signature
+    pipeline runs once (a self-join would recompute it per side), and
+    shuffle volume is O(bucket members), never O(pairs across buckets).
+    """
+    bands = minhash_signatures(docs)
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
+
+
+def _minhash_cte(src: str = "documents") -> str:
+    """The DuckDB twin of minhash_candidate_pairs, CTE chain ending in
+    ``cand`` — parameterized on the source relation so composed-pipeline
+    oracles (q155) run it over an upstream CTE."""
+    return f"""
     WITH docs AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        SELECT doc_id, string_split(text, ' ') AS w FROM {src}
         WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
     ),
     sh AS (
@@ -170,6 +210,9 @@ _MINHASH_CTE = f"""
 """
 
 
+_MINHASH_CTE = _minhash_cte()
+
+
 @register(
     "q62_dedup_minhash",
     oracle=_MINHASH_CTE + "SELECT doc_a, doc_b FROM cand",
@@ -178,35 +221,7 @@ _MINHASH_CTE = f"""
     "on the band bucket (shuffle-bounded, cross-join-free).",
 )
 def q62_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    bands = minhash_signatures(d)
-    # join-free candidate generation: one shuffle into (band, sig) buckets,
-    # pairs expanded inside each bucket array — the signature pipeline runs
-    # once (a self-join would recompute it for each side), and shuffle
-    # volume is O(bucket members), never O(pairs across buckets)
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1
-                        ),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
+    return minhash_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
 _JACCARD_ORACLE = _MINHASH_CTE + """

@@ -586,16 +586,18 @@ def q146_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _curation_oracle_sql() -> str:
+def _manifest_tail_sql(ids_cte: str) -> str:
+    """Quality-gate + md5-band-split CTE tail shared by the composed
+    curation pipelines (q154/q155): tokenize only the docs whose ids
+    survive {ids_cte}, score them with the q105 signals, keep rule-clean
+    docs and emit the (doc_id, split, n_words) manifest — the oracle
+    twin of _manifest_tail, factored once so compositions can't drift."""
     from .sampling import TEST_DIGITS, VAL_DIGITS
 
     return f"""
-    WITH kept0 AS (
-        SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
-    ),
     tok AS (
         SELECT d.doc_id, unnest(string_split(x.text, ' ')) AS word
-        FROM kept0 d JOIN documents x ON x.doc_id = d.doc_id
+        FROM {ids_cte} d JOIN documents x ON x.doc_id = d.doc_id
     ),
     wc AS (
         SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
@@ -622,6 +624,26 @@ def _curation_oracle_sql() -> str:
     """
 
 
+def _manifest_tail(survivors: DataFrame) -> DataFrame:
+    """Spark half of the shared pipeline tail: q105's signals/rules via
+    the SHARED quality_signals/quality_reasons helpers, then q87's
+    md5-band split; emits (doc_id, split, n_words)."""
+    from .sampling import dataset_split
+
+    sig = quality_signals(survivors)
+    kept = sig.filter(quality_reasons() == "").select("doc_id", "n_words")
+    return dataset_split(kept).select("doc_id", "split", "n_words")
+
+
+def _curation_oracle_sql() -> str:
+    return f"""
+    WITH kept0 AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    {_manifest_tail_sql('kept0')}
+    """
+
+
 @register(
     "q154_curation_pipeline",
     oracle=_curation_oracle_sql(),
@@ -641,8 +663,6 @@ def _curation_oracle_sql() -> str:
     "md5-stable: a document's split never changes as the corpus grows.",
 )
 def q154_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sampling import dataset_split
-
     docs = load(spark, sf_dir, "documents")
     kept_ids = (
         docs.groupBy(F.sha2("text", 256))
@@ -650,6 +670,115 @@ def q154_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     survivors = docs.join(kept_ids, "doc_id", "left_semi")
-    sig = quality_signals(survivors)
-    kept = sig.filter(quality_reasons() == "").select("doc_id", "n_words")
-    return dataset_split(kept).select("doc_id", "split", "n_words")
+    return _manifest_tail(survivors)
+
+
+# ---------------------------------------------------------------------------
+# q155: the FULL production curation shape — q154 with the near-dup stage
+# (q62 candidates -> connected components -> q134 keep-best resolution)
+# inserted between exact dedup and the quality gate
+# ---------------------------------------------------------------------------
+
+
+def _curation_neardup_oracle_sql() -> str:
+    from .dedup import _minhash_cte
+
+    mh_body = _minhash_cte("docs0").lstrip().removeprefix("WITH")
+    return f"""
+    WITH RECURSIVE kept0 AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    docs0 AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN kept0 k ON k.doc_id = d.doc_id
+    ),
+    {mh_body},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    members AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+               length(d.text) AS n_chars
+        FROM docs0 d LEFT JOIN members m ON m.node = d.doc_id
+    ),
+    reps AS (
+        SELECT arg_max(doc_id, (CAST(n_chars AS BIGINT) << 33) - doc_id)
+                   AS doc_id
+        FROM labeled GROUP BY cluster_id
+    ),
+    {_manifest_tail_sql('reps')}
+    """
+
+
+@register(
+    "q155_curation_neardup_pipeline",
+    oracle=_curation_neardup_oracle_sql(),
+    doc="The FULL production curation pipeline (q154 plus the near-dup "
+    "stage a real pretraining corpus requires): exact dedup (keep-first "
+    "per sha256(text)) -> MinHash-LSH candidate pairs over the exact "
+    "survivors (the SHARED minhash_candidate_pairs — q62's operator, "
+    "not a reimplementation) -> connected components -> keep the "
+    "LONGEST member per cluster (q134's single-BIGINT (n_chars<<33) - "
+    "doc_id argmax policy) -> Gopher quality gate -> leakage-safe "
+    "md5-band split, all via the shared _manifest_tail so composition "
+    "can't drift from q154/q105/q87. Emits the surviving corpus "
+    "manifest (doc_id, split, n_words). Scale shape: digest groupBy + "
+    "semi-join back (never full text twice), band-bucket pair expansion "
+    "(one shuffle, join-free), CC shuffles (long,long) labels only, "
+    "representative pick is one partial-agg'd max_by, and only "
+    "surviving docs are ever tokenized for the quality gate. The "
+    "survivor subtree is persisted — it feeds the signature pipeline, "
+    "the length projection and the final semi-join (the q142 "
+    "plan-duplication lesson).",
+)
+def q155_curation_neardup_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..queries.graph_algos import connected_components
+    from .dedup import minhash_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    kept_ids = (
+        docs.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(kept_ids, "doc_id", "left_semi").persist()
+    cand = minhash_candidate_pairs(survivors)
+    cc = connected_components(
+        cand.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    )
+    chars = survivors.select("doc_id", F.length("text").alias("n_chars"))
+    # shuffle-hash: both sides are one narrow row per doc (q134's note)
+    labeled = chars.join(
+        cc.hint("shuffle_hash"), chars.doc_id == cc.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    key = (
+        F.col("n_chars").cast("long") * F.lit(1 << 33).cast("long")
+    ) - F.col("doc_id")
+    reps = (
+        labeled.groupBy("cluster_id")
+        .agg(F.max_by("doc_id", key).alias("doc_id"))
+        .select("doc_id")
+    )
+    finals = survivors.join(reps, "doc_id", "left_semi")
+    return _manifest_tail(finals)

@@ -708,3 +708,25 @@ def test_ring_edges_equal_global_lead(spark):
     )
     want = sorted(zip(sorted(ids), sorted(ids)[1:]))
     assert got == want
+
+
+def test_q155_composed_pipeline_plan(spark, sf_small):
+    """The full curation composition: no cartesian, hash aggregates only,
+    the persisted survivor subtree feeds its three consumers as
+    InMemoryTableScans (signature pipeline / length projection / final
+    semi-join), and both dedup membership joins plan as LeftSemi."""
+    from hadoopwebgraph_spark.functions.llmprep import (
+        q155_curation_neardup_pipeline,
+    )
+
+    import re
+
+    plan = _plan(q155_curation_neardup_pipeline(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "LeftSemi" in plan
+    cached = [
+        l for l in plan.splitlines()
+        if re.match(r"^\(\d+\) InMemoryTableScan", l)
+    ]
+    assert len(cached) >= 2, plan  # length projection + final semi-join
