@@ -287,10 +287,11 @@ def q85_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("s"))
     )
-    w = W.orderBy(F.round(F.col("s"), 6).desc(), F.col("doc_id"))
+    # heap top-k (TakeOrderedAndProject), never a single-partition rank
+    # window — the q150 idiom (VERDICT r10 item #8)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        scored.orderBy(F.round(F.col("s"), 6).desc(), F.col("doc_id"))
+        .limit(20)
         .select("doc_id", F.round("s", 4).alias("bm25"))
     )
 

@@ -5,6 +5,8 @@ without a global sort, partial aggregation, whole-stage codegen."""
 
 from __future__ import annotations
 
+import pytest
+
 from hadoopwebgraph_spark.queries.relational import (
     q01_pricing_summary,
     q04_join_broadcast,
@@ -730,3 +732,72 @@ def test_q155_composed_pipeline_plan(spark, sf_small):
         if re.match(r"^\(\d+\) InMemoryTableScan", l)
     ]
     assert len(cached) >= 2, plan  # length projection + final semi-join
+
+
+# ---------------------------------------------------------------------------
+# Plan-duplication lint (VERDICT r10 item #6): a helper DataFrame feeding
+# N consumers re-runs its whole subtree N times unless persisted — the
+# recurring trap caught by hand in r1/q137/q142/q151. The lint counts the
+# SCAN LEAVES of a query's physical plan (parquet / Python-DataSource /
+# in-memory-cache / checkpointed-RDD) and pins the expected number, so an
+# accidental subtree duplication (one more raw scan than designed) fails
+# fast instead of surfacing as a 16x bench regression.
+# ---------------------------------------------------------------------------
+
+
+def _scan_leaves(plan: str) -> dict[str, int]:
+    """Count physical-plan scan leaves by kind from a formatted explain."""
+    import re
+
+    kinds: dict[str, int] = {}
+    for line in plan.splitlines():
+        m = re.match(
+            r"^\(\d+\) (BatchScan \S+|Scan parquet|Scan ExistingRDD"
+            r"|InMemoryTableScan)",
+            line.strip(),
+        )
+        if m:
+            k = m.group(1)
+            kinds[k] = kinds.get(k, 0) + 1
+    return kinds
+
+
+# expected scan-leaf census of the most expensive oracle gates; raw-scan
+# counts are the load-bearing part (InMemoryTableScan = shared subtree,
+# fine; one MORE raw scan than pinned = a subtree started re-running)
+_SCAN_CENSUS = {
+    # one localCheckpoint of the decode, scanned by both join sides
+    "g05_two_hop": {"Scan ExistingRDD": 2},
+    # mirror codebooks+codes+rotq, embeddings twice (ADC queries + rerank)
+    "q76_sim_opq_topk": {"Scan parquet": 5},
+    "q74_sim_pq_topk": {"Scan parquet": 5},
+    # the whole signature pipeline runs ONCE: a single documents scan
+    "q62_dedup_minhash": {"Scan parquet": 1},
+    # TPC-H Q5's six tables, each scanned once
+    "q57_local_supplier_volume": {"Scan parquet": 6},
+    "q71_sim_ivf_topk": {"Scan parquet": 3},
+    "q56_shipping_priority": {"Scan parquet": 3},
+    # one BVGraph decode feeds the sampler
+    "g32_neighbor_sample": {"BatchScan bvgraph": 1},
+    # persisted tf table feeds df-stats + scorer; documents scanned once
+    "q137_inverted_index": {"InMemoryTableScan": 2, "Scan parquet": 1},
+    # persisted token-set subtree: 4 cached consumers, 2 designed raw scans
+    "q142_prefix_jaccard_join": {"InMemoryTableScan": 4, "Scan parquet": 2},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SCAN_CENSUS))
+def test_scan_leaf_census(spark, sf_small, name):
+    from hadoopwebgraph_spark.registry import queries
+
+    plan = _plan(queries()[name](spark, sf_small))
+    assert _scan_leaves(plan) == _SCAN_CENSUS[name], plan
+
+
+def test_q85_topk_is_heap(spark, sf_small):
+    """q85's global top-20 must plan as TakeOrderedAndProject (the q150
+    idiom), never a single-partition rank window."""
+    from hadoopwebgraph_spark.functions.text import q85_bm25_ranking
+
+    plan = _plan(q85_bm25_ranking(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
