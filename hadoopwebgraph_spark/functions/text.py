@@ -923,10 +923,17 @@ def _bm25_oracle_sql() -> str:
     "is quantized ONCE per query term to integer micro-nats "
     "(round(ln(...)*1e6)); the tf normalization is cross-multiplied to "
     "an exact integer ratio (k1=6/5, b=3/4, avgdl=n_toks/n_docs give "
-    "contrib = idf_micro*22*tf*T / (10*tf*T + 3*T + 9*dl*N), both "
-    "sides < 2^53 so the division is one correctly-rounded IEEE op), "
-    "and the per-document sum adds the per-term doubles in a fixed "
-    "syntactic order — bit-identical across Spark and DuckDB, so the "
+    "contrib = idf_micro*22*tf*T / (10*tf*T + 3*T + 9*dl*N)). Both "
+    "sides are computed EXACTLY in int64 and cast to double with the "
+    "same IEEE rounding in both engines, so the division is one "
+    "correctly-rounded op on identical operands — bit-identity needs "
+    "only that the int64 products never overflow: idf_micro*22*tf*T < "
+    "2^63, which holds to T ~ 1e10 corpus tokens at per-doc query-term "
+    "tf <= 15 and to T ~ 2e7 at tf ~ 1e3 (the fixture is orders of "
+    "magnitude inside the bound). Past it, rescale idf to milli-nats "
+    "or divide both ratio sides by a common power of ten — same "
+    "contract, smaller operands. The per-document sum adds the "
+    "per-term doubles in a fixed syntactic order, so the "
     "ranking and the hashed values both transfer exactly. Scale: tf "
     "candidates come from one explode+filter (predicate on the 4 query "
     "terms prunes the token stream before the doc_id aggregation); "

@@ -2224,7 +2224,9 @@ def g37_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(edges_df(spark), k=3, rounds=4)
 
 
-def topological_levels(edges: DataFrame, max_levels: int = 1024) -> DataFrame:
+def topological_levels(
+    edges: DataFrame, max_levels: int = 1024, nodes: DataFrame | None = None
+) -> DataFrame:
     """Longest-path layering of a DAG: level(v) = length of the longest
     path ending at v (sources sit at level 0) — the scheduling order of
     every dependency DAG and the "crawl tier" of a condensation. A
@@ -2254,10 +2256,19 @@ def topological_levels(edges: DataFrame, max_levels: int = 1024) -> DataFrame:
         .repartition(_shuffle_partitions(spark), "src")
         .persist()
     )
+    # level-0 seed: edge endpoints PLUS any caller-supplied node universe
+    # — a node with no arc at all (e.g. an isolated SCC in a
+    # condensation) is a legitimate level-0 row that edge endpoints
+    # alone would miss (ADVICE r10: the old derivation was fixture-lucky)
+    base = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        base = base.union(
+            nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        )
     frontier = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        base.distinct()
         .select("node", F.lit(0).alias("d"))
         .localCheckpoint()
     )
@@ -2317,8 +2328,11 @@ def topological_levels(edges: DataFrame, max_levels: int = 1024) -> DataFrame:
     "enumerates the (exponential) path set.",
 )
 def g38_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cond = condensation(_hb_edges(spark), scc=_scc_fixture(spark))
-    return topological_levels(cond)
+    scc = _scc_fixture(spark)
+    cond = condensation(_hb_edges(spark), scc=scc)
+    # pass the full component universe: an SCC with no inter-component
+    # arc must still appear at level 0, matching the oracle's cn CTE
+    return topological_levels(cond, nodes=scc.select("scc_id").distinct())
 
 
 def _edge_weight_expr():

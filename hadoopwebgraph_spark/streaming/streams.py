@@ -284,24 +284,27 @@ def make_sessionize_update(gap_minutes: int = 30):
         # resolution (Arrow hands timestamp_ntz over as datetime64[ns])
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         if state.exists:
-            last_us, seq, n, start_us, total = state.get
+            last_us, seq, n, start_us, cents = state.get
         else:
-            last_us, seq, n, start_us, total = None, 0, 0, 0, 0.0
+            last_us, seq, n, start_us, cents = None, 0, 0, 0, 0
         out = []
 
-        def emit(seq, n, start_us, end_us, total):
-            out.append((key[0], seq, n, start_us, end_us, round(total, 2)))
+        def emit(seq, n, start_us, end_us, cents):
+            # exact: an integer cent count divided once, never a running
+            # float (ADVICE r10 — a float accumulator would drift with
+            # chunking and arrival order; int cents are order-exact)
+            out.append((key[0], seq, n, start_us, end_us, cents / 100.0))
 
         for t, v in zip(ts_us.tolist(), pdf["value"].tolist()):
             if last_us is None or t - last_us > gap_us:
                 if n > 0:  # close the previous session
-                    emit(seq, n, start_us, last_us, total)
-                seq, n, start_us, total = seq + 1, 0, t, 0.0
+                    emit(seq, n, start_us, last_us, cents)
+                seq, n, start_us, cents = seq + 1, 0, t, 0
             n += 1
-            total += float(v)
+            cents += int(round(float(v) * 100))
             last_us = t
-        emit(seq, n, start_us, last_us, total)  # open session, running row
-        state.update((last_us, seq, n, start_us, total))
+        emit(seq, n, start_us, last_us, cents)  # open session, running row
+        state.update((last_us, seq, n, start_us, cents))
         df = pd.DataFrame(
             out,
             columns=[
@@ -341,7 +344,9 @@ def incremental_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFram
         "session_start timestamp_ntz, session_end timestamp_ntz, "
         "total_value double"
     )
-    state_schema = "last_us long, seq long, n long, start_us long, total double"
+    # total carried as integer CENTS: exact across any batch chunking and
+    # arrival order; the event values are 2-decimal by contract
+    state_schema = "last_us long, seq long, n long, start_us long, cents long"
 
     return (
         events.select("user_id", "ts", "event_id", "value")

@@ -712,6 +712,21 @@ def test_topo_levels_edge_invariant_and_cycle_raise(spark):
         topological_levels(cyc, max_levels=16)
 
 
+def test_topo_levels_isolated_node_appears_at_level_zero(spark):
+    """ADVICE r10: a node with no arc at all (an isolated SCC in a
+    condensation) must appear at level 0 when the caller supplies the
+    node universe — edge endpoints alone would silently drop it."""
+    from hadoopwebgraph_spark.queries.graph_algos import topological_levels
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (99,)], "scc_id long")
+    got = {
+        (r.node, r.level)
+        for r in topological_levels(edges, nodes=nodes).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (99, 0)}
+
+
 def test_winnow_shared_substring_guarantee_and_density(spark):
     """The MOSS guarantee: two documents sharing a word run long enough
     to cover a full winnowing window (>= W + K - 1 words) must share at

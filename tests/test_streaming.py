@@ -403,7 +403,9 @@ def test_incremental_sessionize_matches_batch(spark, sf_small, events_dir):
             assert g.n_events == w.n_events, k
             assert g.session_start == w.session_start, k
             assert g.session_end == w.session_end, k
-            assert abs(g.total_value - w.total_value) < 0.011, k
+            # stream side is EXACT integer cents; only the batch side
+            # float-sums (error << half a cent before its round(.., 2))
+            assert abs(g.total_value - w.total_value) < 0.006, k
     finally:
         q.stop()
 
