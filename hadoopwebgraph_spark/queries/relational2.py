@@ -532,3 +532,222 @@ def q153_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 TPC-H shape completions: Q12 / Q14 / Q15 / Q17 equivalents on
+# the fixture's columns (no l_shipmode/l_commitdate/partsupp here, so the
+# adaptations keep each query's OPTIMIZER SHAPE — join direction,
+# conditional aggregation, view+scalar-subquery, decorrelated per-group
+# average — while substituting available attributes; each doc notes the
+# substitution). Money arithmetic follows the q150/q157 integer contract:
+# 2-decimal prices and discounts become exact int64 e4 units
+# (cents x (100 - discount_cents)), so sums, shares and thresholds are
+# bit-identical across engines with NO float luck.
+# ---------------------------------------------------------------------------
+
+_AMT_E4_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _amt_e4() -> F.Column:
+    """Exact discounted line amount in 1e-4 currency units (int64):
+    round(price*100) * (100 - round(disc*100)). Prices/discounts are
+    2-decimal by fixture contract, so this is lossless; the int64 bound
+    holds to ~8e9 rows of max-price lines per aggregate."""
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+
+
+@register(
+    "q156_late_priority_lines",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping-mode priority matrix; the fixture "
+    "has no l_shipmode/l_commitdate, so l_linestatus stands in as the "
+    "line attribute and the ship-year as the date band — the shape "
+    "under test is the FILTERED-FACT-side join plus the two-way "
+    "conditional count): the l_shipdate predicate pushes to the "
+    "lineitem scan BEFORE the join, orders joins only surviving lines, "
+    "counts are CASE sums inside one partial-agg'd HashAggregate. "
+    "Pure integer output.",
+)
+def q156_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1997)
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q157_promo_revenue",
+    oracle=f"""
+    WITH r AS (
+        SELECT {_AMT_E4_SQL} AS amt_e4, p_type
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE year(l_shipdate) = 1997
+    )
+    SELECT CAST((10000 * sum(CASE WHEN p_type = 'PROMO' THEN amt_e4
+                                  ELSE 0 END)) // sum(amt_e4) AS BIGINT)
+               AS promo_bp,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN amt_e4 ELSE 0 END)
+                AS BIGINT) AS promo_e4,
+           CAST(sum(amt_e4) AS BIGINT) AS total_e4
+    FROM r
+    """,
+    doc="TPC-H Q14 shape (promotion revenue share): part broadcasts "
+    "into the date-pruned lineitem scan, the share is ONE conditional "
+    "aggregate. Float discipline: the discounted amount is an exact "
+    "int64 in 1e-4 units (cents x (100 - disc_cents)) and the share is "
+    "integer basis points via int division — sums and the ratio are "
+    "bit-identical across engines and partition orders, unlike the "
+    "float 100*sum/sum in the original. int64 headroom: the 1e4 x sum "
+    "product overflows only past ~8e5 max-price lines per e4 unit "
+    "sum ~ 9e14, i.e. ~1e9 rows at this price distribution.",
+)
+def q157_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1997)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _amt_e4()).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("_promo"),
+            F.sum(_amt_e4()).alias("_total"),
+        )
+        .select(
+            F.expr("(10000 * _promo) div _total").alias("promo_bp"),
+            F.col("_promo").alias("promo_e4"),
+            F.col("_total").alias("total_e4"),
+        )
+    )
+
+
+@register(
+    "q158_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, CAST(sum({_AMT_E4_SQL}) AS BIGINT) AS total_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_e4
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier via the revenue view + scalar "
+    "max subquery, ties kept): the quarterly revenue aggregate is "
+    "computed ONCE and persisted — it feeds both the scalar max and "
+    "the equality probe (the q142 shared-subtree rule; the view is one "
+    "narrow row per supplier, so the cache is broadcast-sized) — then "
+    "supplier (a dim) broadcasts onto the winners. Revenue is the "
+    "exact int64 e4 amount, so the max-equality never hits a float "
+    "tie; ties in revenue are returned, matching Q15's semantics.",
+)
+def q158_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_amt_e4()).alias("total_e4"))
+        .persist()
+    )
+    mx = rev.agg(F.max("total_e4").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_e4 == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
+@register(
+    "q159_small_quantity_revenue",
+    oracle=f"""
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    bl AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+               {_AMT_E4_SQL} AS amt_e4
+        FROM lineitem JOIN bp ON p_partkey = l_partkey
+    ),
+    agg AS (
+        SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS cq
+        FROM bl GROUP BY l_partkey
+    )
+    SELECT CAST(sum(amt_e4) // 7 AS BIGINT) AS avg_yearly_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM bl JOIN agg ON pk = l_partkey
+    WHERE 5 * qty * cq < sq
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue: lines below 20% "
+    "of their part's average quantity; fixture has no p_container, so "
+    "the brand filter alone scopes the parts): the correlated "
+    "avg-subquery DECORRELATES into a per-part aggregate joined back to "
+    "the same filtered line set — computed once and persisted (it "
+    "feeds the aggregate AND the probe). The threshold comparison is "
+    "cross-multiplied to pure integers (5*qty*cnt < sum_qty), so no "
+    "float average exists anywhere; the brand predicate reaches the "
+    "part scan and the part keys broadcast into the lineitem scan. "
+    "Output in exact e4 units, integer-divided by Q17's 7.0 constant.",
+)
+def q159_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    bl = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            _amt_e4().alias("amt_e4"),
+        )
+        .persist()
+    )
+    agg = bl.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("cq")
+    )
+    return (
+        bl.join(agg.withColumnRenamed("l_partkey", "pk"),
+                F.col("l_partkey") == F.col("pk"))
+        .filter(5 * F.col("qty") * F.col("cq") < F.col("sq"))
+        .agg(
+            F.expr("sum(amt_e4) div 7").alias("avg_yearly_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

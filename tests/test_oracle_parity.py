@@ -1,7 +1,18 @@
 """Run every registered SQL-expressible query against the DuckDB oracle at
-sf0.001 (fast) — the local mirror of the driver's t2 gate."""
+sf0.001 (fast) — the local mirror of the driver's t2 gate.
+
+Sharding (VERDICT r10 item #7): the full sweep grows with the registry
+and was approaching the single-invocation time budget. Set
+``SPARK_GRAFT_PARITY_SHARD=i/n`` to run only the queries whose DEFINING
+MODULE sorts into shard i of n (round-robin over the sorted module list,
+so related queries stay together and shards stay balanced). Unset, the
+full sweep runs — test ids are identical either way, so
+``test_oracle_parity[<name>]`` selection keeps working. Runbook: see
+README "Running the test suite"."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -10,8 +21,20 @@ from hadoopwebgraph_spark.registry import all_queries
 from .oracle_util import compare
 
 _QUERIES = all_queries()
-_SQL_BACKED = sorted(n for n, q in _QUERIES.items() if q.oracle is not None)
-_ROWS_ONLY = sorted(n for n, q in _QUERIES.items() if q.oracle is None)
+
+
+def _shard(names: list[str]) -> list[str]:
+    spec = os.environ.get("SPARK_GRAFT_PARITY_SHARD")
+    if not spec:
+        return names
+    i, n = (int(x) for x in spec.split("/"))
+    mods = sorted({_QUERIES[name].fn.__module__ for name in _QUERIES})
+    mine = {m for j, m in enumerate(mods) if j % n == i}
+    return [name for name in names if _QUERIES[name].fn.__module__ in mine]
+
+
+_SQL_BACKED = _shard(sorted(n for n, q in _QUERIES.items() if q.oracle is not None))
+_ROWS_ONLY = _shard(sorted(n for n, q in _QUERIES.items() if q.oracle is None))
 
 
 @pytest.mark.parametrize("name", _SQL_BACKED)

@@ -801,3 +801,41 @@ def test_q85_topk_is_heap(spark, sf_small):
 
     plan = _plan(q85_bm25_ranking(spark, sf_small))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q156_q157_shape(spark, sf_small):
+    """Q12/Q14 shapes: conditional aggregation stays HashAggregate with
+    map-side partials; Q14's part side broadcasts into the date-pruned
+    lineitem scan."""
+    from hadoopwebgraph_spark.queries.relational2 import (
+        q156_late_priority_lines,
+        q157_promo_revenue,
+    )
+
+    p1 = _plan(q156_late_priority_lines(spark, sf_small))
+    assert "SortAggregate" not in p1
+    assert "partial_sum" in p1
+    p2 = _plan(q157_promo_revenue(spark, sf_small))
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
+
+
+def test_q158_q159_shared_subtree_persisted(spark, sf_small):
+    """Q15's revenue view and Q17's brand-filtered line set each feed two
+    consumers (scalar max + probe; per-part aggregate + probe) — both
+    must plan as InMemoryTableScans, never a re-run subtree."""
+    import re
+
+    from hadoopwebgraph_spark.queries.relational2 import (
+        q158_top_supplier,
+        q159_small_quantity_revenue,
+    )
+
+    for fn in (q158_top_supplier, q159_small_quantity_revenue):
+        plan = _plan(fn(spark, sf_small))
+        cached = [
+            l for l in plan.splitlines()
+            if re.match(r"^\(\d+\) InMemoryTableScan", l)
+        ]
+        assert len(cached) == 2, plan
+        assert "CartesianProduct" not in plan
