@@ -171,3 +171,23 @@ def test_two_phase_topk_matches_single_window(spark):
     assert sorted(map(tuple, two_phase.collect())) == sorted(
         map(tuple, single.collect())
     )
+
+
+def test_probes_fall_back_to_live_index_without_mirror(
+    spark, sf_small, monkeypatch, tmp_path
+):
+    """A corpus with NO committed mirror (any user corpus) must fall back
+    to the live-built index in every probe family — point the mirror
+    root at an empty dir and run all four probes end-to-end."""
+    from hadoopwebgraph_spark.functions import similarity as S
+
+    monkeypatch.setattr(S, "ANN_MIRROR_ROOT", str(tmp_path / "nope"))
+    for fn in (
+        lambda: S.ivf_probe(spark, sf_small, nprobe=2),
+        lambda: S.pq_probe(spark, sf_small, kind="pq"),
+        lambda: S.pq_probe(spark, sf_small, kind="opq"),
+        lambda: S.knn_graph_probe(spark, sf_small),
+    ):
+        df = fn()
+        assert df.columns == ["query_id", "neighbor_id", "cos", "rank"]
+        assert df.count() == S.N_QUERIES * S.TOP_K
