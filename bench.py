@@ -173,62 +173,13 @@ def main() -> None:
     cold: dict[str, float] = {}
     loads: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        q = queries.get(name)
-        if q is None:
-            continue
-        try:
-            loads[name] = round(os.getloadavg()[0], 1)
-            for run in range(2):
-                t0 = time.perf_counter()
-                n = q.fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                assert n >= 0
-                # record after EACH success: a transient failure on the
-                # retry must not discard a measurement we already have
-                if run == 0:
-                    cold[name] = round(dt, 3)
-                timings[name] = round(min(dt, timings.get(name, dt)), 3)
-                if dt > 10.0:
-                    break  # expensive query: don't double the bench budget
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            if name not in timings:
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-
-    # HyperANF at the committed 739k-arc bench fixture (gB_ = bench
-    # fixture, as opposed to the generated xl fixture below): 3 sketch
-    # hops of the self-loop-augmented join+groupBy formulation, the
-    # per-hop cost that dominates any HyperBall/effective-diameter run
-    # at real scale. The registry's g26/g27 certify correctness on a
-    # <400-node subgraph; this entry perf-tracks the same code path at
-    # 100k nodes / 739k arcs. Best-of-2 like the query loop (first run
-    # pays the ObjectHashAggregate codegen for the sketch shapes).
-    try:
-        from hadoopwebgraph_spark.queries.graph import edges_df
-        from hadoopwebgraph_spark.queries.graph_algos import (
-            neighborhood_function,
-        )
-
-        loads["gB_hyperanf_3hop"] = round(os.getloadavg()[0], 1)
-        for run in range(2):
-            t0 = time.perf_counter()
-            nf = neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
-            dt = time.perf_counter() - t0
-            # the r7 N(t) tail-trim can legitimately return fewer than
-            # max_hops+1 entries (growth saturates early) — a healthy
-            # run must not be recorded as an error
-            assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
-            if run == 0:
-                cold["gB_hyperanf_3hop"] = round(dt, 3)
-            timings["gB_hyperanf_3hop"] = round(
-                min(dt, timings.get("gB_hyperanf_3hop", dt)), 3
-            )
-            if dt > 10.0:
-                break
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        if "gB_hyperanf_3hop" not in timings:
-            errors["gB_hyperanf_3hop"] = f"{type(exc).__name__}: {exc}"[:500]
-
+    # The gXL scan + sink entries run FIRST (round-11 change): they are
+    # the largest single measurements in the file and flip-flopped 2x
+    # across rounds on untouched code when they ran LAST — after 44
+    # queries the JVM heap, GC state and page cache are round-dependent.
+    # Measured at the head, their input state is reproducible (fresh
+    # warmed JVM, fixture just ensured); per-entry loadavg still records
+    # the conditions either way.
     # Kernel-scale scan measurement: the committed 739k-arc fixture decodes
     # in milliseconds on 32 cores, so the graph-scan number comes from the
     # generated-on-demand xl fixture (~48M arcs; built once, reused across
@@ -343,6 +294,69 @@ def main() -> None:
         scan_stats["graph_sink_arcs_per_sec"] = round(pw.arcs / dt_w)
     except Exception as exc:  # noqa: BLE001
         errors["gXL_graph_scan"] = f"{type(exc).__name__}: {exc}"[:500]
+
+
+    for name in HEADLINE:
+        q = queries.get(name)
+        if q is None:
+            continue
+        try:
+            loads[name] = round(os.getloadavg()[0], 1)
+            for run in range(2):
+                t0 = time.perf_counter()
+                n = q.fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                assert n >= 0
+                # record after EACH success: a transient failure on the
+                # retry must not discard a measurement we already have
+                if run == 0:
+                    cold[name] = round(dt, 3)
+                timings[name] = round(min(dt, timings.get(name, dt)), 3)
+                if dt > 10.0:
+                    break  # expensive query: don't double the bench budget
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            if name not in timings:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+
+
+    # HyperANF stays AFTER the query loop deliberately: measured at the
+    # head it runs 2x slower (10.5s vs ~4.6s) — its sketch shuffles
+    # benefit from the JIT/shuffle machinery the 44 queries warm up;
+    # the sinks show the opposite sensitivity and run at the head.
+    # HyperANF at the committed 739k-arc bench fixture (gB_ = bench
+    # fixture, as opposed to the generated xl fixture below): 3 sketch
+    # hops of the self-loop-augmented join+groupBy formulation, the
+    # per-hop cost that dominates any HyperBall/effective-diameter run
+    # at real scale. The registry's g26/g27 certify correctness on a
+    # <400-node subgraph; this entry perf-tracks the same code path at
+    # 100k nodes / 739k arcs. Best-of-2 like the query loop (first run
+    # pays the ObjectHashAggregate codegen for the sketch shapes).
+    try:
+        from hadoopwebgraph_spark.queries.graph import edges_df
+        from hadoopwebgraph_spark.queries.graph_algos import (
+            neighborhood_function,
+        )
+
+        loads["gB_hyperanf_3hop"] = round(os.getloadavg()[0], 1)
+        for run in range(2):
+            t0 = time.perf_counter()
+            nf = neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
+            dt = time.perf_counter() - t0
+            # the r7 N(t) tail-trim can legitimately return fewer than
+            # max_hops+1 entries (growth saturates early) — a healthy
+            # run must not be recorded as an error
+            assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
+            if run == 0:
+                cold["gB_hyperanf_3hop"] = round(dt, 3)
+            timings["gB_hyperanf_3hop"] = round(
+                min(dt, timings.get("gB_hyperanf_3hop", dt)), 3
+            )
+            if dt > 10.0:
+                break
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        if "gB_hyperanf_3hop" not in timings:
+            errors["gB_hyperanf_3hop"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
