@@ -35,6 +35,8 @@ TINY_SORT_OK = {"g41_subgraph_renumber", "q146_token_budget_select"}
 # exchanges with no operator parent in the main tree (scalar subqueries,
 # runtime-filter builds)
 SUBQUERY_OK = {"q42_scalar_subquery", "q118_bloom_filter_join"}
+# the one intentional cross join in the registry (Tier B' coverage row)
+CROSS_OK = {"q43_join_cross"}
 
 
 def main() -> int:
@@ -63,6 +65,10 @@ def main() -> int:
             p = plan_of(q.fn(spark, sf))
         except Exception as ex:  # noqa: BLE001 — audit must cover the rest
             print(f"{name}: PLAN ERROR {str(ex)[:80]}")
+            continue
+        if "CartesianProduct" in p and name not in CROSS_OK:
+            bad.append((name, ["CartesianProduct"]))
+            print(f"{name}: CARTESIAN PRODUCT")
             continue
         lines = p.splitlines()
         sp_ids, cur = set(), None
