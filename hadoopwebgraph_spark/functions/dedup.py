@@ -147,7 +147,13 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     pipeline runs once (a self-join would recompute it per side), and
     shuffle volume is O(bucket members), never O(pairs across buckets).
     """
-    bands = minhash_signatures(docs)
+    return _pairs_from_bands(minhash_signatures(docs))
+
+
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs sharing any (band, sig) bucket, expanded
+    inside each bucket array — shared by the batch operator and the
+    streaming twin's intra-batch stage."""
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -843,6 +849,126 @@ def incremental_dedup_stream(
         stream.writeStream.foreachBatch(
             lambda batch_df, batch_id: _dedup_one_batch(
                 batch_df, batch_id, digests, out_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _neardup_one_batch(
+    batch_df: DataFrame, batch_id: int, sigs_dir: str, out_dir: str
+):
+    """One micro-batch of the incremental MinHash near-dup (module-level
+    so replay semantics are unit-testable). Emits every candidate pair
+    the batch creates: intra-batch pairs via the shared
+    :func:`_pairs_from_bands` bucket expansion, plus cross-batch pairs
+    from an equi-join of the batch's signatures against the persisted
+    signature snapshot. The union of all batch outputs equals
+    q62_dedup_minhash on the union corpus EXACTLY: a pair's two docs fix
+    the single batch that emits it (the later one), and per-batch
+    distinct collapses multi-band repeats.
+
+    Idempotent under checkpoint replay, the _dedup_one_batch pattern:
+    both writes overwrite a ``batch_id=<id>`` partition, and the
+    snapshot read excludes the in-flight batch_id so a replay after the
+    signature write doesn't pair the batch against itself (every
+    intra-batch pair would silently double as a cross pair)."""
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    spark_l = batch_df.sparkSession
+    new_sigs = minhash_signatures(batch_df).persist()
+    try:
+        prev = None
+        try:
+            prev = (
+                spark_l.read.parquet(sigs_dir)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select("doc_id", "band", "sig")
+            )
+            prev.schema  # force analysis so a missing path raises HERE
+        except AnalysisException as exc:
+            get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
+            cls = get_cls() or str(exc)
+            if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+                prev = None  # first batch ever — no history to pair with
+            else:
+                raise
+        pairs = _pairs_from_bands(new_sigs)
+        if prev is not None:
+            cross = (
+                new_sigs.select(
+                    F.col("doc_id").alias("nd"), "band", "sig"
+                )
+                .join(
+                    prev.select(F.col("doc_id").alias("pd"), "band", "sig"),
+                    ["band", "sig"],
+                )
+                .filter(F.col("pd") != F.col("nd"))
+                .select(
+                    F.least("pd", "nd").alias("doc_a"),
+                    F.greatest("pd", "nd").alias("doc_b"),
+                )
+                .distinct()
+            )
+            pairs = pairs.union(cross).distinct()
+        pairs.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        new_sigs.write.mode("overwrite").parquet(
+            _os.path.join(sigs_dir, f"batch_id={batch_id}")
+        )
+    finally:
+        new_sigs.unpersist()
+
+
+def incremental_neardup_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    snapshot_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+):
+    """Streaming MinHash near-dup (q62's shape as an always-on ingestion
+    job, the q128/incremental_dedup_stream pattern one level up): watch
+    ``incoming_dir`` for new document files; each micro-batch computes
+    band signatures with the SHARED minhash_signatures pipeline, emits
+    candidate pairs within the batch and against every previously
+    ingested document, and appends its signatures to the snapshot.
+
+    Scale design: the snapshot holds (doc_id, band, sig) rows — a few
+    dozen bytes per doc, never text; the cross-batch stage is an
+    equi-join on (band, sig), so per-batch cost is bounded by bucket
+    collisions, not corpus size. At 100 TB, bucket the snapshot by
+    (band, sig) so the join co-locates. Returns the StreamingQuery.
+
+    ``schema``: declared schema for incoming files; an empty watch dir
+    with no declared schema RAISES (round-10 hardening, same as the
+    other file streams)."""
+    import os as _os
+
+    if schema is not None:
+        file_schema = schema
+    else:
+        try:
+            file_schema = spark.read.parquet(incoming_dir).schema
+        except Exception as exc:  # empty watch dir at stream start
+            raise ValueError(
+                "incremental_neardup_stream: watch directory "
+                f"{incoming_dir!r} has no files to infer a schema from; "
+                "pass schema= explicitly for an always-on stream whose "
+                "producer has not written yet"
+            ) from exc
+    stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
+    sigs = _os.path.join(snapshot_dir, "sigs")
+
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _neardup_one_batch(
+                batch_df, batch_id, sigs, out_dir
             )
         )
         .option("checkpointLocation", checkpoint_dir)
