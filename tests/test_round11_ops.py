@@ -113,3 +113,77 @@ def test_neardup_stream_empty_dir_raises(spark, tmp_path):
             str(tmp_path / "out"),
             str(tmp_path / "ck"),
         )
+
+
+def test_amt_e4_exactness_property(spark):
+    """The money contract behind q157-q159: for ANY 2-decimal price and
+    discount, _amt_e4 equals exact rational arithmetic — lossless, so
+    engine- and partition-order-independence follows from int64 math."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        price_c=st.integers(min_value=0, max_value=20_000_000),
+        disc_c=st.integers(min_value=0, max_value=99),
+    )
+    @settings(max_examples=300, deadline=None)
+    def prop(price_c, disc_c):
+        price = price_c / 100.0  # the parquet double
+        disc = disc_c / 100.0
+        want = Fraction(price_c) * (100 - disc_c)  # exact e4 units
+        got = round(price * 100) * (100 - round(disc * 100))
+        assert got == want
+
+    prop()
+
+
+def test_amt_e4_spark_matches_python(spark):
+    """And the Spark expression computes the same int64 as the Python
+    twin on a boundary-heavy sample (x.xx5 rounding edges included)."""
+    from hadoopwebgraph_spark.queries.relational2 import _amt_e4
+
+    rows = [
+        (19.17, 0.05), (0.01, 0.99), (104998.18, 0.0), (2.675, 0.07),
+        (0.0, 0.0), (999.995, 0.10), (1.005, 0.01),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_extendedprice double, l_discount double"
+    )
+    got = [r.amt for r in df.select(_amt_e4().alias("amt")).collect()]
+    want = [
+        round(p * 100) * (100 - round(d * 100)) for p, d in rows
+    ]
+    assert got == want
+
+
+def test_export_ann_mirror_reproducible(spark, sf_small, tmp_path, monkeypatch):
+    """The mirror export script must stay runnable and reproduce the
+    committed artifacts from the cached index builds (same corpus, same
+    cache -> byte-equal rows)."""
+    import duckdb
+
+    from hadoopwebgraph_spark.functions import similarity as S
+    from scripts.export_ann_mirror import export
+
+    committed = S.ANN_MIRROR_ROOT
+    e = S.load(spark, sf_small, "embeddings")
+    ck = S._corpus_key(e)
+    monkeypatch.setattr(S, "ANN_MIRROR_ROOT", str(tmp_path / "ann"))
+    export(spark, sf_small)
+    con = duckdb.connect()
+    for sub, order in [
+        ("ivf_invfile", "vec_id"),
+        ("pq_codes", "vec_id, sub"),
+        ("knng_edges", "src, dst"),
+        ("opq_rotq", "query_id"),
+    ]:
+        a = con.sql(
+            f"SELECT * FROM read_parquet('{committed}/{sub}/ckey={ck}/*.parquet')"
+            f" ORDER BY {order}"
+        ).fetchall()
+        b = con.sql(
+            f"SELECT * FROM read_parquet('{tmp_path}/ann/{sub}/ckey={ck}/*.parquet')"
+            f" ORDER BY {order}"
+        ).fetchall()
+        assert a == b, sub
