@@ -585,9 +585,14 @@ def _amt_e4() -> F.Column:
 )
 def q156_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # range predicate, not year(): functions over the column don't reach
+    # the parquet scan; the range lands in PushedFilters (plan-pinned)
     li = (
         load(spark, sf_dir, "lineitem")
-        .filter(F.year("l_shipdate") == 1997)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .select("l_orderkey", "l_linestatus")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -631,7 +636,10 @@ def q157_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = (
         load(spark, sf_dir, "lineitem")
-        .filter(F.year("l_shipdate") == 1997)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .select("l_partkey", "l_extendedprice", "l_discount")
     )
     promo = F.when(F.col("p_type") == "PROMO", _amt_e4()).otherwise(

@@ -815,6 +815,7 @@ def test_q156_q157_shape(spark, sf_small):
     p1 = _plan(q156_late_priority_lines(spark, sf_small))
     assert "SortAggregate" not in p1
     assert "partial_sum" in p1
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p1
     p2 = _plan(q157_promo_revenue(spark, sf_small))
     assert "BroadcastHashJoin" in p2
     assert "CartesianProduct" not in p2
