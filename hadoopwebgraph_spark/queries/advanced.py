@@ -167,8 +167,10 @@ def q56_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q57_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
+    # timestamp range, not year(): only the range reaches PushedFilters
     o = load(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate").between(1996, 1997)
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")

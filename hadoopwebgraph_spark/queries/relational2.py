@@ -51,8 +51,12 @@ def q19_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
 
     def year_counts(y: int, out: str) -> DataFrame:
+        # timestamp range, not year(): only the range reaches PushedFilters
         return (
-            o.filter(F.year("o_orderdate") == y)
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
             .groupBy(F.col("o_custkey").alias("k"))
             .agg(F.count(F.lit(1)).alias(out))
         )

@@ -18,8 +18,15 @@ from ..registry import register
 
 def _custkeys_in_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # timestamp range, not year(): only the range reaches PushedFilters
     return (
-        o.filter(F.year("o_orderdate") == year)
+        o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (
+                F.col("o_orderdate")
+                < F.lit(f"{year + 1}-01-01").cast("timestamp")
+            )
+        )
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
