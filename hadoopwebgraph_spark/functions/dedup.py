@@ -734,7 +734,13 @@ def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_one_batch(batch_df: DataFrame, batch_id: int, digests: str, out_dir: str):
+def _dedup_one_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    digests: str,
+    out_dir: str,
+    project=None,
+):
     """One micro-batch of the incremental dedup (module-level so replay
     semantics are unit-testable). Idempotent under batch replay: both
     writes target a ``batch_id=<id>`` partition directory with
@@ -789,7 +795,8 @@ def _dedup_one_batch(batch_df: DataFrame, batch_id: int, digests: str, out_dir: 
     fresh = b if prev is None else b.join(prev, "h", "left_anti")
     fresh.persist()
     try:
-        fresh.drop("h").write.mode("overwrite").parquet(
+        out = fresh.drop("h") if project is None else project(fresh.drop("h"))
+        out.write.mode("overwrite").parquet(
             _os.path.join(out_dir, f"batch_id={batch_id}")
         )
         fresh.select("h").write.mode("overwrite").parquet(
@@ -969,6 +976,59 @@ def incremental_neardup_stream(
         stream.writeStream.foreachBatch(
             lambda batch_df, batch_id: _neardup_one_batch(
                 batch_df, batch_id, sigs, out_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def incremental_curation_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    snapshot_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+):
+    """The q154 curation pipeline as an always-on ingestion job: each
+    micro-batch is exact-deduped against the persisted digest snapshot
+    (the incremental_dedup_stream machinery, verbatim), then the batch's
+    survivors run the SHARED quality-gate + md5-band split tail
+    (llmprep._manifest_tail — the same helper q154/q155 compose), and
+    the (doc_id, split, n_words) manifest lands per batch_id partition.
+
+    Both composed stages are row-local per document (quality signals
+    aggregate only within a doc; the split is a pure doc_id hash), so
+    the union of batch manifests equals q154 on the union corpus
+    whenever duplicate groups keep the same representative — identical
+    to the arrival-order contract incremental_dedup_stream already
+    documents (keep-FIRST-ARRIVAL vs the batch op's keep-min-id; equal
+    when ids arrive in order, asserted in tests with ordered chunks).
+    Replay-idempotent for the same reasons as _dedup_one_batch."""
+    import os as _os
+
+    from .llmprep import _manifest_tail
+
+    if schema is not None:
+        file_schema = schema
+    else:
+        try:
+            file_schema = spark.read.parquet(incoming_dir).schema
+        except Exception as exc:  # empty watch dir at stream start
+            raise ValueError(
+                "incremental_curation_stream: watch directory "
+                f"{incoming_dir!r} has no files to infer a schema from; "
+                "pass schema= explicitly for an always-on stream whose "
+                "producer has not written yet"
+            ) from exc
+    stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
+    digests = _os.path.join(snapshot_dir, "digests")
+
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _dedup_one_batch(
+                batch_df, batch_id, digests, out_dir, project=_manifest_tail
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -187,3 +187,47 @@ def test_export_ann_mirror_reproducible(spark, sf_small, tmp_path, monkeypatch):
             f" ORDER BY {order}"
         ).fetchall()
         assert a == b, sub
+
+
+def test_incremental_curation_stream_matches_q154(spark, sf_small, tmp_path):
+    """q154 as an always-on job: replay the documents table as two
+    ORDERED file-stream chunks (ids in arrival order, so keep-first ==
+    keep-min-id); the union of batch manifests must equal the batch
+    pipeline's output exactly."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.dedup import incremental_curation_stream
+    from hadoopwebgraph_spark.functions.llmprep import q154_curation_pipeline
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    incoming = str(tmp_path / "in")
+    _drop_chunk(
+        docs.filter(F.col("doc_id") <= mid), str(tmp_path / "s1"), incoming, "c1"
+    )
+    q = incremental_curation_stream(
+        spark,
+        incoming,
+        str(tmp_path / "snap"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+        _drop_chunk(
+            docs.filter(F.col("doc_id") > mid), str(tmp_path / "s2"), incoming, "c2"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.split, r.n_words)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id", "split", "n_words")
+        .collect()
+    }
+    want = {
+        (r.doc_id, r.split, r.n_words)
+        for r in q154_curation_pipeline(spark, sf_small).collect()
+    }
+    assert got == want
+    assert len({s for _, s, _ in got}) == 3  # all three splits non-vacuous
