@@ -133,10 +133,17 @@ def g04_indegree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "handoff re-expressed as a DataFrame self-join).",
 )
 def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint: decode the graph ONCE and reuse the materialized
-    # edge table on both sides of the self-join (Spark would otherwise
-    # re-run the scan per alias — no exchange reuse across a Python DS)
-    e = edges_df(spark).localCheckpoint()
+    # persist + eager count: decode the graph ONCE and reuse the cached
+    # edge table on both sides of the self-join (Spark re-runs a Python
+    # DS scan per alias otherwise). Measured ~2x faster than the old
+    # eager localCheckpoint (r11: 1.8-2.6s vs 4-7s per call on the bench
+    # fixture) — the checkpoint paid a separate materialization job PLUS
+    # an RDD copy; the cache is registered by logical plan, so repeated
+    # calls reuse one entry instead of accumulating. The eager count
+    # guarantees a single decode (a lazy persist lets the join's two
+    # cache readers race partition materialization).
+    e = edges_df(spark).persist()
+    e.count()
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     joined = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

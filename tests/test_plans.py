@@ -766,8 +766,10 @@ def _scan_leaves(plan: str) -> dict[str, int]:
 # counts are the load-bearing part (InMemoryTableScan = shared subtree,
 # fine; one MORE raw scan than pinned = a subtree started re-running)
 _SCAN_CENSUS = {
-    # one localCheckpoint of the decode, scanned by both join sides
-    "g05_two_hop": {"Scan ExistingRDD": 2},
+    # one persisted decode, scanned by both join sides; the BatchScan is
+    # the cache's OWN build plan shown inside the InMemoryRelation (runs
+    # once at materialization, not per consumer)
+    "g05_two_hop": {"BatchScan bvgraph": 1, "InMemoryTableScan": 2},
     # mirror codebooks+codes+rotq, embeddings twice (ADC queries + rerank)
     "q76_sim_opq_topk": {"Scan parquet": 5},
     "q74_sim_pq_topk": {"Scan parquet": 5},
