@@ -33,6 +33,19 @@ SMALL_PARQUET = os.path.join(_REPO, "fixtures", "small_adj.parquet")
 _T = f"read_parquet('{SMALL_PARQUET}')"
 
 
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Share a decoded subtree across multiple consumers: persist + eager
+    count. One decode guaranteed (the two cache readers never race
+    partition materialization), and ~2x cheaper than the eager
+    localCheckpoint this replaced (r11 measurement in NOTES.md — the
+    checkpoint paid a separate materialization job plus an RDD copy).
+    The cache registers by logical plan, so repeated calls reuse one
+    entry rather than accumulating."""
+    df = df.persist()
+    df.count()
+    return df
+
 def graph_df(spark: SparkSession, basename: str | None = None) -> DataFrame:
     """Adjacency DataFrame from the BVGraph source (env override for
     benchmarking against the larger committed fixture).
@@ -133,17 +146,10 @@ def g04_indegree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "handoff re-expressed as a DataFrame self-join).",
 )
 def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist + eager count: decode the graph ONCE and reuse the cached
-    # edge table on both sides of the self-join (Spark re-runs a Python
-    # DS scan per alias otherwise). Measured ~2x faster than the old
-    # eager localCheckpoint (r11: 1.8-2.6s vs 4-7s per call on the bench
-    # fixture) — the checkpoint paid a separate materialization job PLUS
-    # an RDD copy; the cache is registered by logical plan, so repeated
-    # calls reuse one entry instead of accumulating. The eager count
-    # guarantees a single decode (a lazy persist lets the join's two
-    # cache readers race partition materialization).
-    e = edges_df(spark).persist()
-    e.count()
+    # decode ONCE, reuse on both join sides (_materialize: Python DS
+    # scans don't dedupe across aliases; r11 measured persist+count ~2x
+    # cheaper than the prior eager localCheckpoint)
+    e = _materialize(edges_df(spark))
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     joined = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -165,7 +171,7 @@ def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Feed-forward triangle motif count (three-way edge self-join).",
 )
 def g06_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = edges_df(spark).localCheckpoint()  # one decode for all three sides
+    e = _materialize(edges_df(spark))  # one decode for all three sides
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -193,7 +199,7 @@ def g07_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE decode of the Python source feeds all three aggregates (the
     # same localCheckpoint sharing g05/g06/g13 use) — previously g/e were
     # separate scans and e fed two aggregates, decoding the graph 4x
-    g = graph_df(spark).localCheckpoint()
+    g = _materialize(graph_df(spark))
     e = g.select("src", F.explode("adj").alias("dst"))
     n_nodes = g.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -325,11 +331,10 @@ def g09_src_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g19_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = edges_df(spark).filter(F.col("src") != F.col("dst"))
-    sym = (
+    sym = _materialize(  # one decode feeds degree + both join sides
         e0.select("src", "dst")
         .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()  # one decode feeds degree + both join sides
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     rk = deg.select(
@@ -340,8 +345,8 @@ def g19_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rk.select(F.col("node").alias("dst"), F.col("r").alias("dst_r")), "dst")
         .filter(F.col("src_r") < F.col("dst_r"))
         .select("src", "dst", "dst_r")
-        .localCheckpoint()
     )
+    oriented = _materialize(oriented)
     o1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_r").alias("b_r")
     )
@@ -400,11 +405,10 @@ def g19_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g20_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = edges_df(spark).filter(F.col("src") != F.col("dst"))
-    sym = (
+    sym = _materialize(
         e0.select("src", "dst")
         .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     ds = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
@@ -440,10 +444,8 @@ def g20_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "once, so the graph decodes once, shuffles once on (src,dst).",
 )
 def g23_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        edges_df(spark)
-        .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint()
+    e = _materialize(
+        edges_df(spark).filter(F.col("src") != F.col("dst"))
     )
     # no distinct on the probe side: left_semi emits each left row at most
     # once regardless of right-side duplicates, so deduping first would
@@ -783,8 +785,8 @@ def g41_subgraph_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # one BVGraph decode feeds the node union AND the edge remap (the
-    # g05 localCheckpoint sharing — Python DS scans don't dedupe)
-    e = edges_df(spark).localCheckpoint()
+    # g05 _materialize sharing — Python DS scans don't dedupe)
+    e = _materialize(edges_df(spark))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

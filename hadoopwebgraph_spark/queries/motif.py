@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .graph import _T, edges_df
+from .graph import _T, edges_df, _materialize
 
 _TERM = re.compile(r"^(!)?\((\w+)\)-\[\]->\((\w+)\)$")
 
@@ -107,7 +107,7 @@ def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
     "triangles); open + closed = all 2-paths (g05).",
 )
 def g14_motif_open_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = edges_df(spark).localCheckpoint()  # decode once across all terms
+    e = _materialize(edges_df(spark))  # decode once across all terms
     m = find_motif(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
     return m.agg(
         F.count(F.lit(1)).alias("n_open"),
@@ -228,11 +228,8 @@ _CANON_CASE = "CASE code " + " ".join(
     "literal map.",
 )
 def g42_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        edges_df(spark)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()  # one decode feeds dyads and all lookups
+    e = _materialize(  # one decode feeds dyads and all lookups
+        edges_df(spark).filter(F.col("src") != F.col("dst")).distinct()
     )
     und = (
         e.select(
@@ -243,8 +240,8 @@ def g42_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("u", "v")
         .agg(F.max("f0").alias("f"), F.max("b0").alias("b"))
-        .localCheckpoint()
     )
+    und = _materialize(und)
     ends = und.select(F.col("u").alias("c"), F.col("v").alias("o")).union(
         und.select(F.col("v").alias("c"), F.col("u").alias("o"))
     )
