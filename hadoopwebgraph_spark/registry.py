@@ -329,6 +329,45 @@ for _name in (
 ):
     _DRIVER_GREEN[_name] = 0
 
+# Round 11's driver window: CORRECTNESS_r11.json, 50/50 hash-exact (the
+# first all-hash window — the 4 ANN oracle resets, q155-q159, the 39
+# round-6 stragglers, and g26/g27). Post-stamp composition (from
+# scripts/gen_driver_green_stamp.py): {8: 47, 9: 3} — the oldest cohort
+# is the 47 round-8 names (g28-g32 + the q06-q53 relational/window/setops
+# block; four of them, q19/q30-q32, had filter code changed in r11), so
+# round-12 registrations must stay <= 3 for the whole cohort to clear in
+# one window (VERDICT r11 item #1).
+_DRIVER_GREEN.update(
+    {
+        name: 11
+        for name in (
+            "g10_point_lookup g11_pagerank "
+            "g12_connected_components "
+            "g13_reachability_recursive_cte g14_motif_open_triad "
+            "g15_label_propagation g25_host_graph "
+            "g26_hyperball_harmonic g27_hyperanf_neighborhood "
+            "q01_pricing_summary q02_filter_project q03_join_inner "
+            "q04_join_broadcast q05_join_left_histogram "
+            "q119_substring_dedup q129_partitioned_layout "
+            "q130_ngram_counts q131_disjunctive_predicate_join "
+            "q155_curation_neardup_pipeline "
+            "q156_late_priority_lines q157_promo_revenue "
+            "q158_top_supplier q159_small_quantity_revenue "
+            "q42_scalar_subquery q59_merge_upsert q60_dedup_exact "
+            "q61_dedup_content_hash q62_dedup_minhash "
+            "q63_ngram_jaccard q64_dedup_simhash q65_simhash_pairs "
+            "q66_dedup_clusters q70_sim_bruteforce_topk "
+            "q71_sim_ivf_topk q72_dedup_embedding "
+            "q73_sim_ivf_kmeans_topk q74_sim_pq_topk "
+            "q76_sim_opq_topk q77_sim_knn_graph_topk "
+            "q80_text_quality q81_lang_id q82_token_stats "
+            "q83_fingerprint q84_tfidf_top_terms q85_bm25_ranking "
+            "q90_multimodal_meta q91_grouped_map_regression "
+            "q92_udtf_tokenize q93_image_decode q94_audio_decode"
+        ).split()
+    }
+)
+
 
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
