@@ -755,6 +755,7 @@ def q155_curation_neardup_pipeline(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # session-retained cache; contract in queries/graph._materialize
     survivors = docs.join(kept_ids, "doc_id", "left_semi").persist()
     cand = minhash_candidate_pairs(survivors)
     cc = connected_components(

@@ -401,6 +401,28 @@ def _read_model(path: str) -> dict:
         return json.load(f)
 
 
+def _live_appended(path: str) -> bool:
+    """True when a live index at ``path`` has grown SINCE its build —
+    i.e. ivf_index_append_stream has appended inverted-file files after
+    model.json was written (the build's last artifact; appends are the
+    only post-build writer). A default probe on a mirrored fixture must
+    then skip the mirror, or streamed vectors would be silently
+    invisible to it (ADVICE r11: the ckey keys on the CORPUS, which
+    doesn't change when only the index grows)."""
+    model = os.path.join(path, "model.json")
+    if not os.path.exists(model):
+        return False
+    built = os.stat(model).st_mtime_ns
+    inv = os.path.join(path, "invfile")
+    for dirpath, _dirs, files in os.walk(inv):
+        for fn in files:
+            if fn.endswith(".parquet") and os.stat(
+                os.path.join(dirpath, fn)
+            ).st_mtime_ns > built:
+                return True
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Committed oracle mirrors (VERDICT r10 item #3) — the trained index
 # artifacts (centroids / inverted file / codebooks / code tables / rotated
@@ -461,6 +483,59 @@ def _mirror_df(spark: SparkSession, sub: str, ckey: int) -> DataFrame | None:
     return None if d is None else spark.read.parquet(d)
 
 
+_MIRROR_VERIFIED: set[int] = set()
+
+
+def _corpus_fingerprint(e: DataFrame) -> tuple[int, int]:
+    """Strong content fingerprint of an embeddings table: row count plus
+    the per-row sum of xxhash64(vec_id, embedding) folded into [0, 2^31)
+    (bounded so the sum cannot overflow int64 under ANSI mode). Unlike
+    the ckey — a cheap cross-engine locator that folds in only the first
+    coordinate — this covers every coordinate of every vector, so a
+    regenerated fixture that happens to preserve the ckey still trips
+    the manifest assert (ADVICE r11). Spark-only: the oracle never needs
+    it because a mismatch raises on the Spark side before any compare."""
+    row = e.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64("vec_id", "embedding"), F.lit(1 << 31))
+        ).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+def _verify_mirror(e: DataFrame, ckey: int) -> None:
+    """Assert the session corpus matches the committed mirror's recorded
+    fingerprint before serving mirror artifacts. Since BOTH engines read
+    the same mirror, a stale mirror served under a colliding ckey would
+    be invisible to the hash oracle — this check turns that silent wrong
+    answer into a loud error. Verified ckeys are cached for the process
+    lifetime; manifest entries predating the fingerprint field (no
+    'rows' key) are accepted as-is."""
+    if ckey in _MIRROR_VERIFIED:
+        return
+    try:
+        with open(os.path.join(ANN_MIRROR_ROOT, "MANIFEST.json")) as f:
+            entries = json.load(f)
+    except OSError:
+        _MIRROR_VERIFIED.add(ckey)
+        return
+    entry = next((x for x in entries if x["ckey"] == ckey), None)
+    if entry is None or "rows" not in entry:
+        _MIRROR_VERIFIED.add(ckey)
+        return
+    rows, xxh = _corpus_fingerprint(e)
+    if rows != entry["rows"] or xxh != entry["xxh"]:
+        raise ValueError(
+            f"ANN mirror ckey={ckey} matched but the corpus fingerprint "
+            f"differs (corpus rows={rows} xxh={xxh}; manifest "
+            f"rows={entry['rows']} xxh={entry['xxh']}): the committed "
+            "mirror under fixtures/ann/ is stale for this corpus — "
+            "re-export it with scripts/export_ann_mirror.py."
+        )
+    _MIRROR_VERIFIED.add(ckey)
+
+
 def _mirror_sql(sub: str, cols: str) -> str:
     """DuckDB-side mirror reader: the hive glob selects every committed
     corpus, the ckey filter picks the one matching the session's
@@ -514,14 +589,22 @@ def ivf_probe(
     inverted file come from fixtures/ann/ (the same artifacts the DuckDB
     oracle reads — parity is structural); otherwise the live-built index
     serves, with its vector-carrying cid-partitioned inverted file (the
-    production layout: pruning + no rerank join)."""
+    production layout: pruning + no rerank join). Mirror selection is
+    fingerprint-asserted (_verify_mirror) and yields to a live index
+    that ivf_index_append_stream has grown since build (_live_appended)
+    — streamed vectors exist only in the live inverted file."""
     e = load(spark, sf_dir, "embeddings")
     cent = assigned = None
-    if index_path is None:
+    # a streaming-maintained live index outranks the committed mirror:
+    # appended vectors exist only in the live inverted file
+    if index_path is None and not _live_appended(
+        _index_path("ivf", sf_dir, [10, 4])
+    ):
         ck = _corpus_key(e)
         cent = _mirror_df(spark, "ivf_centroids", ck)
         inv = _mirror_df(spark, "ivf_invfile", ck)
         if cent is not None and inv is not None:
+            _verify_mirror(e, ck)
             corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
                 "vec_id", F.col("embedding").alias("v")
             )
@@ -587,7 +670,15 @@ def ivf_index_append_stream(
     At 100 TB this is the ingestion path: the model is O(k*dims) and
     static per epoch, each micro-batch is one broadcast-join + partition
     append, and the partition layout (the probe's pruning key) is
-    preserved by construction."""
+    preserved by construction.
+
+    Probing an appended index: pass THIS index_path to ivf_probe, or —
+    for the default-parameter index of a mirrored fixture corpus —
+    rely on ivf_probe's _live_appended check, which skips the committed
+    mirror once the live inverted file has grown past its build (the
+    mirror's corpus key cannot see index growth). Appends to an index
+    built with non-default (k, iterations) are only reachable via an
+    explicit index_path."""
     model = _read_model(index_path)
     cent = spark.createDataFrame(
         [(cid, cvec) for cid, cvec in model["centroids"]],
@@ -893,6 +984,8 @@ def pq_probe(
             q_for_adc = queries
         if cb is None or codes is None or q_for_adc is None:
             cb = codes = q_for_adc = None
+        else:
+            _verify_mirror(e, ck)
     if cb is None:
         path = index_path or (
             build_opq_index(spark, sf_dir)
@@ -1355,6 +1448,8 @@ def knn_graph_probe(
         assigned = _mirror_df(spark, "ivf_invfile", ck)
         if edges is None or assigned is None:
             edges = assigned = None
+        else:
+            _verify_mirror(e, ck)
     if edges is None:
         path = index_path or build_knn_graph_index(spark, sf_dir)
         model = _read_model(path)

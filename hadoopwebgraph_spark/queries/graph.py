@@ -34,6 +34,9 @@ _T = f"read_parquet('{SMALL_PARQUET}')"
 
 
 
+_MATERIALIZED: list[DataFrame] = []
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Share a decoded subtree across multiple consumers: persist + eager
     count. One decode guaranteed (the two cache readers never race
@@ -41,10 +44,34 @@ def _materialize(df: DataFrame) -> DataFrame:
     localCheckpoint this replaced (r11 measurement in NOTES.md — the
     checkpoint paid a separate materialization job plus an RDD copy).
     The cache registers by logical plan, so repeated calls reuse one
-    entry rather than accumulating."""
+    entry rather than accumulating.
+
+    Retained-cache contract (ADVICE r11): the persist is deliberately
+    NOT released when the returned DataFrame is consumed — the returned
+    plan references the cached subtree, and cross-call reuse of the
+    plan-keyed entry is part of the measured win. Cached subtrees
+    therefore live for the session (bounded: fixture-graph decodes, and
+    Spark evicts under memory pressure since persist() is
+    MEMORY_AND_DISK). Long-lived sessions that are done with the graph
+    queries can drop them all via release_materialized(). The eager
+    count() also means construction runs jobs — callers that only want
+    the plan shape should build the un-materialized subtree directly."""
     df = df.persist()
     df.count()
+    _MATERIALIZED.append(df)
     return df
+
+
+def release_materialized() -> int:
+    """Unpersist every subtree _materialize cached this session (blocking,
+    so the memory is back before return); returns how many were dropped.
+    DataFrames previously returned by the graph queries remain valid —
+    they just recompute instead of hitting the cache."""
+    n = 0
+    while _MATERIALIZED:
+        _MATERIALIZED.pop().unpersist(blocking=True)
+        n += 1
+    return n
 
 def graph_df(spark: SparkSession, basename: str | None = None) -> DataFrame:
     """Adjacency DataFrame from the BVGraph source (env override for

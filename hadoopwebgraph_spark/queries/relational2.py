@@ -396,6 +396,7 @@ def q151_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
         )
         .select("l_orderkey", "l_suppkey")
+        # session-retained cache; contract in queries/graph._materialize
         .persist()
     )
     other = li.select(
@@ -749,6 +750,7 @@ def q159_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("bigint").alias("qty"),
             _amt_e4().alias("amt_e4"),
         )
+        # session-retained cache; contract in queries/graph._materialize
         .persist()
     )
     agg = bl.groupBy("l_partkey").agg(

@@ -336,6 +336,14 @@ def incremental_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFram
 
     Scale: state is one narrow tuple per user (not per event); emitted
     rows are bounded by sessions touched per batch.
+
+    Checkpoint compatibility (ADVICE r11): the state tuple's last field
+    changed from ``total double`` to ``cents long`` when the accumulator
+    went integer-exact. Spark's state store does NOT migrate schemas —
+    restarting from a checkpoint written by the old schema would decode
+    stale bytes under the new layout (wrong values or a state-store
+    error). Reset the checkpoint directory when upgrading across that
+    change; fresh streams are unaffected.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -147,8 +147,26 @@ def export(spark: SparkSession, sf_dir: str) -> None:
             ["src", "dst"],
         ),
     )
+    update_manifest(spark, sf_dir)
+
+
+def update_manifest(spark: SparkSession, sf_dir: str) -> None:
+    """Record the corpus's ckey AND its strong content fingerprint
+    (rows + full-vector xxhash64 sum, see similarity._corpus_fingerprint)
+    in MANIFEST.json; probes assert the fingerprint before serving a
+    mirror (ADVICE r11: the ckey alone is a weak locator — count plus a
+    first-coordinate sum — and both engines read the same mirror, so a
+    ckey collision with stale artifacts would be oracle-invisible)."""
+    e = S.load(spark, sf_dir, "embeddings")
+    ck = S._corpus_key(e)
+    rows, xxh = S._corpus_fingerprint(e)
     manifest = os.path.join(S.ANN_MIRROR_ROOT, "MANIFEST.json")
-    entry = {"sf_dir": os.path.realpath(sf_dir), "ckey": ck}
+    entry = {
+        "sf_dir": os.path.realpath(sf_dir),
+        "ckey": ck,
+        "rows": rows,
+        "xxh": xxh,
+    }
     entries = []
     if os.path.exists(manifest):
         with open(manifest) as f:
@@ -156,6 +174,7 @@ def export(spark: SparkSession, sf_dir: str) -> None:
     entries.append(entry)
     with open(manifest, "w") as f:
         json.dump(sorted(entries, key=lambda x: x["ckey"]), f, indent=1)
+    print(f"  MANIFEST ckey={ck}: rows={rows} xxh={xxh}")
 
 
 def main() -> None:
@@ -166,8 +185,15 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in sys.argv[1:]:
-        export(spark, sf_dir)
+    args = sys.argv[1:]
+    manifest_only = "--manifest-only" in args
+    for sf_dir in (a for a in args if not a.startswith("--")):
+        if manifest_only:
+            # refresh the fingerprint record for already-committed
+            # artifacts without retraining anything
+            update_manifest(spark, sf_dir)
+        else:
+            export(spark, sf_dir)
 
 
 if __name__ == "__main__":
