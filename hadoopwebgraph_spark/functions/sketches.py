@@ -1,0 +1,213 @@
+"""Theta-sketch distinct-count set algebra (SURVEY.md §2 sketch family,
+VERDICT r11 next-round candidate).
+
+A KMV/theta sketch (Beyer et al. "On Synopses for Distinct-Value
+Estimation", Dasgupta et al. "Theta Sketch Framework") summarizes a set
+as its K smallest distinct hash values; unlike the HLL family (q12/g26)
+the sample supports SET OPERATIONS: the K smallest values of a union are
+always contained in the union of the per-set sketches, and intersections
+/ differences are estimated from the retained samples below the smaller
+of the two thetas. This gives distinct-count algebra (|A|, |B|, |A∪B|,
+|A∩B|, |A\\B|) from two tiny synopses without re-scanning either input.
+
+Cross-engine exactness (unlike the rows-only HLL probes, this IS fully
+hash-oracled): the hash is the repo's md5 discipline — the first 10 hex
+chars of md5('theta-' || key) parsed as a 40-bit BIGINT, computable
+bit-identically in Spark (``conv(substr(md5(..),1,10),16,10)``) and
+DuckDB (``CAST('0x' || substr(md5(..),1,10) AS BIGINT)``) — and every
+estimate is pure int64 arithmetic: (K-1)*2^40 div theta, never a float.
+
+Scale: each per-set sketch is a distinct + TakeOrderedAndProject(K) —
+the map side keeps only K candidates per partition, so nothing
+corpus-sized ever converges on one node; the set algebra then runs on
+<= K-row inputs. At 100 TB the sketches are the only cross-stage state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+K = 64
+_SCALE = 1 << 40  # 10 hex chars of the md5 = a 40-bit hash space
+
+
+def theta_hash(col: F.Column) -> F.Column:
+    """40-bit integer hash, bit-identical in Spark and DuckDB (the g39/
+    g43 md5 discipline; conv's decimal string casts exactly at 10 hex
+    digits < 2^63)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("-", F.lit("theta"), col)), 1, 10),
+        16,
+        10,
+    ).cast("long")
+
+
+def _theta_hash_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('theta-' || {expr}), 1, 10)) AS BIGINT)"
+    )
+
+
+def theta_sketch(values: DataFrame, k: int = K) -> DataFrame:
+    """Build a theta sketch: the k smallest DISTINCT 40-bit hashes of the
+    single-column input. distinct dedupes hash collisions (so the later
+    ORDER BY has no ties); orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    never a global sort (the q85 idiom)."""
+    col = values.columns[0]
+    return (
+        values.select(theta_hash(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _stats(sketch: DataFrame, tag: str, k: int = K) -> DataFrame:
+    """One-row (n, theta, est) summary. theta is the k-th smallest value
+    when the sketch is full, else the whole hash space (the sketch holds
+    every distinct value, so the estimate is exact = n)."""
+    full = F.col(f"n{tag}") >= k
+    return sketch.agg(
+        F.count(F.lit(1)).alias(f"n{tag}"), F.max("h").alias(f"k{tag}")
+    ).select(
+        F.col(f"n{tag}"),
+        F.when(full, F.col(f"k{tag}")).otherwise(F.lit(_SCALE)).alias(
+            f"theta{tag}"
+        ),
+        F.when(
+            full, F.expr(f"{(k - 1) * _SCALE} div k{tag}")
+        )
+        .otherwise(F.col(f"n{tag}"))
+        .cast("long")
+        .alias(f"est{tag}"),
+    )
+
+
+@register(
+    "q160_theta_sketch_setops",
+    oracle=f"""
+    WITH da AS MATERIALIZED (
+        SELECT DISTINCT {_theta_hash_sql("CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate <  DATE '1996-01-01'
+    ),
+    db AS MATERIALIZED (
+        SELECT DISTINCT {_theta_hash_sql("CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate <  DATE '1997-01-01'
+    ),
+    sa AS MATERIALIZED (SELECT h FROM da ORDER BY h LIMIT {K}),
+    sb AS MATERIALIZED (SELECT h FROM db ORDER BY h LIMIT {K}),
+    su AS MATERIALIZED (
+        SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+        ORDER BY h LIMIT {K}
+    ),
+    st AS MATERIALIZED (
+        SELECT a.n AS na, b.n AS nb, u.n AS nu,
+               CASE WHEN a.n >= {K} THEN a.kth ELSE {_SCALE} END AS ta,
+               CASE WHEN b.n >= {K} THEN b.kth ELSE {_SCALE} END AS tb,
+               CASE WHEN u.n >= {K} THEN u.kth ELSE {_SCALE} END AS tu
+        FROM (SELECT count(*) AS n, max(h) AS kth FROM sa) a,
+             (SELECT count(*) AS n, max(h) AS kth FROM sb) b,
+             (SELECT count(*) AS n, max(h) AS kth FROM su) u
+    ),
+    cut AS MATERIALIZED (SELECT least(ta, tb) AS cutoff FROM st),
+    mi AS (SELECT count(*) AS m FROM sa JOIN sb USING (h), cut
+           WHERE h < cutoff),
+    md AS (SELECT count(*) AS m FROM sa, cut
+           WHERE h < cutoff AND h NOT IN (SELECT h FROM sb))
+    SELECT op, CAST(est AS BIGINT) AS est FROM (
+        SELECT 'est_a' AS op,
+               CASE WHEN na >= {K} THEN {(K - 1) * _SCALE} // ta
+                    ELSE na END AS est FROM st
+        UNION ALL
+        SELECT 'est_b',
+               CASE WHEN nb >= {K} THEN {(K - 1) * _SCALE} // tb
+                    ELSE nb END FROM st
+        UNION ALL
+        SELECT 'est_union',
+               CASE WHEN nu >= {K} THEN {(K - 1) * _SCALE} // tu
+                    ELSE nu END FROM st
+        UNION ALL
+        SELECT 'est_intersect', m * {_SCALE} // cutoff FROM mi, cut
+        UNION ALL
+        SELECT 'est_a_minus_b', m * {_SCALE} // cutoff FROM md, cut
+    )
+    """,
+    doc="Theta/KMV sketch set algebra over two order-year cohorts of "
+    "customers: per-set distinct-count estimates plus union / "
+    "intersection / difference estimates from the merged synopses — "
+    "pure int64 arithmetic, fully hash-oracled (unlike the HLL "
+    "family's rows-only checks).",
+)
+def q160_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def year_hashes(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+            ).select(F.col("o_custkey").cast("string").alias("key"))
+        )
+
+    # session-retained cache; contract in queries/graph._materialize —
+    # each <=K-row sketch feeds several consumers below, and an
+    # unpersisted Python-free subtree would still re-scan orders per use
+    sa = theta_sketch(year_hashes(1995)).persist()
+    sb = theta_sketch(year_hashes(1996)).persist()
+    sa.count(), sb.count()
+    su = sa.union(sb).distinct().orderBy("h").limit(K)
+
+    ast, bst, ust = _stats(sa, "a"), _stats(sb, "b"), _stats(su, "u")
+    cut = (
+        ast.crossJoin(bst)
+        .select(F.least("thetaa", "thetab").alias("cutoff"))
+    )
+    mi = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("h") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    md = (
+        sa.join(sb, "h", "left_anti")
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("h") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+
+    def est_row(stats: DataFrame, tag: str, op: str) -> DataFrame:
+        return stats.select(
+            F.lit(op).alias("op"), F.col(f"est{tag}").alias("est")
+        )
+
+    def setop_row(agg: DataFrame, op: str) -> DataFrame:
+        # groupBy above yields zero rows for an empty sample — re-anchor
+        # on the one-row cutoff table so the op always emits a row
+        return (
+            cut.join(agg, "cutoff", "left")
+            .select(
+                F.lit(op).alias("op"),
+                F.expr(f"coalesce(m, 0) * {_SCALE} div cutoff")
+                .cast("long")
+                .alias("est"),
+            )
+        )
+
+    return (
+        est_row(ast, "a", "est_a")
+        .unionAll(est_row(bst, "b", "est_b"))
+        .unionAll(est_row(ust, "u", "est_union"))
+        .unionAll(setop_row(mi, "est_intersect"))
+        .unionAll(setop_row(md, "est_a_minus_b"))
+    )

@@ -62,6 +62,8 @@ def _load_all_modules() -> None:
     from .functions import text  # noqa: F401
     from .functions import multimodal  # noqa: F401
     from .functions import grouped  # noqa: F401
+    from .functions import sketches  # noqa: F401
+    from .functions import search  # noqa: F401
 
 
 # Queries with a green driver CORRECTNESS row in a past round, by round.

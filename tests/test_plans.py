@@ -842,3 +842,45 @@ def test_q158_q159_shared_subtree_persisted(spark, sf_small):
         ]
         assert len(cached) == 2, plan
         assert "CartesianProduct" not in plan
+
+
+def test_q160_sketch_no_global_sort(spark, sf_small):
+    """Theta-sketch builds must plan as TakeOrderedAndProject (per-
+    partition top-K then a K-row merge), never a corpus-wide Sort, and
+    the <=K-row set algebra must not introduce a cartesian product."""
+    from hadoopwebgraph_spark.functions.sketches import (
+        q160_theta_sketch_setops,
+    )
+
+    plan = _plan(q160_theta_sketch_setops(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q161_gram_prune_is_broadcast(spark, sf_small):
+    """The pattern-gram posting prune must be a broadcast hash join (the
+    pattern side is tiny), discarding non-matching grams before any
+    shuffle; no cartesian verify pass."""
+    from hadoopwebgraph_spark.functions.search import q161_substring_search
+
+    plan = _plan(q161_substring_search(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q162_rerank_batched_and_two_phase_topk(spark, sf_small):
+    """Candidate generation broadcasts the query vocabulary; the rerank
+    runs in mapInPandas Arrow batches (never row-at-a-time Python); the
+    final cut is the two-phase rank filter, not a single global window
+    over all scored pairs."""
+    from hadoopwebgraph_spark.functions.search import (
+        q162_crossencoder_rerank,
+    )
+
+    plan = _plan(q162_crossencoder_rerank(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # two-phase top-k: a local (spark_partition_id, query_id) window
+    # precedes the per-query global window
+    assert "_p" in plan

@@ -107,3 +107,133 @@ def test_release_materialized_unpersists_graph_caches(spark):
     dropped = G.release_materialized()
     assert dropped > 0 and not G._MATERIALIZED
     assert G.g05_two_hop(spark, "").count() == before
+
+
+def test_theta_sketch_exact_below_k(spark):
+    """A sketch over fewer than K distinct values retains ALL of them, so
+    the estimator's exact path must return the true count."""
+    from hadoopwebgraph_spark.functions.sketches import K, theta_sketch
+
+    vals = spark.range(0, 40).selectExpr("CAST(id AS STRING) AS v")
+    sk = theta_sketch(vals)
+    assert sk.count() == 40 < K
+
+
+def test_theta_union_of_sketches_is_union_sketch(spark):
+    """KMV union correctness: the K smallest hashes of A ∪ B are always
+    contained in sketch(A) ∪ sketch(B) — merging sketches loses nothing
+    (the property the set algebra rests on)."""
+    from hadoopwebgraph_spark.functions.sketches import K, theta_sketch
+
+    a = spark.range(0, 500).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(300, 900).selectExpr("CAST(id AS STRING) AS v")
+    direct = {
+        r.h for r in theta_sketch(a.union(b)).collect()
+    }
+    merged = (
+        theta_sketch(a)
+        .union(theta_sketch(b))
+        .distinct()
+        .orderBy("h")
+        .limit(K)
+    )
+    assert {r.h for r in merged.collect()} == direct
+
+
+def test_q160_estimates_within_error_bound(spark, sf_oracle):
+    """Every q160 estimate must land within 4 standard errors of the true
+    distinct count (sigma ~ truth/sqrt(K-1) for per-set estimates; the
+    intersection inherits the union's absolute error, so its bound is
+    scaled by the union)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.sketches import (
+        K,
+        q160_theta_sketch_setops,
+    )
+
+    o = load(spark, sf_oracle, "orders")
+
+    def truth(y0, y1):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y0}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{y1}-01-01").cast("date"))
+            )
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+
+    ta, tb, tu = truth(1995, 1996), truth(1996, 1997), truth(1995, 1997)
+    ti = ta + tb - tu
+    est = {r.op: r.est for r in q160_theta_sketch_setops(spark, sf_oracle).collect()}
+    s = 4.0 / math.sqrt(K - 1)
+    for op, tv, bound in [
+        ("est_a", ta, s * ta),
+        ("est_b", tb, s * tb),
+        ("est_union", tu, s * tu),
+        ("est_intersect", ti, s * tu),
+        ("est_a_minus_b", ta - ti, s * tu),
+    ]:
+        assert abs(est[op] - tv) <= bound, (op, est[op], tv)
+
+
+def test_q161_gram_prune_is_lossless(spark, sf_small):
+    """The gram-pruned search must return EXACTLY the brute-force
+    contains() matches — the prune may never drop a true occurrence
+    (every match of a >=8-char pattern shares all its 8-grams)."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.search import (
+        _patterns,
+        q161_substring_search,
+    )
+
+    docs = load(spark, sf_small, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    brute = (
+        _patterns(docs)
+        .crossJoin(docs.select("doc_id", "text"))
+        .filter(F.expr("contains(text, pat)"))
+        .select("pattern_id", "doc_id")
+    )
+    got = {(r.pattern_id, r.doc_id) for r in q161_substring_search(spark, sf_small).collect()}
+    want = {(r.pattern_id, r.doc_id) for r in brute.collect()}
+    assert got == want and len(want) >= 3  # each pattern hits its source
+
+
+def test_q162_model_seam_and_rank_contract(spark, sf_small):
+    """The model seam rejects non-stub names loudly (a real encoder plugs
+    in there); ranks are 1..<=10 per query with scores non-increasing and
+    doc_id ascending within score ties."""
+    import pytest as _pytest
+
+    from hadoopwebgraph_spark.functions.search import (
+        CrossEncoderStub,
+        q162_crossencoder_rerank,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        CrossEncoderStub.load("minilm-cross-encoder")
+
+    rows = q162_crossencoder_rerank(spark, sf_small).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r.score > 0 for r in rs)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score, -a.doc_id) >= (b.score, -b.doc_id) or (
+                a.score > b.score
+            )
+            if a.score == b.score:
+                assert a.doc_id < b.doc_id
