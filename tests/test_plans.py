@@ -785,6 +785,14 @@ _SCAN_CENSUS = {
     "q137_inverted_index": {"InMemoryTableScan": 2, "Scan parquet": 1},
     # persisted token-set subtree: 4 cached consumers, 2 designed raw scans
     "q142_prefix_jaccard_join": {"InMemoryTableScan": 4, "Scan parquet": 2},
+    # r12: each persisted sketch scans orders ONCE at cache build (2 raw
+    # scans total); the <=K-row set algebra reads only the caches — a
+    # third raw scan means a sketch subtree started re-running
+    "q160_theta_sketch_setops": {"InMemoryTableScan": 16, "Scan parquet": 2},
+    # patterns + posting-list build + verify join: exactly 3 scans
+    "q161_substring_search": {"Scan parquet": 3},
+    # corpus tokens + candidate texts; the query table is a local RDD
+    "q162_crossencoder_rerank": {"Scan parquet": 2, "Scan ExistingRDD": 2},
 }
 
 
