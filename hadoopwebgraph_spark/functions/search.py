@@ -32,6 +32,10 @@ from .similarity import topk_per_group
 
 GRAM = 8  # pattern length (12) >= GRAM, so every match shares all grams
 N_PATTERNS = 3
+# probe-direction cutoff: up to this many distinct pattern grams, each
+# document tests the literal grams with contains(); beyond it, the
+# classic posting-list explode + equi-join wins
+_GRAM_PROBE_MAX = 64
 
 
 def _patterns(docs: DataFrame) -> DataFrame:
@@ -50,16 +54,17 @@ def _patterns(docs: DataFrame) -> DataFrame:
 
 
 def _grams(col: str) -> F.Column:
-    """All distinct character GRAM-grams of a string column (empty array
-    below GRAM chars — sequence() must never see start > stop: Spark
-    flips to step -1 there instead of returning empty)."""
+    """All character GRAM-grams of a string column, duplicates included
+    (dedup happens downstream: array_intersect or a candidate distinct —
+    an array_distinct here is O(len^2) string compares per document and
+    measured as the dominant q161 cost at sf0.1). Empty array below GRAM
+    chars — sequence() must never see start > stop: Spark flips to step
+    -1 there instead of returning empty."""
     return F.when(
         F.length(col) >= GRAM,
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, length({col}) - {GRAM - 1}),"
-                f" i -> substring({col}, i, {GRAM}))"
-            )
+        F.expr(
+            f"transform(sequence(1, length({col}) - {GRAM - 1}),"
+            f" i -> substring({col}, i, {GRAM}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -93,12 +98,41 @@ def q161_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat_grams = pats.select(
         "pattern_id", "pat", F.explode(_grams("pat")).alias("gram")
     )
-    # posting-list build: the explode is map-local and the broadcast
-    # hash join discards non-pattern grams before any shuffle — at
-    # 100 TB only gram-sharing candidates leave the scan stage
-    doc_grams = docs.select(
-        "doc_id", F.explode(_grams("text")).alias("gram")
-    )
+    # The pattern-gram set is workload-sized (patterns x ~5 grams), so it
+    # folds into a LITERAL array and the probe direction flips: instead
+    # of materializing every text position as a substring (len(text)
+    # string allocs per doc — measured as q161's dominant cost at sf0.1),
+    # each document tests the handful of literal grams with contains()
+    # (a JVM indexOf each) and explodes only the hits. Same set as an
+    # array_intersect with the full gram list — a gram is among the
+    # text's GRAM-grams iff it occurs as a substring. The collect is a
+    # bounded scalar boundary (<= N_PATTERNS * (12 - GRAM + 1) grams).
+    # Past _GRAM_PROBE_MAX grams (a large pattern workload) the probe
+    # cost crosses the posting-list build and the classic inverted
+    # explode + equi-join takes over.
+    pgram_set = sorted({r.gram for r in pat_grams.select("gram").collect()})
+    if len(pgram_set) <= _GRAM_PROBE_MAX:
+        doc_grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.array(*[F.lit(g) for g in pgram_set]),
+                    lambda g: F.contains(F.col("text"), g),
+                )
+            ).alias("gram"),
+        )
+    else:
+        doc_grams = docs.select(
+            "doc_id", F.explode(_grams("text")).alias("gram")
+        ).join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(g,) for g in pgram_set], "gram string"
+                )
+            ),
+            "gram",
+        )
+    # gram -> pattern mapping (a gram can belong to several patterns)
     cand = (
         doc_grams.join(F.broadcast(pat_grams), "gram")
         .select("pattern_id", "pat", "doc_id")

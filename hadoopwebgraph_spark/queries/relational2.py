@@ -696,6 +696,7 @@ def q158_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_amt_e4()).alias("total_e4"))
+        # session-retained cache; contract in queries/graph._materialize
         .persist()
     )
     mx = rev.agg(F.max("total_e4").alias("_mx"))

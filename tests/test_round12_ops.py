@@ -237,3 +237,23 @@ def test_q162_model_seam_and_rank_contract(spark, sf_small):
             )
             if a.score == b.score:
                 assert a.doc_id < b.doc_id
+
+
+def test_q161_posting_list_branch_matches_probe_branch(
+    spark, sf_small, monkeypatch
+):
+    """The large-workload posting-list branch (explode + equi-join) must
+    return exactly what the literal-gram contains() probe returns — the
+    two prune directions are interchangeable by construction."""
+    from hadoopwebgraph_spark.functions import search as S
+
+    probe = {
+        (r.pattern_id, r.doc_id)
+        for r in S.q161_substring_search(spark, sf_small).collect()
+    }
+    monkeypatch.setattr(S, "_GRAM_PROBE_MAX", 0)
+    posting = {
+        (r.pattern_id, r.doc_id)
+        for r in S.q161_substring_search(spark, sf_small).collect()
+    }
+    assert probe == posting and len(probe) >= 3
