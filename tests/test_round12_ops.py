@@ -257,3 +257,82 @@ def test_q161_posting_list_branch_matches_probe_branch(
         for r in S.q161_substring_search(spark, sf_small).collect()
     }
     assert probe == posting and len(probe) >= 3
+
+
+# ---------------------------------------------------------------------------
+# theta-sketch property tests: a pure-Python reference of the same
+# 40-bit md5 hash + KMV semantics, driven by hypothesis (Spark jobs per
+# example would be prohibitive); one Spark anchor test pins the two
+# implementations to identical hash values.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+
+def _ref_hash(x) -> int:
+    return int(hashlib.md5(f"theta-{x}".encode()).hexdigest()[:10], 16)
+
+
+def _ref_sketch(values, k=64):
+    return sorted({_ref_hash(v) for v in values})[:k]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**6), max_size=300),
+    st.sets(st.integers(min_value=0, max_value=10**6), max_size=300),
+)
+def test_kmv_union_merge_property(a, b):
+    """sketch(A ∪ B) == k-smallest of (sketch(A) ∪ sketch(B)) for
+    arbitrary sets — the losslessness the q160 union estimate rests on."""
+    merged = sorted(set(_ref_sketch(a)) | set(_ref_sketch(b)))[:64]
+    assert merged == _ref_sketch(a | b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**6), max_size=63))
+def test_kmv_exact_below_k(vals):
+    """Below K distinct values the sketch IS the value set (hash
+    collisions aside — none occur in this domain) and the exact-count
+    path returns truth."""
+    sk = _ref_sketch(vals)
+    assert len(sk) == len({_ref_hash(v) for v in vals})
+    if len(sk) < 64:
+        est = len(sk)  # the n < K branch of the estimator
+        assert est == len({_ref_hash(v) for v in vals})
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=2000), min_size=100, max_size=400),
+    st.sets(st.integers(min_value=0, max_value=2000), min_size=100, max_size=400),
+)
+def test_kmv_intersection_sample_is_valid(a, b):
+    """Every hash the intersection estimator counts (in both sketches,
+    below the min theta) must belong to a TRUE common element — the
+    sample never contains false positives (md5 is collision-free on
+    this domain), so the estimate is an unbiased scaled count."""
+    sa, sb = _ref_sketch(a), _ref_sketch(b)
+    ta = sa[-1] if len(sa) == 64 else 1 << 40
+    tb = sb[-1] if len(sb) == 64 else 1 << 40
+    cutoff = min(ta, tb)
+    sample = {h for h in sa if h < cutoff} & set(sb)
+    true_hashes = {_ref_hash(v) for v in a & b}
+    assert sample <= true_hashes
+
+
+def test_theta_hash_spark_matches_reference(spark):
+    """Anchor: Spark's conv(substr(md5..)) 40-bit hash must equal the
+    pure-Python reference on a value sample — the property tests above
+    then transfer to the DataFrame implementation."""
+    from pyspark.sql import functions as F
+
+    from hadoopwebgraph_spark.functions.sketches import theta_hash
+
+    vals = [0, 1, 7, 123456, 999999, 2**31]
+    df = spark.createDataFrame([(str(v),) for v in vals], "v string")
+    got = {r.v: r.h for r in df.select("v", theta_hash(F.col("v")).alias("h")).collect()}
+    for v in vals:
+        assert got[str(v)] == _ref_hash(v)
