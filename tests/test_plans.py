@@ -863,6 +863,9 @@ def test_q160_sketch_no_global_sort(spark, sf_small):
     plan = _plan(q160_theta_sketch_setops(spark, sf_small))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    # the year ranges reach the scan and only the two live columns read
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan
+    assert "struct<o_custkey:bigint,o_orderdate:timestamp_ntz>" in plan
 
 
 def test_q161_gram_prune_is_broadcast(spark, sf_small):
