@@ -111,6 +111,12 @@ def q161_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost crosses the posting-list build and the classic inverted
     # explode + equi-join takes over.
     pgram_set = sorted({r.gram for r in pat_grams.select("gram").collect()})
+    if not pgram_set:
+        # no qualifying pattern source (corpus of short docs): empty
+        # result with the contract schema, not a zero-arg array() plan
+        return docs.select(
+            F.col("doc_id").alias("pattern_id"), "doc_id"
+        ).filter(F.lit(False))
     if len(pgram_set) <= _GRAM_PROBE_MAX:
         doc_grams = docs.select(
             "doc_id",

@@ -336,3 +336,22 @@ def test_theta_hash_spark_matches_reference(spark):
     got = {r.v: r.h for r in df.select("v", theta_hash(F.col("v")).alias("h")).collect()}
     for v in vals:
         assert got[str(v)] == _ref_hash(v)
+
+
+def test_q161_empty_pattern_corpus_returns_empty(spark, sf_small, monkeypatch):
+    """A corpus with no qualifying pattern source doc must yield an empty
+    result with the contract schema (not a zero-arg array() plan)."""
+    from hadoopwebgraph_spark.functions import search as S
+
+    monkeypatch.setattr(S, "N_PATTERNS", 3)
+
+    def no_patterns(docs):
+        return docs.filter(F.lit(False)).select(
+            F.col("doc_id").alias("pattern_id"),
+            F.substring("text", 9, 12).alias("pat"),
+        )
+
+    monkeypatch.setattr(S, "_patterns", no_patterns)
+    df = S.q161_substring_search(spark, sf_small)
+    assert df.columns == ["pattern_id", "doc_id"]
+    assert df.count() == 0
