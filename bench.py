@@ -107,6 +107,36 @@ EXTRA_DETAIL = [
 ]
 
 
+
+def _check_nonneg(n):
+    assert n >= 0
+
+
+def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
+    """The one measurement protocol (review r12: three near-copies had
+    drifted): record loadavg, run twice taking the min, capture the
+    first run as cold, record after EACH success (a transient retry
+    failure must not discard a measurement we already have), and skip
+    the second run past 10s so an expensive query doesn't double the
+    bench budget. ``check(result)`` may assert sanity on each run."""
+    try:
+        loads[name] = round(os.getloadavg()[0], 1)
+        for run in range(2):
+            t0 = time.perf_counter()
+            result = run_once()
+            dt = time.perf_counter() - t0
+            if check is not None:
+                check(result)
+            if run == 0:
+                cold[name] = round(dt, 3)
+            timings[name] = round(min(dt, timings.get(name, dt)), 3)
+            if dt > 10.0:
+                break
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        if name not in timings:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # graph queries: run against the large committed fixture (100k nodes,
@@ -323,23 +353,12 @@ def main() -> None:
         q = queries.get(name)
         if q is None:
             continue
-        try:
-            loads[name] = round(os.getloadavg()[0], 1)
-            for run in range(2):
-                t0 = time.perf_counter()
-                n = q.fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                assert n >= 0
-                # record after EACH success: a transient failure on the
-                # retry must not discard a measurement we already have
-                if run == 0:
-                    cold[name] = round(dt, 3)
-                timings[name] = round(min(dt, timings.get(name, dt)), 3)
-                if dt > 10.0:
-                    break  # expensive query: don't double the bench budget
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            if name not in timings:
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        _time_best_of_2(
+            name,
+            lambda q=q: q.fn(spark, sf_dir).count(),
+            timings, cold, loads, errors,
+            check=_check_nonneg,
+        )
 
 
 
@@ -348,23 +367,12 @@ def main() -> None:
         q = queries.get(name)
         if q is None:
             continue
-        try:
-            loads[name] = round(os.getloadavg()[0], 1)
-            for run in range(2):
-                t0 = time.perf_counter()
-                n = q.fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                assert n >= 0
-                if run == 0:
-                    cold[name] = round(dt, 3)
-                extra_timings[name] = round(
-                    min(dt, extra_timings.get(name, dt)), 3
-                )
-                if dt > 10.0:
-                    break
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            if name not in extra_timings:
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        _time_best_of_2(
+            name,
+            lambda q=q: q.fn(spark, sf_dir).count(),
+            extra_timings, cold, loads, errors,
+            check=_check_nonneg,
+        )
 
     # HyperANF stays AFTER the query loop deliberately: measured at the
     # head it runs 2x slower (10.5s vs ~4.6s) — its sketch shuffles
@@ -378,31 +386,23 @@ def main() -> None:
     # <400-node subgraph; this entry perf-tracks the same code path at
     # 100k nodes / 739k arcs. Best-of-2 like the query loop (first run
     # pays the ObjectHashAggregate codegen for the sketch shapes).
-    try:
-        from hadoopwebgraph_spark.queries.graph import edges_df
-        from hadoopwebgraph_spark.queries.graph_algos import (
-            neighborhood_function,
-        )
+    from hadoopwebgraph_spark.queries.graph import edges_df
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        neighborhood_function,
+    )
 
-        loads["gB_hyperanf_3hop"] = round(os.getloadavg()[0], 1)
-        for run in range(2):
-            t0 = time.perf_counter()
-            nf = neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
-            dt = time.perf_counter() - t0
-            # the r7 N(t) tail-trim can legitimately return fewer than
-            # max_hops+1 entries (growth saturates early) — a healthy
-            # run must not be recorded as an error
-            assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
-            if run == 0:
-                cold["gB_hyperanf_3hop"] = round(dt, 3)
-            timings["gB_hyperanf_3hop"] = round(
-                min(dt, timings.get("gB_hyperanf_3hop", dt)), 3
-            )
-            if dt > 10.0:
-                break
-    except Exception as exc:  # noqa: BLE001 — record and continue
-        if "gB_hyperanf_3hop" not in timings:
-            errors["gB_hyperanf_3hop"] = f"{type(exc).__name__}: {exc}"[:500]
+    def _check_nf(nf):
+        # the r7 N(t) tail-trim can legitimately return fewer than
+        # max_hops+1 entries (growth saturates early) — a healthy
+        # run must not be recorded as an error
+        assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
+
+    _time_best_of_2(
+        "gB_hyperanf_3hop",
+        lambda: neighborhood_function(edges_df(spark), max_hops=3, lg_k=11),
+        timings, cold, loads, errors,
+        check=_check_nf,
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -1,0 +1,51 @@
+"""Session-retained cache registry (the _materialize contract, r12).
+
+Several operators persist a shared subtree that multiple consumers of
+the RETURNED DataFrame still reference — releasing it on function exit
+would defeat the point, so the persists deliberately outlive the call
+(bounded inputs; MEMORY_AND_DISK evicts under pressure). This module
+gives every such site one lever: ``track()`` at the persist site,
+``release_all()`` when a long-lived session is done with the operators.
+
+Tracking is deduplicated by ``DataFrame.semanticHash()`` — Spark's cache
+manager already keys entries by logical plan, so re-running the same
+query must not grow the registry (a prior version appended per call)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: dict[int, DataFrame] = {}
+_RELEASE_HOOKS: list = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for session-level release;
+    returns it unchanged. Same-plan re-registrations are no-ops — BUT
+    note Python-DataSource plans never compare equal (each read creates
+    a fresh plan identity; measured r12: two identical bvgraph reads =
+    two semanticHashes AND two cache-manager entries), so DS-rooted
+    shares must be memoized by the caller (queries/graph._materialize's
+    key=) rather than relying on this dedup."""
+    _TRACKED.setdefault(df.semanticHash(), df)
+    return df
+
+
+def register_release_hook(fn) -> None:
+    """Run ``fn()`` after every release_all — for caller-side memo maps
+    that hold references to the unpersisted DataFrames."""
+    _RELEASE_HOOKS.append(fn)
+
+
+def release_all(blocking: bool = True) -> int:
+    """Unpersist every tracked subtree; returns how many were dropped.
+    DataFrames previously returned by the operators remain valid — they
+    recompute instead of hitting the cache."""
+    n = 0
+    while _TRACKED:
+        _, df = _TRACKED.popitem()
+        df.unpersist(blocking=blocking)
+        n += 1
+    for fn in _RELEASE_HOOKS:
+        fn()
+    return n

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load
 from ..registry import register
 from .text import STOPWORDS as _STOPWORDS
@@ -755,8 +756,9 @@ def q155_curation_neardup_pipeline(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # session-retained cache; contract in queries/graph._materialize
-    survivors = docs.join(kept_ids, "doc_id", "left_semi").persist()
+    # session-retained cache (contract in queries/graph._materialize;
+    # released session-wide by cache.release_all)
+    survivors = track(docs.join(kept_ids, "doc_id", "left_semi").persist())
     cand = minhash_candidate_pairs(survivors)
     cc = connected_components(
         cand.select(

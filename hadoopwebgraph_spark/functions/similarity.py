@@ -44,6 +44,10 @@ from ..registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
+# default IVF training params — shared by build_ivf_index AND the
+# probe's _live_appended check so they can never drift apart
+IVF_K = 10
+IVF_ITERATIONS = 4
 # near-dup cosine threshold for q72: 0.3 matches this fixture's geometry
 # (no true duplicate vectors; max same-cell cos ~0.47, so 0.3 surfaces the
 # top percentile) — override per-corpus, e.g. 0.95 for real dedup
@@ -548,7 +552,8 @@ def _mirror_sql(sub: str, cols: str) -> str:
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, k: int = 10, iterations: int = 4
+    spark: SparkSession, sf_dir: str, k: int = IVF_K,
+    iterations: int = IVF_ITERATIONS,
 ) -> str:
     """Train-once half of the IVF lifecycle: learn spherical-k-means
     centroids over the corpus, assign every vector to its cell, and
@@ -579,6 +584,7 @@ def ivf_probe(
     nprobe: int = 2,
     k: int = TOP_K,
     index_path: str | None = None,
+    prefer_mirror: bool = False,
 ) -> DataFrame:
     """Probe-only half: broadcast the persisted centroids, pick nprobe
     cells per query, scan ONLY those cells of the inverted file (cid is
@@ -595,10 +601,16 @@ def ivf_probe(
     — streamed vectors exist only in the live inverted file."""
     e = load(spark, sf_dir, "embeddings")
     cent = assigned = None
-    # a streaming-maintained live index outranks the committed mirror:
-    # appended vectors exist only in the live inverted file
-    if index_path is None and not _live_appended(
-        _index_path("ivf", sf_dir, [10, 4])
+    # a streaming-maintained live index outranks the committed mirror
+    # (appended vectors exist only in the live inverted file) — UNLESS
+    # the caller pins the committed artifacts with prefer_mirror (the
+    # oracle gate does: its DuckDB twin can only read the mirror, so
+    # gate semantics are defined over the committed fixture index)
+    if index_path is None and (
+        prefer_mirror
+        or not _live_appended(
+            _index_path("ivf", sf_dir, [IVF_K, IVF_ITERATIONS])
+        )
     ):
         ck = _corpus_key(e)
         cent = _mirror_df(spark, "ivf_centroids", ck)
@@ -756,7 +768,11 @@ def ivf_index_append_stream(
     "vs the label-cell variant (q71) whose recall ~= scanned fraction.",
 )
 def q73_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_probe(spark, sf_dir, nprobe=2, k=TOP_K)
+    # prefer_mirror pins the gate to the committed fixture artifacts the
+    # DuckDB oracle reads: a locally appended default index must change
+    # PRODUCTION probes (ivf_probe default) but can never turn this
+    # correctness gate red — the gate's truth is the mirror by contract
+    return ivf_probe(spark, sf_dir, nprobe=2, k=TOP_K, prefer_mirror=True)
 
 
 @register(

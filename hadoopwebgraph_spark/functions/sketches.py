@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load
 from ..registry import register
 
@@ -161,8 +162,8 @@ def q160_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-retained cache; contract in queries/graph._materialize —
     # each <=K-row sketch feeds several consumers below, and an
     # unpersisted Python-free subtree would still re-scan orders per use
-    sa = theta_sketch(year_hashes(1995)).persist()
-    sb = theta_sketch(year_hashes(1996)).persist()
+    sa = track(theta_sketch(year_hashes(1995)).persist())
+    sb = track(theta_sketch(year_hashes(1996)).persist())
     sa.count(), sb.count()
     su = sa.union(sb).distinct().orderBy("h").limit(K)
 

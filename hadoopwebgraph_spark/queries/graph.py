@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..bvgraph.datasource import read_bvgraph
+from ..cache import register_release_hook, release_all, track
 from ..registry import register
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -34,44 +35,61 @@ _T = f"read_parquet('{SMALL_PARQUET}')"
 
 
 
-_MATERIALIZED: list[DataFrame] = []
+_MEMO: dict[tuple, DataFrame] = {}
+register_release_hook(_MEMO.clear)
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _memo_key(spark: SparkSession, tag: str) -> tuple:
+    """Memo identity for a shared decode: the session plus everything
+    that changes what graph_df/edges_df read (fixtures are immutable
+    within a session, so content never enters the key)."""
+    return (
+        id(spark),
+        os.environ.get("SPARK_GRAFT_GRAPH_BASENAME", SMALL_BASENAME),
+        os.environ.get("SPARK_GRAFT_GRAPH_SPLITS", ""),
+        tag,
+    )
+
+
+def _materialize(df: DataFrame, key: tuple | None = None) -> DataFrame:
     """Share a decoded subtree across multiple consumers: persist + eager
     count. One decode guaranteed (the two cache readers never race
     partition materialization), and ~2x cheaper than the eager
     localCheckpoint this replaced (r11 measurement in NOTES.md — the
     checkpoint paid a separate materialization job plus an RDD copy).
-    The cache registers by logical plan, so repeated calls reuse one
-    entry rather than accumulating.
+
+    Spark's cache manager does NOT dedupe these across calls: every
+    Python-DataSource read is a fresh plan identity, so two g05 calls
+    used to pin two separate cache entries (measured r12 —
+    getPersistentRDDs grew per call; the r11 "registers by logical
+    plan" claim only holds for parquet-rooted plans). ``key`` fixes
+    that: same (session, basename, splits, site) returns the SAME
+    cached DataFrame, so repeated queries reuse one entry and one
+    decode.
 
     Retained-cache contract (ADVICE r11): the persist is deliberately
     NOT released when the returned DataFrame is consumed — the returned
-    plan references the cached subtree, and cross-call reuse of the
-    plan-keyed entry is part of the measured win. Cached subtrees
-    therefore live for the session (bounded: fixture-graph decodes, and
-    Spark evicts under memory pressure since persist() is
-    MEMORY_AND_DISK). Long-lived sessions that are done with the graph
-    queries can drop them all via release_materialized(). The eager
-    count() also means construction runs jobs — callers that only want
-    the plan shape should build the un-materialized subtree directly."""
+    plan references the cached subtree, and cross-call reuse is part of
+    the measured win. Cached subtrees live for the session (bounded:
+    fixture-graph decodes; MEMORY_AND_DISK evicts under pressure).
+    Long-lived sessions drop every tracked cache — graph decodes AND
+    other modules' persisted subtrees — via release_materialized()
+    (= cache.release_all, which also clears this memo). The eager
+    count() means construction runs jobs — callers that only want the
+    plan shape should build the un-materialized subtree directly."""
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
     df = df.persist()
     df.count()
-    _MATERIALIZED.append(df)
+    track(df)
+    if key is not None:
+        _MEMO[key] = df
     return df
 
 
-def release_materialized() -> int:
-    """Unpersist every subtree _materialize cached this session (blocking,
-    so the memory is back before return); returns how many were dropped.
-    DataFrames previously returned by the graph queries remain valid —
-    they just recompute instead of hitting the cache."""
-    n = 0
-    while _MATERIALIZED:
-        _MATERIALIZED.pop().unpersist(blocking=True)
-        n += 1
-    return n
+# session-wide release lever (re-exported; covers every track() site
+# across modules, not just graph decodes)
+release_materialized = release_all
 
 def graph_df(spark: SparkSession, basename: str | None = None) -> DataFrame:
     """Adjacency DataFrame from the BVGraph source (env override for
@@ -176,7 +194,7 @@ def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode ONCE, reuse on both join sides (_materialize: Python DS
     # scans don't dedupe across aliases; r11 measured persist+count ~2x
     # cheaper than the prior eager localCheckpoint)
-    e = _materialize(edges_df(spark))
+    e = _materialize(edges_df(spark), key=_memo_key(spark, "edges"))
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     joined = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -198,7 +216,9 @@ def g05_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Feed-forward triangle motif count (three-way edge self-join).",
 )
 def g06_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _materialize(edges_df(spark))  # one decode for all three sides
+    e = _materialize(  # one decode for all three sides AND across calls
+        edges_df(spark), key=_memo_key(spark, "edges")
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -226,7 +246,7 @@ def g07_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE decode of the Python source feeds all three aggregates (the
     # same localCheckpoint sharing g05/g06/g13 use) — previously g/e were
     # separate scans and e fed two aggregates, decoding the graph 4x
-    g = _materialize(graph_df(spark))
+    g = _materialize(graph_df(spark), key=_memo_key(spark, "graph"))
     e = g.select("src", F.explode("adj").alias("dst"))
     n_nodes = g.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -361,7 +381,8 @@ def g19_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _materialize(  # one decode feeds degree + both join sides
         e0.select("src", "dst")
         .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        .distinct(),
+        key=_memo_key(spark, "sym-dedup"),
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     rk = deg.select(
@@ -373,7 +394,7 @@ def g19_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_r") < F.col("dst_r"))
         .select("src", "dst", "dst_r")
     )
-    oriented = _materialize(oriented)
+    oriented = _materialize(oriented, key=_memo_key(spark, "g19-oriented"))
     o1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_r").alias("b_r")
     )
@@ -435,7 +456,8 @@ def g20_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _materialize(
         e0.select("src", "dst")
         .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        .distinct(),
+        key=_memo_key(spark, "sym-dedup"),
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     ds = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
@@ -472,7 +494,8 @@ def g20_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g23_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _materialize(
-        edges_df(spark).filter(F.col("src") != F.col("dst"))
+        edges_df(spark).filter(F.col("src") != F.col("dst")),
+        key=_memo_key(spark, "edges-noself"),
     )
     # no distinct on the probe side: left_semi emits each left row at most
     # once regardless of right-side duplicates, so deduping first would
@@ -813,7 +836,7 @@ def g41_subgraph_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one BVGraph decode feeds the node union AND the edge remap (the
     # g05 _materialize sharing — Python DS scans don't dedupe)
-    e = _materialize(edges_df(spark))
+    e = _materialize(edges_df(spark), key=_memo_key(spark, "edges"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load
 from ..registry import register
 
@@ -388,7 +389,7 @@ def q151_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the late set feeds two consumers (probe + anti side): persist, or
     # the join subtree runs twice (the q137/q142 subtree-duplication note)
-    late = (
+    late = track(
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
@@ -396,7 +397,8 @@ def q151_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
         )
         .select("l_orderkey", "l_suppkey")
-        # session-retained cache; contract in queries/graph._materialize
+        # session-retained cache (contract in queries/graph._materialize;
+        # released session-wide by cache.release_all)
         .persist()
     )
     other = li.select(
@@ -693,10 +695,11 @@ def q158_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    rev = (
+    rev = track(
         li.groupBy("l_suppkey")
         .agg(F.sum(_amt_e4()).alias("total_e4"))
-        # session-retained cache; contract in queries/graph._materialize
+        # session-retained cache (contract in queries/graph._materialize;
+        # released session-wide by cache.release_all)
         .persist()
     )
     mx = rev.agg(F.max("total_e4").alias("_mx"))
@@ -743,7 +746,7 @@ def q159_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#1")
         .select("p_partkey")
     )
-    bl = (
+    bl = track(
         load(spark, sf_dir, "lineitem")
         .join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"))
         .select(
@@ -751,7 +754,8 @@ def q159_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("bigint").alias("qty"),
             _amt_e4().alias("amt_e4"),
         )
-        # session-retained cache; contract in queries/graph._materialize
+        # session-retained cache (contract in queries/graph._materialize;
+        # released session-wide by cache.release_all)
         .persist()
     )
     agg = bl.groupBy("l_partkey").agg(

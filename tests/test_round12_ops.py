@@ -95,18 +95,39 @@ def test_appended_live_index_outranks_mirror(
     assert n_appended > 0, "default probe served the mirror, not the live index"
 
 
-def test_release_materialized_unpersists_graph_caches(spark):
+def test_release_materialized_unpersists_tracked_caches(spark):
     """The retained-cache lever: after running a _materialize-backed graph
-    query, release_materialized() drops every tracked cache entry and the
-    query still recomputes correctly afterwards."""
+    query, release_materialized() (= cache.release_all) drops every
+    tracked entry and the query still recomputes correctly afterwards.
+    Repeated same-plan runs must NOT grow the registry (semanticHash
+    dedup), and the lever also covers track() sites outside graph.py."""
+    from hadoopwebgraph_spark import cache
     from hadoopwebgraph_spark.queries import graph as G
 
-    G.release_materialized()  # flush whatever earlier tests left behind
+    cache.release_all()  # flush whatever earlier tests left behind
     before = G.g05_two_hop(spark, "").count()
-    assert len(G._MATERIALIZED) > 0
+    n1 = len(cache._TRACKED)
+    assert n1 > 0
+    G.g05_two_hop(spark, "").count()  # same plan: registry must not grow
+    assert len(cache._TRACKED) == n1
     dropped = G.release_materialized()
-    assert dropped > 0 and not G._MATERIALIZED
+    assert dropped == n1 and not cache._TRACKED
     assert G.g05_two_hop(spark, "").count() == before
+
+
+def test_release_covers_non_graph_track_sites(spark, sf_small):
+    """q160's persisted sketches register with the same session-wide
+    registry, so the one lever releases them too (the r12 review found
+    the graph-only list left these pinned with no API to free them)."""
+    from hadoopwebgraph_spark import cache
+    from hadoopwebgraph_spark.functions.sketches import (
+        q160_theta_sketch_setops,
+    )
+
+    cache.release_all()
+    q160_theta_sketch_setops(spark, sf_small).count()
+    assert len(cache._TRACKED) >= 2  # the two sketches
+    assert cache.release_all() >= 2 and not cache._TRACKED
 
 
 def test_theta_sketch_exact_below_k(spark):
@@ -355,3 +376,39 @@ def test_q161_empty_pattern_corpus_returns_empty(spark, sf_small, monkeypatch):
     df = S.q161_substring_search(spark, sf_small)
     assert df.columns == ["pattern_id", "doc_id"]
     assert df.count() == 0
+
+
+def test_q73_gate_stays_mirror_pinned_after_append(
+    spark, sf_small, monkeypatch, tmp_path
+):
+    """The registered q73 gate must keep reading the committed mirror
+    even after ivf_index_append_stream grows the default live index —
+    its DuckDB oracle can only see the mirror, so gate truth is the
+    mirror by contract (review r12: without the pin, one local append
+    turned q73 parity permanently red). Production ivf_probe defaults
+    still flip to the live index (covered above)."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions import similarity as S
+    from hadoopwebgraph_spark.registry import all_queries
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    monkeypatch.setattr(S, "INDEX_ROOT", str(tmp_path / "idx"))
+    path = S.build_ivf_index(spark, sf_small)
+    donors = (
+        load(spark, sf_small, "embeddings")
+        .filter(F.col("vec_id") >= S.N_QUERIES)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    new_dir = str(tmp_path / "incoming")
+    donors.write.parquet(new_dir)
+    q = S.ivf_index_append_stream(spark, new_dir, path, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert S._live_appended(path)
+
+    rows = all_queries()["q73_sim_ivf_kmeans_topk"].fn(spark, sf_small).collect()
+    assert rows and all(r.neighbor_id < 1_000_000 for r in rows), (
+        "q73 gate read the appended live index instead of the mirror"
+    )
