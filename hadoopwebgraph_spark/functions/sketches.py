@@ -212,3 +212,101 @@ def q160_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(setop_row(mi, "est_intersect"))
         .unionAll(setop_row(md, "est_a_minus_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: always-on distinct-count maintenance.
+#
+# KMV merge is lossless AND idempotent (k-smallest over a union of
+# per-batch sketches == k-smallest over the union corpus; re-merging a
+# batch changes nothing), which makes the streaming layout trivial:
+# each micro-batch overwrites its own batch_id=<id> partition with the
+# batch's OWN sketch, and the live sketch is recomputed on read as the
+# k smallest distinct hashes across all partitions. No partition ever
+# has to read another, so replay after any crash point is a no-op
+# rewrite — the q128/incremental_neardup_stream snapshot discipline
+# with the merge itself moved to read time (O(batches * K) rows, tiny).
+# ---------------------------------------------------------------------------
+
+
+def _theta_one_batch(
+    batch_df: DataFrame, batch_id: int, key_col: str, snapshot_dir: str,
+    k: int = K,
+) -> None:
+    """One micro-batch: sketch the batch's keys and overwrite this
+    batch's snapshot partition (module-level so replay semantics are
+    unit-testable, the _dedup_one_batch pattern)."""
+    import os as _os
+
+    theta_sketch(batch_df.select(key_col), k).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(snapshot_dir, f"batch_id={batch_id}"))
+
+
+def incremental_theta_sketch(
+    spark: SparkSession,
+    incoming_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    schema=None,
+    k: int = K,
+):
+    """q160's sketch build as an always-on ingestion job: watch
+    ``incoming_dir`` for new files, sketch each micro-batch's
+    ``key_col``, and land it as one snapshot partition.
+    theta_sketch_snapshot() then serves the live sketch — EXACTLY equal
+    to the batch sketch over everything ingested (KMV union is
+    lossless), so the whole q160 set algebra (union / intersect /
+    difference against any other sketch) works on a stream-maintained
+    synopsis with zero reprocessing. Returns the StreamingQuery.
+
+    Scale: per batch, only <=k 8-byte hashes leave the batch's scan;
+    snapshot size is batches * k rows (compact with
+    maintenance.compact_files if batch count ever matters).
+
+    ``schema``: declared schema for incoming files; an empty watch dir
+    with no declared schema RAISES (the file-stream hardening rule)."""
+    if schema is not None:
+        file_schema = schema
+    else:
+        try:
+            file_schema = spark.read.parquet(incoming_dir).schema
+        except Exception as exc:  # empty watch dir at stream start
+            raise ValueError(
+                "incremental_theta_sketch: watch directory "
+                f"{incoming_dir!r} has no files to infer a schema from; "
+                "pass schema= explicitly for an always-on stream whose "
+                "producer has not written yet"
+            ) from exc
+    stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _theta_one_batch(
+                batch_df, batch_id, key_col, snapshot_dir, k
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def theta_sketch_snapshot(
+    spark: SparkSession, snapshot_dir: str, k: int = K
+) -> DataFrame:
+    """The live sketch of everything ingested so far: k smallest
+    distinct hashes across all batch partitions (the read-time KMV
+    merge)."""
+    return (
+        spark.read.parquet(snapshot_dir)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def theta_estimate(sketch: DataFrame, k: int = K) -> DataFrame:
+    """One-row distinct-count estimate for any sketch DataFrame[h] —
+    q160's exact-int64 estimator exposed for snapshot consumers."""
+    return _stats(sketch, "", k).select(F.col("est").alias("est"))
