@@ -386,10 +386,16 @@ def main() -> None:
     # <400-node subgraph; this entry perf-tracks the same code path at
     # 100k nodes / 739k arcs. Best-of-2 like the query loop (first run
     # pays the ObjectHashAggregate codegen for the sketch shapes).
-    from hadoopwebgraph_spark.queries.graph import edges_df
-    from hadoopwebgraph_spark.queries.graph_algos import (
-        neighborhood_function,
-    )
+    def _run_hyperanf():
+        # imports stay INSIDE the measured callable so an import failure
+        # is recorded as this entry's error, not a bench crash that
+        # loses every already-collected timing
+        from hadoopwebgraph_spark.queries.graph import edges_df
+        from hadoopwebgraph_spark.queries.graph_algos import (
+            neighborhood_function,
+        )
+
+        return neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
 
     def _check_nf(nf):
         # the r7 N(t) tail-trim can legitimately return fewer than
@@ -399,7 +405,7 @@ def main() -> None:
 
     _time_best_of_2(
         "gB_hyperanf_3hop",
-        lambda: neighborhood_function(edges_df(spark), max_hops=3, lg_k=11),
+        _run_hyperanf,
         timings, cold, loads, errors,
         check=_check_nf,
     )

@@ -40,12 +40,24 @@ def register_release_hook(fn) -> None:
 def release_all(blocking: bool = True) -> int:
     """Unpersist every tracked subtree; returns how many were dropped.
     DataFrames previously returned by the operators remain valid — they
-    recompute instead of hitting the cache."""
+    recompute instead of hitting the cache.
+
+    Exception-safe by construction (review r12): a failing unpersist
+    (e.g. an entry whose SparkSession is already stopped — _TRACKED is
+    module-level and outlives sessions) is swallowed, the remaining
+    entries still release, and the hooks ALWAYS run — otherwise
+    graph._MEMO would keep serving DataFrames whose caches were just
+    dropped, silently re-decoding per consumer forever after."""
     n = 0
-    while _TRACKED:
-        _, df = _TRACKED.popitem()
-        df.unpersist(blocking=blocking)
-        n += 1
-    for fn in _RELEASE_HOOKS:
-        fn()
+    try:
+        while _TRACKED:
+            _, df = _TRACKED.popitem()
+            try:
+                df.unpersist(blocking=blocking)
+            except Exception:  # noqa: BLE001 — dead session/context
+                pass
+            n += 1
+    finally:
+        for fn in _RELEASE_HOOKS:
+            fn()
     return n

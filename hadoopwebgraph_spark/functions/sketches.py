@@ -229,18 +229,71 @@ def q160_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _read_k_marker(snapshot_dir: str) -> int | None:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(snapshot_dir, "_theta_k.json")) as f:
+            return int(_json.load(f)["k"])
+    except OSError:
+        return None
+
+
 def _theta_one_batch(
     batch_df: DataFrame, batch_id: int, key_col: str, snapshot_dir: str,
     k: int = K,
 ) -> None:
-    """One micro-batch: sketch the batch's keys and overwrite this
+    """One micro-batch: sketch the batch's keys and publish it as this
     batch's snapshot partition (module-level so replay semantics are
-    unit-testable, the _dedup_one_batch pattern)."""
-    import os as _os
+    unit-testable, the _dedup_one_batch pattern).
 
+    Two review-r12 hardenings:
+    - The write STAGES into a dot-prefixed dir (invisible to Spark's
+      file listing) and publishes with one atomic rename; a replay
+      whose target partition already exists discards the identical
+      staging copy instead of delete-then-rewrite — so an always-on
+      theta_sketch_snapshot reader can never observe a partial or
+      momentarily-missing partition (the similarity._commit_build
+      discipline).
+    - ``k`` is recorded once in an underscore-prefixed marker file and
+      asserted on every later batch: a k mismatch between writer and
+      reader silently corrupts the estimate (a saturated k=32 sketch
+      read as k=64 takes the exact branch and undercounts), so it
+      raises here instead."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    _os.makedirs(snapshot_dir, exist_ok=True)
+    marker = _os.path.join(snapshot_dir, "_theta_k.json")
+    prev_k = _read_k_marker(snapshot_dir)
+    if prev_k is None:
+        tmp_m = marker + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp_m, "w") as f:
+            _json.dump({"k": k}, f)
+        _os.replace(tmp_m, marker)
+    elif prev_k != k:
+        raise ValueError(
+            f"incremental_theta_sketch: snapshot {snapshot_dir!r} was "
+            f"built with k={prev_k}, got k={k} — mixed-k partitions "
+            "would silently corrupt the estimate"
+        )
+
+    stage = _os.path.join(
+        snapshot_dir, f".stage-{batch_id}-{_uuid.uuid4().hex[:8]}"
+    )
     theta_sketch(batch_df.select(key_col), k).write.mode(
         "overwrite"
-    ).parquet(_os.path.join(snapshot_dir, f"batch_id={batch_id}"))
+    ).parquet(stage)
+    final = _os.path.join(snapshot_dir, f"batch_id={batch_id}")
+    try:
+        _os.rename(stage, final)
+    except OSError:
+        # replay: the partition is already published and — KMV being
+        # deterministic per batch — identical; discard the stage copy
+        _shutil.rmtree(stage, ignore_errors=True)
 
 
 def incremental_theta_sketch(
@@ -292,11 +345,21 @@ def incremental_theta_sketch(
 
 
 def theta_sketch_snapshot(
-    spark: SparkSession, snapshot_dir: str, k: int = K
+    spark: SparkSession, snapshot_dir: str, k: int | None = None
 ) -> DataFrame:
     """The live sketch of everything ingested so far: k smallest
     distinct hashes across all batch partitions (the read-time KMV
-    merge)."""
+    merge). ``k`` defaults to the value recorded by the writer (the
+    _theta_k.json marker), so reader and writer cannot drift; passing a
+    DIFFERENT k than the marker raises."""
+    marker_k = _read_k_marker(snapshot_dir)
+    if k is None:
+        k = marker_k if marker_k is not None else K
+    elif marker_k is not None and k != marker_k:
+        raise ValueError(
+            f"snapshot {snapshot_dir!r} was built with k={marker_k}, "
+            f"got k={k}"
+        )
     return (
         spark.read.parquet(snapshot_dir)
         .select("h")
@@ -308,5 +371,19 @@ def theta_sketch_snapshot(
 
 def theta_estimate(sketch: DataFrame, k: int = K) -> DataFrame:
     """One-row distinct-count estimate for any sketch DataFrame[h] —
-    q160's exact-int64 estimator exposed for snapshot consumers."""
+    q160's exact-int64 estimator exposed for snapshot consumers. ``k``
+    MUST equal the k the sketch was built with (use
+    theta_snapshot_estimate for stream snapshots — it reads the
+    recorded k)."""
     return _stats(sketch, "", k).select(F.col("est").alias("est"))
+
+
+def theta_snapshot_estimate(
+    spark: SparkSession, snapshot_dir: str
+) -> DataFrame:
+    """Estimate straight off a stream-maintained snapshot with the k it
+    was built with — the drift-proof consumer path."""
+    k = _read_k_marker(snapshot_dir)
+    if k is None:
+        k = K
+    return theta_estimate(theta_sketch_snapshot(spark, snapshot_dir, k), k)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .graph import _T, edges_df, _materialize
+from .graph import _T, _materialize, _memo_key, edges_df
 
 _TERM = re.compile(r"^(!)?\((\w+)\)-\[\]->\((\w+)\)$")
 
@@ -107,7 +107,9 @@ def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
     "triangles); open + closed = all 2-paths (g05).",
 )
 def g14_motif_open_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _materialize(edges_df(spark))  # decode once across all terms
+    e = _materialize(  # decode once across all terms AND calls
+        edges_df(spark), key=_memo_key(spark, "edges")
+    )
     m = find_motif(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
     return m.agg(
         F.count(F.lit(1)).alias("n_open"),
@@ -229,7 +231,8 @@ _CANON_CASE = "CASE code " + " ".join(
 )
 def g42_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _materialize(  # one decode feeds dyads and all lookups
-        edges_df(spark).filter(F.col("src") != F.col("dst")).distinct()
+        edges_df(spark).filter(F.col("src") != F.col("dst")).distinct(),
+        key=_memo_key(spark, "edges-noself-distinct"),
     )
     und = (
         e.select(
@@ -241,7 +244,7 @@ def g42_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.max("f0").alias("f"), F.max("b0").alias("b"))
     )
-    und = _materialize(und)
+    und = _materialize(und, key=_memo_key(spark, "g42-dyads"))
     ends = und.select(F.col("u").alias("c"), F.col("v").alias("o")).union(
         und.select(F.col("v").alias("c"), F.col("u").alias("o"))
     )

@@ -479,10 +479,16 @@ def test_theta_batch_replay_is_idempotent(spark, sf_small, tmp_path):
         F.col("o_custkey").cast("string").alias("key")
     )
     snap = str(tmp_path / "snap")
-    _theta_one_batch(keys.limit(500), 0, "key", snap)
+    # deterministic subset: limit() without orderBy may pick different
+    # rows across jobs (review r12) — a fake flake in disguise
+    subset = keys.filter(F.crc32("key") % 3 == 0)
+    _theta_one_batch(subset, 0, "key", snap)
     first = {r.h for r in theta_sketch_snapshot(spark, snap).collect()}
-    _theta_one_batch(keys.limit(500), 0, "key", snap)  # replay
+    assert first
+    _theta_one_batch(subset, 0, "key", snap)  # replay: stage discarded
     assert {r.h for r in theta_sketch_snapshot(spark, snap).collect()} == first
+    # no leftover staging dirs after the replay discard
+    assert not [d for d in os.listdir(snap) if d.startswith(".stage-")]
 
 
 def test_incremental_theta_raises_on_empty_watch_dir(spark, tmp_path):
@@ -500,3 +506,32 @@ def test_incremental_theta_raises_on_empty_watch_dir(spark, tmp_path):
             str(tmp_path / "ck"),
             "key",
         )
+
+
+def test_theta_snapshot_k_marker_prevents_drift(spark, sf_small, tmp_path):
+    """The writer records k; a later batch with a different k raises, a
+    reader with a mismatched k raises, and theta_snapshot_estimate uses
+    the recorded k (review r12: a saturated k=32 sketch read as k=64
+    silently takes the exact branch and undercounts)."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.sketches import (
+        _theta_one_batch,
+        theta_estimate,
+        theta_sketch,
+        theta_sketch_snapshot,
+        theta_snapshot_estimate,
+    )
+
+    keys = load(spark, sf_small, "orders").select(
+        F.col("o_custkey").cast("string").alias("key")
+    )
+    snap = str(tmp_path / "snap")
+    _theta_one_batch(keys, 0, "key", snap, k=32)
+    with pytest.raises(ValueError, match="k=32"):
+        _theta_one_batch(keys, 1, "key", snap, k=64)
+    with pytest.raises(ValueError, match="k=32"):
+        theta_sketch_snapshot(spark, snap, k=64)
+    # the drift-proof consumer path returns the k=32 estimate exactly
+    want = theta_estimate(theta_sketch(keys, 32), 32).collect()[0].est
+    got = theta_snapshot_estimate(spark, snap).collect()[0].est
+    assert got == want > 32  # estimator branch, not the saturated count
