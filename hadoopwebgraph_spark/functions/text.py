@@ -1023,3 +1023,124 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(Q150_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of q137: always-on inverted-index maintenance (r12).
+#
+# Corpus ingestion is append-only and a document's tokens live wholly in
+# the batch that lands it, so the per-batch (term, doc_id, tf) partial
+# tables partition the corpus tf table exactly — the read-time union IS
+# the batch tf table, and stats/postings recomputed over it equal
+# q137_inverted_index on the union corpus EXACTLY (pinned by the
+# stream==batch equivalence test rather than a shared helper: q137 is a
+# driver-stamped gate, left untouched by design).
+# ---------------------------------------------------------------------------
+
+
+def _tf_one_batch(
+    batch_df: DataFrame, batch_id: int, snapshot_dir: str
+) -> None:
+    """One micro-batch: land the batch's (term, doc_id, tf) partials as
+    its own snapshot partition (stage + atomic rename, the r12 theta
+    discipline — a replay discards the identical stage, and a live
+    reader can never see a partial partition)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    _os.makedirs(snapshot_dir, exist_ok=True)
+    tf = (
+        batch_df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stage = _os.path.join(
+        snapshot_dir, f".stage-{batch_id}-{_uuid.uuid4().hex[:8]}"
+    )
+    tf.write.mode("overwrite").parquet(stage)
+    final = _os.path.join(snapshot_dir, f"batch_id={batch_id}")
+    try:
+        _os.rename(stage, final)
+    except OSError:  # replay: identical partition already published
+        _shutil.rmtree(stage, ignore_errors=True)
+
+
+def incremental_inverted_index(
+    spark: SparkSession,
+    incoming_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+):
+    """q137's index build as an always-on ingestion job: watch
+    ``incoming_dir`` for new document files; each micro-batch lands only
+    its counts-only tf partials (never text). Serve the live index with
+    inverted_index_snapshot(). Returns the StreamingQuery.
+
+    Scale: per batch the expensive tokenize+aggregate touches only the
+    new documents; the snapshot grows by counts rows, and index refresh
+    cost is the read-time merge over partials — the standard
+    segment-then-merge search-engine shape expressed as parquet
+    partitions + one Spark aggregation."""
+    if schema is not None:
+        file_schema = schema
+    else:
+        try:
+            file_schema = spark.read.parquet(incoming_dir).schema
+        except Exception as exc:  # empty watch dir at stream start
+            raise ValueError(
+                "incremental_inverted_index: watch directory "
+                f"{incoming_dir!r} has no files to infer a schema from; "
+                "pass schema= explicitly for an always-on stream whose "
+                "producer has not written yet"
+            ) from exc
+    stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _tf_one_batch(
+                batch_df, batch_id, snapshot_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def inverted_index_snapshot(
+    spark: SparkSession, snapshot_dir: str
+) -> DataFrame:
+    """The live index over everything ingested: per-term df / total_tf
+    stats plus the rank-capped rendered posting list — column-for-column
+    q137_inverted_index's output on the union corpus (equivalence is
+    test-pinned: tests/test_round12_ops.py)."""
+    tf = spark.read.parquet(snapshot_dir).select("term", "doc_id", "tf")
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    wr = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    top = tf.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 5)
+    postings = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("tf")).alias("neg_tf"),
+                            F.col("doc_id").alias("d"),
+                            F.col("tf").alias("t"),
+                        )
+                    )
+                ),
+                lambda x: F.concat_ws(
+                    ":", x["d"].cast("string"), x["t"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(postings, "term").select(
+        "term", "df", "total_tf", "postings"
+    )

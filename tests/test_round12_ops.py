@@ -535,3 +535,69 @@ def test_theta_snapshot_k_marker_prevents_drift(spark, sf_small, tmp_path):
     want = theta_estimate(theta_sketch(keys, 32), 32).collect()[0].est
     got = theta_snapshot_estimate(spark, snap).collect()[0].est
     assert got == want > 32  # estimator branch, not the saturated count
+
+
+def test_incremental_inverted_index_matches_batch(spark, sf_small, tmp_path):
+    """Stream the documents table in two chunks: the snapshot index must
+    equal q137_inverted_index on the union corpus EXACTLY, column for
+    column (this equivalence test IS the anti-drift gate — the twin
+    deliberately does not share code with the driver-stamped q137)."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.text import (
+        incremental_inverted_index,
+        inverted_index_snapshot,
+        q137_inverted_index,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    c1 = docs.filter(F.col("doc_id") % 2 == 0)
+    c2 = docs.filter(F.col("doc_id") % 2 == 1)
+    incoming = str(tmp_path / "incoming")
+    snapshot = str(tmp_path / "snap")
+
+    _drop_files(c1, str(tmp_path / "s1"), incoming, "c1")
+    q = incremental_inverted_index(
+        spark, incoming, snapshot, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        _drop_files(c2, str(tmp_path / "s2"), incoming, "c2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.term: (r.df, r.total_tf, r.postings)
+        for r in inverted_index_snapshot(spark, snapshot).collect()
+    }
+    batch = {
+        r.term: (r.df, r.total_tf, r.postings)
+        for r in q137_inverted_index(spark, sf_small).collect()
+    }
+    assert streamed == batch and len(batch) > 10
+
+
+def test_inverted_index_batch_replay_is_idempotent(spark, sf_small, tmp_path):
+    """Replaying a landed batch under the same batch_id (stage discarded
+    against the published partition) leaves the index unchanged."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.text import (
+        _tf_one_batch,
+        inverted_index_snapshot,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    chunk = docs.filter(F.col("doc_id") % 3 == 0)
+    snap = str(tmp_path / "snap")
+    _tf_one_batch(chunk, 0, snap)
+    first = {
+        (r.term, r.df, r.total_tf, r.postings)
+        for r in inverted_index_snapshot(spark, snap).collect()
+    }
+    assert first
+    _tf_one_batch(chunk, 0, snap)  # replay
+    assert {
+        (r.term, r.df, r.total_tf, r.postings)
+        for r in inverted_index_snapshot(spark, snap).collect()
+    } == first
+    assert not [d for d in os.listdir(snap) if d.startswith(".stage-")]
