@@ -270,3 +270,126 @@ def q121_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRIORITY_K)
         .withColumn("priority", F.round("priority", 4))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of q121: always-on weighted-sample maintenance (r12).
+#
+# Priority sampling composes exactly like a KMV sketch: the global top-k
+# by (priority DESC, doc_id) is always contained in the union of
+# per-batch top-ks under the same order, so per-batch samples land as
+# idempotent snapshot partitions and the read-time merge IS the batch
+# sample over everything ingested — the theta/inverted-index snapshot
+# discipline applied to Duffield-Lund-Thorup sampling. Priorities are
+# stored UNROUNDED (IEEE doubles round-trip parquet bit-exactly); the
+# consumer applies q121's output rounding after the cut.
+# ---------------------------------------------------------------------------
+
+
+def _priority_one_batch(
+    batch_df: DataFrame, batch_id: int, snapshot_dir: str, k: int = _PRIORITY_K
+) -> None:
+    """One micro-batch: the batch's own top-k priority sample, published
+    with stage + atomic rename (replay discards the identical stage)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from .sketches import _read_k_marker
+
+    _os.makedirs(snapshot_dir, exist_ok=True)
+    marker = _os.path.join(snapshot_dir, "_theta_k.json")
+    prev_k = _read_k_marker(snapshot_dir)
+    if prev_k is None:
+        tmp_m = marker + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp_m, "w") as f:
+            _json.dump({"k": k}, f)
+        _os.replace(tmp_m, marker)
+    elif prev_k != k:
+        raise ValueError(
+            f"incremental_priority_sample: snapshot {snapshot_dir!r} was "
+            f"built with k={prev_k}, got k={k}"
+        )
+
+    v = F.conv(F.substring(_hash_col(), 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    sample = (
+        batch_df.select(
+            "doc_id", "n_chars", (F.col("n_chars") / u).alias("priority")
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(k)
+    )
+    stage = _os.path.join(
+        snapshot_dir, f".stage-{batch_id}-{_uuid.uuid4().hex[:8]}"
+    )
+    sample.write.mode("overwrite").parquet(stage)
+    final = _os.path.join(snapshot_dir, f"batch_id={batch_id}")
+    try:
+        _os.rename(stage, final)
+    except OSError:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+
+def incremental_priority_sample(
+    spark: SparkSession,
+    incoming_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    k: int = _PRIORITY_K,
+):
+    """q121's weighted sample as an always-on ingestion job: each
+    micro-batch contributes its own top-k, priority_sample_snapshot()
+    serves the merged sample — EXACTLY q121 over everything ingested
+    (the top-k-by-priority merge loses nothing). Returns the
+    StreamingQuery. Per batch only k narrow rows leave the scan."""
+    if schema is not None:
+        file_schema = schema
+    else:
+        try:
+            file_schema = spark.read.parquet(incoming_dir).schema
+        except Exception as exc:  # empty watch dir at stream start
+            raise ValueError(
+                "incremental_priority_sample: watch directory "
+                f"{incoming_dir!r} has no files to infer a schema from; "
+                "pass schema= explicitly for an always-on stream whose "
+                "producer has not written yet"
+            ) from exc
+    stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _priority_one_batch(
+                batch_df, batch_id, snapshot_dir, k
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def priority_sample_snapshot(
+    spark: SparkSession, snapshot_dir: str, k: int | None = None
+) -> DataFrame:
+    """The live weighted sample over everything ingested: top-k by
+    (unrounded priority DESC, doc_id) across all batch partials, with
+    q121's output rounding applied AFTER the cut. ``k`` defaults to the
+    recorded build k; a mismatched explicit k raises."""
+    from .sketches import _read_k_marker
+
+    marker_k = _read_k_marker(snapshot_dir)
+    if k is None:
+        k = marker_k if marker_k is not None else _PRIORITY_K
+    elif marker_k is not None and k != marker_k:
+        raise ValueError(
+            f"snapshot {snapshot_dir!r} was built with k={marker_k}, "
+            f"got k={k}"
+        )
+    return (
+        spark.read.parquet(snapshot_dir)
+        .select("doc_id", "n_chars", "priority")
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(k)
+        .withColumn("priority", F.round("priority", 4))
+    )

@@ -601,3 +601,69 @@ def test_inverted_index_batch_replay_is_idempotent(spark, sf_small, tmp_path):
         for r in inverted_index_snapshot(spark, snap).collect()
     } == first
     assert not [d for d in os.listdir(snap) if d.startswith(".stage-")]
+
+
+def test_incremental_priority_sample_matches_batch(spark, sf_small, tmp_path):
+    """Stream the documents in two chunks: the snapshot sample must equal
+    q121_weighted_sample on the union corpus EXACTLY (the top-k-by-
+    priority merge is lossless under the same (priority DESC, doc_id)
+    order both sides use)."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.sampling import (
+        incremental_priority_sample,
+        priority_sample_snapshot,
+        q121_weighted_sample,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    c1 = docs.filter(F.col("doc_id") % 2 == 0)
+    c2 = docs.filter(F.col("doc_id") % 2 == 1)
+    incoming = str(tmp_path / "incoming")
+    snapshot = str(tmp_path / "snap")
+
+    _drop_files(c1, str(tmp_path / "s1"), incoming, "c1")
+    q = incremental_priority_sample(
+        spark, incoming, snapshot, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        _drop_files(c2, str(tmp_path / "s2"), incoming, "c2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = [
+        (r.doc_id, r.n_chars, r.priority)
+        for r in priority_sample_snapshot(spark, snapshot).collect()
+    ]
+    batch = [
+        (r.doc_id, r.n_chars, r.priority)
+        for r in q121_weighted_sample(spark, sf_small).collect()
+    ]
+    assert streamed == batch and len(batch) == 50
+
+
+def test_priority_sample_replay_and_k_guard(spark, sf_small, tmp_path):
+    """Replay leaves the snapshot unchanged (stage discarded) and a k
+    mismatch raises on both the writer and the reader."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.sampling import (
+        _priority_one_batch,
+        priority_sample_snapshot,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    chunk = docs.filter(F.col("doc_id") % 3 == 0)
+    snap = str(tmp_path / "snap")
+    _priority_one_batch(chunk, 0, snap, k=20)
+    first = [tuple(r) for r in priority_sample_snapshot(spark, snap).collect()]
+    assert len(first) == 20
+    _priority_one_batch(chunk, 0, snap, k=20)  # replay
+    assert [
+        tuple(r) for r in priority_sample_snapshot(spark, snap).collect()
+    ] == first
+    with pytest.raises(ValueError, match="k=20"):
+        _priority_one_batch(chunk, 1, snap, k=50)
+    with pytest.raises(ValueError, match="k=20"):
+        priority_sample_snapshot(spark, snap, k=50)
+    assert not [d for d in os.listdir(snap) if d.startswith(".stage-")]
