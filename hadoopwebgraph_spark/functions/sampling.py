@@ -290,28 +290,11 @@ def _priority_one_batch(
     batch_df: DataFrame, batch_id: int, snapshot_dir: str, k: int = _PRIORITY_K
 ) -> None:
     """One micro-batch: the batch's own top-k priority sample, published
-    with stage + atomic rename (replay discards the identical stage)."""
-    import json as _json
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
+    as its snapshot partition (typed k-marker + stage/atomic-rename
+    crash-safety shared in snapshot_util)."""
+    from .snapshot_util import ensure_meta, publish_partition
 
-    from .sketches import _read_k_marker
-
-    _os.makedirs(snapshot_dir, exist_ok=True)
-    marker = _os.path.join(snapshot_dir, "_theta_k.json")
-    prev_k = _read_k_marker(snapshot_dir)
-    if prev_k is None:
-        tmp_m = marker + f".tmp-{_uuid.uuid4().hex[:8]}"
-        with open(tmp_m, "w") as f:
-            _json.dump({"k": k}, f)
-        _os.replace(tmp_m, marker)
-    elif prev_k != k:
-        raise ValueError(
-            f"incremental_priority_sample: snapshot {snapshot_dir!r} was "
-            f"built with k={prev_k}, got k={k}"
-        )
-
+    ensure_meta(snapshot_dir, "priority_sample", k)
     v = F.conv(F.substring(_hash_col(), 1, 8), 16, 10).cast("double")
     u = (v + F.lit(0.5)) / F.lit(4294967296.0)
     sample = (
@@ -321,15 +304,7 @@ def _priority_one_batch(
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(k)
     )
-    stage = _os.path.join(
-        snapshot_dir, f".stage-{batch_id}-{_uuid.uuid4().hex[:8]}"
-    )
-    sample.write.mode("overwrite").parquet(stage)
-    final = _os.path.join(snapshot_dir, f"batch_id={batch_id}")
-    try:
-        _os.rename(stage, final)
-    except OSError:
-        _shutil.rmtree(stage, ignore_errors=True)
+    publish_partition(sample, snapshot_dir, batch_id)
 
 
 def incremental_priority_sample(
@@ -345,18 +320,11 @@ def incremental_priority_sample(
     serves the merged sample — EXACTLY q121 over everything ingested
     (the top-k-by-priority merge loses nothing). Returns the
     StreamingQuery. Per batch only k narrow rows leave the scan."""
-    if schema is not None:
-        file_schema = schema
-    else:
-        try:
-            file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception as exc:  # empty watch dir at stream start
-            raise ValueError(
-                "incremental_priority_sample: watch directory "
-                f"{incoming_dir!r} has no files to infer a schema from; "
-                "pass schema= explicitly for an always-on stream whose "
-                "producer has not written yet"
-            ) from exc
+    from .snapshot_util import infer_watch_schema
+
+    file_schema = infer_watch_schema(
+        spark, incoming_dir, "incremental_priority_sample", schema
+    )
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     return (
         stream.writeStream.foreachBatch(
@@ -374,18 +342,12 @@ def priority_sample_snapshot(
 ) -> DataFrame:
     """The live weighted sample over everything ingested: top-k by
     (unrounded priority DESC, doc_id) across all batch partials, with
-    q121's output rounding applied AFTER the cut. ``k`` defaults to the
-    recorded build k; a mismatched explicit k raises."""
-    from .sketches import _read_k_marker
+    q121's output rounding applied AFTER the cut. ``k`` resolves from
+    the writer's recorded marker (drift, wrong-kind, and missing-marker
+    reads all raise rather than guess)."""
+    from .snapshot_util import resolve_k
 
-    marker_k = _read_k_marker(snapshot_dir)
-    if k is None:
-        k = marker_k if marker_k is not None else _PRIORITY_K
-    elif marker_k is not None and k != marker_k:
-        raise ValueError(
-            f"snapshot {snapshot_dir!r} was built with k={marker_k}, "
-            f"got k={k}"
-        )
+    k = resolve_k(snapshot_dir, "priority_sample", k)
     return (
         spark.read.parquet(snapshot_dir)
         .select("doc_id", "n_chars", "priority")

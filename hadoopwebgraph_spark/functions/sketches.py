@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import track
+from .snapshot_util import (
+    ensure_meta,
+    infer_watch_schema,
+    publish_partition,
+    resolve_k,
+)
 from ..catalog import load
 from ..registry import register
 
@@ -229,71 +235,20 @@ def q160_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _read_k_marker(snapshot_dir: str) -> int | None:
-    import json as _json
-    import os as _os
-
-    try:
-        with open(_os.path.join(snapshot_dir, "_theta_k.json")) as f:
-            return int(_json.load(f)["k"])
-    except OSError:
-        return None
-
-
 def _theta_one_batch(
     batch_df: DataFrame, batch_id: int, key_col: str, snapshot_dir: str,
     k: int = K,
 ) -> None:
     """One micro-batch: sketch the batch's keys and publish it as this
     batch's snapshot partition (module-level so replay semantics are
-    unit-testable, the _dedup_one_batch pattern).
-
-    Two review-r12 hardenings:
-    - The write STAGES into a dot-prefixed dir (invisible to Spark's
-      file listing) and publishes with one atomic rename; a replay
-      whose target partition already exists discards the identical
-      staging copy instead of delete-then-rewrite — so an always-on
-      theta_sketch_snapshot reader can never observe a partial or
-      momentarily-missing partition (the similarity._commit_build
-      discipline).
-    - ``k`` is recorded once in an underscore-prefixed marker file and
-      asserted on every later batch: a k mismatch between writer and
-      reader silently corrupts the estimate (a saturated k=32 sketch
-      read as k=64 takes the exact branch and undercounts), so it
-      raises here instead."""
-    import json as _json
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
-
-    _os.makedirs(snapshot_dir, exist_ok=True)
-    marker = _os.path.join(snapshot_dir, "_theta_k.json")
-    prev_k = _read_k_marker(snapshot_dir)
-    if prev_k is None:
-        tmp_m = marker + f".tmp-{_uuid.uuid4().hex[:8]}"
-        with open(tmp_m, "w") as f:
-            _json.dump({"k": k}, f)
-        _os.replace(tmp_m, marker)
-    elif prev_k != k:
-        raise ValueError(
-            f"incremental_theta_sketch: snapshot {snapshot_dir!r} was "
-            f"built with k={prev_k}, got k={k} — mixed-k partitions "
-            "would silently corrupt the estimate"
-        )
-
-    stage = _os.path.join(
-        snapshot_dir, f".stage-{batch_id}-{_uuid.uuid4().hex[:8]}"
+    unit-testable, the _dedup_one_batch pattern). Crash-safety — typed
+    k-marker, stage + atomic rename, replay discard, orphan sweep —
+    lives in snapshot_util (shared with the inverted-index and
+    priority-sample twins)."""
+    ensure_meta(snapshot_dir, "theta_sketch", k)
+    publish_partition(
+        theta_sketch(batch_df.select(key_col), k), snapshot_dir, batch_id
     )
-    theta_sketch(batch_df.select(key_col), k).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    final = _os.path.join(snapshot_dir, f"batch_id={batch_id}")
-    try:
-        _os.rename(stage, final)
-    except OSError:
-        # replay: the partition is already published and — KMV being
-        # deterministic per batch — identical; discard the stage copy
-        _shutil.rmtree(stage, ignore_errors=True)
 
 
 def incremental_theta_sketch(
@@ -320,18 +275,9 @@ def incremental_theta_sketch(
 
     ``schema``: declared schema for incoming files; an empty watch dir
     with no declared schema RAISES (the file-stream hardening rule)."""
-    if schema is not None:
-        file_schema = schema
-    else:
-        try:
-            file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception as exc:  # empty watch dir at stream start
-            raise ValueError(
-                "incremental_theta_sketch: watch directory "
-                f"{incoming_dir!r} has no files to infer a schema from; "
-                "pass schema= explicitly for an always-on stream whose "
-                "producer has not written yet"
-            ) from exc
+    file_schema = infer_watch_schema(
+        spark, incoming_dir, "incremental_theta_sketch", schema
+    )
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     return (
         stream.writeStream.foreachBatch(
@@ -349,17 +295,10 @@ def theta_sketch_snapshot(
 ) -> DataFrame:
     """The live sketch of everything ingested so far: k smallest
     distinct hashes across all batch partitions (the read-time KMV
-    merge). ``k`` defaults to the value recorded by the writer (the
-    _theta_k.json marker), so reader and writer cannot drift; passing a
-    DIFFERENT k than the marker raises."""
-    marker_k = _read_k_marker(snapshot_dir)
-    if k is None:
-        k = marker_k if marker_k is not None else K
-    elif marker_k is not None and k != marker_k:
-        raise ValueError(
-            f"snapshot {snapshot_dir!r} was built with k={marker_k}, "
-            f"got k={k}"
-        )
+    merge). ``k`` resolves from the writer's recorded marker (drift and
+    wrong-kind snapshots raise; a missing marker with no explicit k
+    raises rather than guessing)."""
+    k = resolve_k(snapshot_dir, "theta_sketch", k)
     return (
         spark.read.parquet(snapshot_dir)
         .select("h")
@@ -383,7 +322,5 @@ def theta_snapshot_estimate(
 ) -> DataFrame:
     """Estimate straight off a stream-maintained snapshot with the k it
     was built with — the drift-proof consumer path."""
-    k = _read_k_marker(snapshot_dir)
-    if k is None:
-        k = K
+    k = resolve_k(snapshot_dir, "theta_sketch", None)
     return theta_estimate(theta_sketch_snapshot(spark, snapshot_dir, k), k)

@@ -1042,14 +1042,10 @@ def _tf_one_batch(
     batch_df: DataFrame, batch_id: int, snapshot_dir: str
 ) -> None:
     """One micro-batch: land the batch's (term, doc_id, tf) partials as
-    its own snapshot partition (stage + atomic rename, the r12 theta
-    discipline — a replay discards the identical stage, and a live
-    reader can never see a partial partition)."""
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
+    its own snapshot partition (crash-safety — stage + atomic rename,
+    replay discard, orphan sweep — shared in snapshot_util)."""
+    from .snapshot_util import publish_partition
 
-    _os.makedirs(snapshot_dir, exist_ok=True)
     tf = (
         batch_df.select(
             "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -1057,15 +1053,7 @@ def _tf_one_batch(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    stage = _os.path.join(
-        snapshot_dir, f".stage-{batch_id}-{_uuid.uuid4().hex[:8]}"
-    )
-    tf.write.mode("overwrite").parquet(stage)
-    final = _os.path.join(snapshot_dir, f"batch_id={batch_id}")
-    try:
-        _os.rename(stage, final)
-    except OSError:  # replay: identical partition already published
-        _shutil.rmtree(stage, ignore_errors=True)
+    publish_partition(tf, snapshot_dir, batch_id)
 
 
 def incremental_inverted_index(
@@ -1085,18 +1073,11 @@ def incremental_inverted_index(
     cost is the read-time merge over partials — the standard
     segment-then-merge search-engine shape expressed as parquet
     partitions + one Spark aggregation."""
-    if schema is not None:
-        file_schema = schema
-    else:
-        try:
-            file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception as exc:  # empty watch dir at stream start
-            raise ValueError(
-                "incremental_inverted_index: watch directory "
-                f"{incoming_dir!r} has no files to infer a schema from; "
-                "pass schema= explicitly for an always-on stream whose "
-                "producer has not written yet"
-            ) from exc
+    from .snapshot_util import infer_watch_schema
+
+    file_schema = infer_watch_schema(
+        spark, incoming_dir, "incremental_inverted_index", schema
+    )
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     return (
         stream.writeStream.foreachBatch(
@@ -1116,7 +1097,17 @@ def inverted_index_snapshot(
     stats plus the rank-capped rendered posting list — column-for-column
     q137_inverted_index's output on the union corpus (equivalence is
     test-pinned: tests/test_round12_ops.py)."""
-    tf = spark.read.parquet(snapshot_dir).select("term", "doc_id", "tf")
+    from ..cache import track
+
+    # tf feeds BOTH branches; Python DataFrame reuse does not dedupe
+    # subtrees (q137's own lesson), so without this the accumulated
+    # snapshot parquet is scanned twice per read. Session-retained
+    # cache; contract in queries/graph._materialize.
+    tf = track(
+        spark.read.parquet(snapshot_dir)
+        .select("term", "doc_id", "tf")
+        .persist()
+    )
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )

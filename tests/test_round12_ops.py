@@ -667,3 +667,59 @@ def test_priority_sample_replay_and_k_guard(spark, sf_small, tmp_path):
     with pytest.raises(ValueError, match="k=20"):
         priority_sample_snapshot(spark, snap, k=50)
     assert not [d for d in os.listdir(snap) if d.startswith(".stage-")]
+
+
+def test_publish_partition_reraises_non_replay_failures(spark, tmp_path):
+    """A rename failure whose target is NOT a published partition must
+    re-raise (review r12: swallowing it committed batches whose data
+    never landed — silent permanent loss); a true replay (target dir
+    exists) discards the stage; orphaned stages of the same batch are
+    reclaimed on the next publish."""
+    from hadoopwebgraph_spark.functions.snapshot_util import (
+        publish_partition,
+    )
+
+    snap = str(tmp_path / "snap")
+    df = spark.range(5).selectExpr("id AS h")
+    publish_partition(df, snap, 0)
+    assert os.path.isdir(os.path.join(snap, "batch_id=0"))
+
+    # replay: succeeds silently, no stage leftovers
+    publish_partition(df, snap, 0)
+    assert not [d for d in os.listdir(snap) if d.startswith(".stage-")]
+
+    # non-replay failure: the final path is occupied by a plain FILE
+    with open(os.path.join(snap, "batch_id=1"), "w") as f:
+        f.write("stray")
+    with pytest.raises(OSError):
+        publish_partition(df, snap, 1)
+
+    # orphaned stage from a simulated crash is swept by the next publish
+    os.makedirs(os.path.join(snap, ".stage-2-deadbeef"))
+    publish_partition(df, snap, 2)
+    assert not [d for d in os.listdir(snap) if d.startswith(".stage-2-")]
+    assert os.path.isdir(os.path.join(snap, "batch_id=2"))
+
+
+def test_snapshot_meta_kind_and_missing_marker_guards(spark, tmp_path):
+    """Wrong-kind reads and missing-marker reads raise instead of
+    guessing (a lost marker read at a default k serves wrong ranks
+    silently); an explicit k is trusted only when no marker exists."""
+    from hadoopwebgraph_spark.functions.snapshot_util import (
+        ensure_meta,
+        resolve_k,
+    )
+
+    snap = str(tmp_path / "snap")
+    ensure_meta(snap, "theta_sketch", 32)
+    assert resolve_k(snap, "theta_sketch", None) == 32
+    with pytest.raises(ValueError, match="kind"):
+        resolve_k(snap, "priority_sample", None)
+    with pytest.raises(ValueError, match="kind"):
+        ensure_meta(snap, "priority_sample", 32)
+
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    with pytest.raises(ValueError, match="no _snapshot_meta"):
+        resolve_k(bare, "theta_sketch", None)
+    assert resolve_k(bare, "theta_sketch", 16) == 16  # explicit override
