@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from .snapshot_util import infer_watch_schema
 
 def _spread(docs: DataFrame) -> DataFrame:
     """The synthetic documents table arrives as one parquet file = one
@@ -836,19 +837,9 @@ def incremental_dedup_stream(
     would silently null/drop mismatched columns on every later file)."""
     import os as _os
 
-    if schema is not None:
-        file_schema = schema
-    else:
-        try:
-            file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception as exc:  # empty watch dir at stream start
-            raise ValueError(
-                "incremental_dedup_stream: watch directory "
-                f"{incoming_dir!r} has no files to infer a schema from; "
-                "pass schema= explicitly for an always-on stream whose "
-                "producer has not written yet (a guessed schema would "
-                "silently drop mismatched columns later)"
-            ) from exc
+    file_schema = infer_watch_schema(
+        spark, incoming_dir, "incremental_dedup_stream", schema
+    )
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     digests = _os.path.join(snapshot_dir, "digests")
 
@@ -957,18 +948,9 @@ def incremental_neardup_stream(
     other file streams)."""
     import os as _os
 
-    if schema is not None:
-        file_schema = schema
-    else:
-        try:
-            file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception as exc:  # empty watch dir at stream start
-            raise ValueError(
-                "incremental_neardup_stream: watch directory "
-                f"{incoming_dir!r} has no files to infer a schema from; "
-                "pass schema= explicitly for an always-on stream whose "
-                "producer has not written yet"
-            ) from exc
+    file_schema = infer_watch_schema(
+        spark, incoming_dir, "incremental_neardup_stream", schema
+    )
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     sigs = _os.path.join(snapshot_dir, "sigs")
 
@@ -1010,18 +992,9 @@ def incremental_curation_stream(
 
     from .llmprep import _manifest_tail
 
-    if schema is not None:
-        file_schema = schema
-    else:
-        try:
-            file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception as exc:  # empty watch dir at stream start
-            raise ValueError(
-                "incremental_curation_stream: watch directory "
-                f"{incoming_dir!r} has no files to infer a schema from; "
-                "pass schema= explicitly for an always-on stream whose "
-                "producer has not written yet"
-            ) from exc
+    file_schema = infer_watch_schema(
+        spark, incoming_dir, "incremental_curation_stream", schema
+    )
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     digests = _os.path.join(snapshot_dir, "digests")
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from .snapshot_util import infer_watch_schema
 
 # spread the low 16 bits of v so bit i lands at bit 2i (classic
 # magic-number bit interleave, e.g. Hacker's Delight §7-2)
@@ -297,19 +298,9 @@ def partitioned_ingest_stream(
 
     if "://" not in incoming_dir:
         _os.makedirs(incoming_dir, exist_ok=True)
-    if schema is not None:
-        file_schema = schema
-    else:
-        try:
-            file_schema = spark.read.parquet(incoming_dir).schema
-        except Exception as exc:  # empty watch dir at stream start
-            raise ValueError(
-                "partitioned_ingest_stream: watch directory "
-                f"{incoming_dir!r} has no files to infer a schema from; "
-                "pass schema= explicitly for an always-on stream whose "
-                "producer has not written yet (a guessed schema would "
-                "silently drop mismatched columns later)"
-            ) from exc
+    file_schema = infer_watch_schema(
+        spark, incoming_dir, "partitioned_ingest_stream", schema
+    )
     stream = spark.readStream.schema(file_schema).parquet(incoming_dir)
     return (
         stream.writeStream.foreachBatch(
