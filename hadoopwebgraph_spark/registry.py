@@ -371,6 +371,40 @@ _DRIVER_GREEN.update(
 )
 
 
+# Round 12's driver window: CORRECTNESS_r12.json, 48/50 hash-exact plus
+# q12/q45 rows-only by design (HLL/KLL sketches have no DuckDB hash twin).
+# The window cleared the entire 47-name round-8 stale cohort plus the three
+# r12 registrations (q160-q162). Post-stamp composition (from
+# scripts/gen_driver_green_stamp.py): {9: 50} — the round-13 window is
+# exactly the 50 round-9 names with ZERO spare slots, so round 13 is a
+# consolidation round: registration budget 0 (VERDICT r12 item #1/#9).
+_DRIVER_GREEN.update(
+    {
+        name: 12
+        for name in (
+            "g28_scc g29_bowtie g30_condensation "
+            "g31_permute_roundtrip g32_neighbor_sample "
+            "q06_join_semi q07_join_anti q08_join_theta "
+            "q09_self_join q10_agg_stats q11_count_distinct "
+            "q12_approx_distinct q132_chunk_documents q13_rollup "
+            "q14_cube q15_grouping_sets q160_theta_sketch_setops "
+            "q161_substring_search q162_crossencoder_rerank "
+            "q16_topk_global q17_having q18_join_right "
+            "q19_join_full q20_window_topk_per_group "
+            "q21_window_rank q22_window_running_sum q23_window_lag "
+            "q24_window_range_frame q25_window_ntile_first_last "
+            "q26_window_distribution q30_union q31_intersect "
+            "q32_except q33_string_fns q34_date_fns q35_math_fns "
+            "q36_array_fns q37_json_fns q38_case_coalesce "
+            "q39_pivot q40_distinct q41_in_subquery q43_join_cross "
+            "q44_percentiles q45_approx_percentiles q46_map_fns "
+            "q50_tumbling_window q51_sliding_window "
+            "q52_session_window q53_watermark_late_drop"
+        ).split()
+    }
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     # Never-verified first (round 0), then oldest-verified, name as tiebreak.
