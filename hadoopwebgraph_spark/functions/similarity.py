@@ -39,6 +39,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import register_release_hook
 from ..catalog import load
 from ..registry import register
 
@@ -405,18 +406,39 @@ def _read_model(path: str) -> dict:
         return json.load(f)
 
 
+def _invfile_files(path: str) -> list[str]:
+    """Sorted relpaths of every inverted-file parquet part under an index
+    — the build-time manifest recorded in model.json and the live set
+    _live_appended compares it against."""
+    inv = os.path.join(path, "invfile")
+    out = []
+    for dirpath, _dirs, files in os.walk(inv):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, fn), inv))
+    return sorted(out)
+
+
 def _live_appended(path: str) -> bool:
     """True when a live index at ``path`` has grown SINCE its build —
     i.e. ivf_index_append_stream has appended inverted-file files after
-    model.json was written (the build's last artifact; appends are the
-    only post-build writer). A default probe on a mirrored fixture must
-    then skip the mirror, or streamed vectors would be silently
-    invisible to it (ADVICE r11: the ckey keys on the CORPUS, which
-    doesn't change when only the index grows)."""
-    model = os.path.join(path, "model.json")
-    if not os.path.exists(model):
+    the build (appends are the only post-build writer). A default probe
+    on a mirrored fixture must then skip the mirror, or streamed vectors
+    would be silently invisible to it (ADVICE r11: the ckey keys on the
+    CORPUS, which doesn't change when only the index grows).
+
+    Detection compares the CURRENT invfile parquet set against the set
+    recorded in model.json at build time (ADVICE r12: mtime comparison
+    misses appends on coarse-timestamp filesystems or rsync'ed artifacts
+    with preserved mtimes — file identity can't be faked by a copy).
+    Legacy indexes built before the manifest field fall back to mtimes."""
+    model_path = os.path.join(path, "model.json")
+    if not os.path.exists(model_path):
         return False
-    built = os.stat(model).st_mtime_ns
+    recorded = _read_model(path).get("invfile_files")
+    if recorded is not None:
+        return set(_invfile_files(path)) != set(recorded)
+    built = os.stat(model_path).st_mtime_ns
     inv = os.path.join(path, "invfile")
     for dirpath, _dirs, files in os.walk(inv):
         for fn in files:
@@ -482,9 +504,42 @@ def _mirror_dir(sub: str, ckey: int) -> str | None:
     return None
 
 
-def _mirror_df(spark: SparkSession, sub: str, ckey: int) -> DataFrame | None:
+def _mirror_df(spark: SparkSession, sub: str, ckey: int | None) -> DataFrame | None:
+    if ckey is None:
+        return None
     d = _mirror_dir(sub, ckey)
     return None if d is None else spark.read.parquet(d)
+
+
+_CKEY_MEMO: dict[tuple, int] = {}
+register_release_hook(_CKEY_MEMO.clear)
+
+
+def _mirror_ckey(e: DataFrame, sf_dir: str, *subs: str) -> int | None:
+    """Mirror-lookup key for a probe preamble, O(1)-guarded and memoized.
+
+    _corpus_key is a full embeddings aggregate + collect; on a production
+    corpus with NO committed mirror that scan bought nothing, every probe
+    (VERDICT r12 scale hazard #1). Two layers:
+
+    - short-circuit: if any required mirror sub dir has no ckey=* child,
+      no mirror can possibly match — return None without ever touching
+      the corpus (a pure filesystem listdir).
+    - memo: the key is content-derived and corpus tables are immutable
+      within a session (the _materialize contract), so one scan per
+      (session, sf_dir) suffices; cache.release_all clears the memo with
+      everything else session-retained."""
+    for sub in subs:
+        try:
+            entries = os.listdir(os.path.join(ANN_MIRROR_ROOT, sub))
+        except OSError:
+            return None
+        if not any(x.startswith("ckey=") for x in entries):
+            return None
+    key = (id(e.sparkSession), os.path.abspath(sf_dir))
+    if key not in _CKEY_MEMO:
+        _CKEY_MEMO[key] = _corpus_key(e)
+    return _CKEY_MEMO[key]
 
 
 _MIRROR_VERIFIED: set[int] = set()
@@ -573,7 +628,18 @@ def build_ivf_index(
         os.path.join(tmp, "invfile")
     )
     cent_rows = [[int(r.cid), [float(x) for x in r.cvec]] for r in cent.collect()]
-    _write_model(tmp, {"k": k, "iterations": iterations, "centroids": cent_rows})
+    _write_model(
+        tmp,
+        {
+            "k": k,
+            "iterations": iterations,
+            "centroids": cent_rows,
+            # build-time invfile manifest — _live_appended compares the
+            # live parquet set against this to detect post-build appends
+            # without trusting filesystem mtimes (ADVICE r12)
+            "invfile_files": _invfile_files(tmp),
+        },
+    )
     _commit_build(tmp, path)
     return path
 
@@ -612,7 +678,7 @@ def ivf_probe(
             _index_path("ivf", sf_dir, [IVF_K, IVF_ITERATIONS])
         )
     ):
-        ck = _corpus_key(e)
+        ck = _mirror_ckey(e, sf_dir, "ivf_centroids", "ivf_invfile")
         cent = _mirror_df(spark, "ivf_centroids", ck)
         inv = _mirror_df(spark, "ivf_invfile", ck)
         if cent is not None and inv is not None:
@@ -991,7 +1057,10 @@ def pq_probe(
 
     cb = codes = q_for_adc = None
     if index_path is None:
-        ck = _corpus_key(e)
+        mirror_subs = [f"{kind}_codebooks", f"{kind}_codes"] + (
+            ["opq_rotq"] if kind == "opq" else []
+        )
+        ck = _mirror_ckey(e, sf_dir, *mirror_subs)
         cb = _mirror_df(spark, f"{kind}_codebooks", ck)
         codes = _mirror_df(spark, f"{kind}_codes", ck)
         if kind == "opq":
@@ -1459,7 +1528,7 @@ def knn_graph_probe(
     # live-built index
     edges = assigned = None
     if index_path is None:
-        ck = _corpus_key(e)
+        ck = _mirror_ckey(e, sf_dir, "knng_edges", "ivf_invfile")
         edges = _mirror_df(spark, "knng_edges", ck)
         assigned = _mirror_df(spark, "ivf_invfile", ck)
         if edges is None or assigned is None:
