@@ -47,16 +47,18 @@ def release_all(blocking: bool = True) -> int:
     module-level and outlives sessions) is swallowed, the remaining
     entries still release, and the hooks ALWAYS run — otherwise
     graph._MEMO would keep serving DataFrames whose caches were just
-    dropped, silently re-decoding per consumer forever after."""
+    dropped, silently re-decoding per consumer forever after. The
+    return value counts only SUCCESSFUL unpersists (ADVICE r12: a
+    swallowed failure must not inflate the count)."""
     n = 0
     try:
         while _TRACKED:
             _, df = _TRACKED.popitem()
             try:
                 df.unpersist(blocking=blocking)
+                n += 1
             except Exception:  # noqa: BLE001 — dead session/context
                 pass
-            n += 1
     finally:
         for fn in _RELEASE_HOOKS:
             fn()

@@ -345,11 +345,11 @@ def priority_sample_snapshot(
     q121's output rounding applied AFTER the cut. ``k`` resolves from
     the writer's recorded marker (drift, wrong-kind, and missing-marker
     reads all raise rather than guess)."""
-    from .snapshot_util import resolve_k
+    from .snapshot_util import read_snapshot, resolve_k
 
     k = resolve_k(snapshot_dir, "priority_sample", k)
     return (
-        spark.read.parquet(snapshot_dir)
+        read_snapshot(spark, snapshot_dir)
         .select("doc_id", "n_chars", "priority")
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(k)

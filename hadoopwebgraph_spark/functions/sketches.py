@@ -33,6 +33,7 @@ from .snapshot_util import (
     ensure_meta,
     infer_watch_schema,
     publish_partition,
+    read_snapshot,
     resolve_k,
 )
 from ..catalog import load
@@ -300,7 +301,7 @@ def theta_sketch_snapshot(
     raises rather than guessing)."""
     k = resolve_k(snapshot_dir, "theta_sketch", k)
     return (
-        spark.read.parquet(snapshot_dir)
+        read_snapshot(spark, snapshot_dir)
         .select("h")
         .distinct()
         .orderBy("h")

@@ -17,7 +17,20 @@ live artifact. This module holds the crash-safety-critical pieces ONCE
   NOT commit a batch whose data was never published;
 - orphan sweep: leftover ``.stage-<batch_id>-*`` dirs from a crash
   between write and rename are reclaimed on the next publish of that
-  batch_id (replays are serial per stream, so the sweep races nothing).
+  batch_id (replays are serial per stream, so the sweep races nothing);
+- compaction (r13, VERDICT r12 hazard #2): a long-lived stream grows one
+  partition per micro-batch forever, so the read-time merge is O(all
+  batches). ``compact_snapshot`` folds every live partition into ONE
+  negative-id partition. Unlike the digest snapshot's compaction
+  (maintenance.compact_digest_snapshot), these partials are NOT
+  superset-safe — a double-read double-counts tf / duplicates sample
+  rows — so the crash contract is exclusion-based instead: the folded
+  partition carries a ``_covers.json`` marker naming its source ids
+  (written into the staging dir, so the atomic install publishes data
+  and marker together), and readers resolve partitions through
+  ``live_batch_dirs``, which skips covered sources (a crashed deletion)
+  and marker-less negative dirs (a crashed install). Every reader of a
+  compactable snapshot MUST therefore go through ``read_snapshot``.
 """
 
 from __future__ import annotations
@@ -118,6 +131,183 @@ def publish_partition(
             shutil.rmtree(stage, ignore_errors=True)
         else:
             raise
+
+
+_COVERS = "_covers.json"
+
+
+def _batch_ids(snapshot_dir: str) -> dict[int, str]:
+    """Every ``batch_id=<n>`` partition dir, keyed by id. Non-integer
+    partition dirs raise — nothing else ever writes into a snapshot."""
+    try:
+        entries = os.listdir(snapshot_dir)
+    except OSError:
+        return {}
+    out: dict[int, str] = {}
+    for d in entries:
+        if not d.startswith("batch_id="):
+            continue
+        try:
+            i = int(d.split("=", 1)[1])
+        except ValueError:
+            raise ValueError(f"non-integer partition dir in snapshot: {d}")
+        out[i] = os.path.join(snapshot_dir, d)
+    return out
+
+
+def _covered_ids(path: str) -> list[int] | None:
+    """Source ids folded into a compacted partition, or None when the
+    marker is absent (a negative-id dir without one is a crashed
+    install — its data may be incomplete and its sources still live)."""
+    try:
+        with open(os.path.join(path, _COVERS)) as f:
+            return [int(x) for x in json.load(f)["covers"]]
+    except OSError:
+        return None
+
+
+def live_batch_dirs(snapshot_dir: str) -> list[str]:
+    """Partition dirs a reader should scan: every published partition,
+    minus (a) compacted dirs whose install never completed (negative id,
+    no ``_covers.json`` — the marker is staged with the data, so its
+    absence means the atomic rename never ran) and (b) source dirs named
+    by a completed compaction's marker (their deletion crashed; reading
+    them alongside the fold would double-count). Exactness under any
+    crash point follows: either the fold is invisible and every source
+    is read, or the fold is visible and every source is excluded."""
+    by_id = _batch_ids(snapshot_dir)
+    covered: set[int] = set()
+    incomplete: set[int] = set()
+    for i, path in by_id.items():
+        if i >= 0:
+            continue
+        cov = _covered_ids(path)
+        if cov is None:
+            incomplete.add(i)
+        else:
+            covered.update(cov)
+    return [
+        by_id[i]
+        for i in sorted(by_id)
+        if i not in covered and i not in incomplete
+    ]
+
+
+def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read a snapshot's live rows (data columns only). The ONE reader
+    entry point for compactable snapshots — a bare
+    ``spark.read.parquet(snapshot_dir)`` double-counts after a crashed
+    compaction deletion and reads half-installed folds."""
+    dirs = live_batch_dirs(snapshot_dir)
+    if not dirs:
+        raise ValueError(
+            f"snapshot {snapshot_dir!r} has no published partitions"
+        )
+    return spark.read.parquet(*dirs)
+
+
+def _snapshot_parquet_bytes(dirs: list[str]) -> int:
+    total = 0
+    for d in dirs:
+        for dirpath, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+    return total
+
+
+def compact_snapshot(
+    spark: SparkSession, snapshot_dir: str, target_bytes: int = 128 << 20
+) -> dict:
+    """Fold every live partition of a snapshot into ONE negative-id
+    partition and drop the sources — bounds the read-time merge and the
+    small-file count for an always-on stream (a year of micro-batches is
+    thousands of partitions otherwise). Row-multiset-preserving, so it
+    is valid for ALL snapshot kinds (tf partials, theta hashes, priority
+    partials) — the read-time merge is unchanged. Run it while the
+    stream is STOPPED (the maintenance-window contract, same as
+    compact_digest_snapshot); one maintenance actor at a time.
+
+    Crash safety (exclusion semantics, see module docstring): the fold
+    stages under a dot-prefixed dir (invisible to readers) WITH its
+    ``_covers.json`` marker, publishes via one atomic rename, and only
+    then deletes sources. live_batch_dirs keeps every crash point exact;
+    re-running the compaction completes a crashed deletion (it sweeps
+    covered leftovers and marker-less installs first) and converges.
+
+    Returns {"files_before", "files_after", "rows", "batch_id"}.
+    """
+    by_id = _batch_ids(snapshot_dir)
+    # sweep leftovers from a previous crashed compaction: staging dirs
+    # and covered-but-undeleted sources
+    for d in os.listdir(snapshot_dir) if os.path.isdir(snapshot_dir) else []:
+        if d.startswith(".compact-"):
+            shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
+    covered: set[int] = set()
+    for i, path in by_id.items():
+        if i < 0 and _covered_ids(path) is None:
+            # cannot occur under this module's atomic-rename install (the
+            # marker is staged with the data); deleting it could destroy a
+            # FOREIGN fold — e.g. compact_digest_snapshot's marker-less
+            # batch_id=-1, whose sources are already gone — so refuse
+            raise ValueError(
+                f"snapshot partition {path!r} is negative but has no "
+                f"{_COVERS} marker: either a foreign compaction layout "
+                "(maintenance.compact_digest_snapshot snapshots have "
+                "their own compactor) or a half-installed fold on a "
+                "non-atomic filesystem; refusing to guess"
+            )
+    for i, path in by_id.items():
+        if i < 0:
+            covered.update(_covered_ids(path) or [])
+    for i in sorted(covered):
+        if i in by_id:
+            shutil.rmtree(by_id[i], ignore_errors=True)
+            del by_id[i]
+
+    live = [by_id[i] for i in sorted(by_id)]
+    files_before = sum(
+        1
+        for d in live
+        for _dp, _ds, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if len(live) <= 1:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "rows": None,
+            "batch_id": None,
+        }
+    new_id = min(0, *by_id) - 1
+    n_out = max(
+        1, -(-_snapshot_parquet_bytes(live) // target_bytes)
+    )
+    stage = os.path.join(snapshot_dir, f".compact-{uuid.uuid4().hex[:8]}")
+    spark.read.parquet(*live).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    rows = spark.read.parquet(stage).count()
+    with open(os.path.join(stage, _COVERS), "w") as f:
+        json.dump({"covers": sorted(by_id)}, f)
+    os.rename(stage, os.path.join(snapshot_dir, f"batch_id={new_id}"))
+    for path in live:
+        shutil.rmtree(path, ignore_errors=True)
+    files_after = sum(
+        1
+        for _dp, _ds, fs in os.walk(
+            os.path.join(snapshot_dir, f"batch_id={new_id}")
+        )
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+        "batch_id": new_id,
+    }
 
 
 def infer_watch_schema(

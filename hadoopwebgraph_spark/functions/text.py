@@ -7,10 +7,13 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import register_release_hook
 from ..catalog import load
 from ..registry import register
 
@@ -1090,24 +1093,60 @@ def incremental_inverted_index(
     )
 
 
+_TF_SNAPSHOT_MEMO: dict[tuple, tuple] = {}
+
+
+def _clear_tf_snapshot_memo() -> None:
+    _TF_SNAPSHOT_MEMO.clear()
+
+
+register_release_hook(_clear_tf_snapshot_memo)
+
+
 def inverted_index_snapshot(
     spark: SparkSession, snapshot_dir: str
 ) -> DataFrame:
     """The live index over everything ingested: per-term df / total_tf
     stats plus the rank-capped rendered posting list — column-for-column
     q137_inverted_index's output on the union corpus (equivalence is
-    test-pinned: tests/test_round12_ops.py)."""
-    from ..cache import track
+    test-pinned: tests/test_round12_ops.py).
 
-    # tf feeds BOTH branches; Python DataFrame reuse does not dedupe
-    # subtrees (q137's own lesson), so without this the accumulated
-    # snapshot parquet is scanned twice per read. Session-retained
-    # cache; contract in queries/graph._materialize.
-    tf = track(
-        spark.read.parquet(snapshot_dir)
-        .select("term", "doc_id", "tf")
-        .persist()
-    )
+    The snapshot resolves through live_batch_dirs, so reads stay exact
+    across compact_snapshot runs and their crash points (VERDICT r12
+    hazard #2 — the merge was O(every batch ever, forever)).
+
+    Staleness (ADVICE r12): the tf persist is keyed on the CURRENT live
+    partition set, not the root path — Spark's cache manager matches
+    file-source plans by path, so a root-path persist kept serving a
+    frozen index after new batches landed. A set change unpersists the
+    stale entry and refreshes the path before re-reading."""
+    from ..cache import track
+    from .snapshot_util import live_batch_dirs
+
+    dirs = live_batch_dirs(snapshot_dir)
+    if not dirs:
+        raise ValueError(
+            f"snapshot {snapshot_dir!r} has no published partitions"
+        )
+    base = (id(spark), os.path.abspath(snapshot_dir))
+    part_key = tuple(os.path.basename(d) for d in dirs)
+    memo = _TF_SNAPSHOT_MEMO.get(base)
+    if memo is not None and memo[0] == part_key:
+        tf = memo[1]
+    else:
+        if memo is not None:
+            memo[1].unpersist()
+            spark.catalog.refreshByPath(snapshot_dir)
+        # tf feeds BOTH branches; Python DataFrame reuse does not dedupe
+        # subtrees (q137's own lesson), so without this the accumulated
+        # snapshot parquet is scanned twice per read. Session-retained
+        # cache; contract in queries/graph._materialize.
+        tf = track(
+            spark.read.parquet(*dirs)
+            .select("term", "doc_id", "tf")
+            .persist()
+        )
+        _TF_SNAPSHOT_MEMO[base] = (part_key, tf)
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )

@@ -153,3 +153,196 @@ def test_live_appended_legacy_model_falls_back_to_mtime(
     built = os.stat(mpath).st_mtime
     os.utime(planted, (built + 3600, built + 3600))
     assert S._live_appended(path)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot compaction (VERDICT r12 hazard #2) + reader staleness
+# (ADVICE r12 medium) for the batch-partition streaming twins.
+# ---------------------------------------------------------------------------
+
+
+def _land_tf_batches(spark, sf_small, snap, splits=(0, 1, 2), mod=3):
+    """Publish the documents table as ``len(splits)`` tf partials, one
+    batch per doc_id residue class — together they cover the corpus, so
+    the snapshot index must equal q137 on the full table."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.text import _tf_one_batch
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    for i in splits:
+        _tf_one_batch(docs.filter(F.col("doc_id") % mod == i), i, snap)
+
+
+def _index_rows(spark, snap):
+    from hadoopwebgraph_spark.functions.text import inverted_index_snapshot
+
+    return {
+        (r.term, r.df, r.total_tf, r.postings)
+        for r in inverted_index_snapshot(spark, snap).collect()
+    }
+
+
+def test_inverted_index_exact_across_compaction(spark, sf_small, tmp_path):
+    """streamed==q137 must hold BEFORE, AFTER, and ACROSS compactions —
+    including a batch landing after the first fold and a second fold
+    over (fold, new batch)."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.snapshot_util import compact_snapshot
+    from hadoopwebgraph_spark.functions.text import (
+        _tf_one_batch,
+        q137_inverted_index,
+    )
+
+    snap = str(tmp_path / "snap")
+    _land_tf_batches(spark, sf_small, snap, splits=(0, 1), mod=3)
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+
+    partial = _index_rows(spark, snap)
+    out = compact_snapshot(spark, snap, target_bytes=1 << 30)
+    assert out["batch_id"] == -1 and out["rows"] > 0
+    assert sorted(os.listdir(snap))[0] == "batch_id=-1"
+    assert _index_rows(spark, snap) == partial
+
+    # a post-compaction batch must appear in the served index
+    _tf_one_batch(docs.filter(F.col("doc_id") % 3 == 2), 2, snap)
+    full = {
+        (r.term, r.df, r.total_tf, r.postings)
+        for r in q137_inverted_index(spark, sf_small).collect()
+    }
+    assert _index_rows(spark, snap) == full
+
+    # second fold over (batch_id=-1, batch_id=2) — still exact
+    out2 = compact_snapshot(spark, snap, target_bytes=1 << 30)
+    assert out2["batch_id"] == -2
+    assert _index_rows(spark, snap) == full
+    # converged: a third run with one live partition is a no-op
+    out3 = compact_snapshot(spark, snap, target_bytes=1 << 30)
+    assert out3["batch_id"] is None
+
+
+def test_compaction_crash_points_stay_exact(spark, sf_small, tmp_path):
+    """Every crash point of compact_snapshot leaves reads exact:
+    (a) an orphaned staging dir is invisible; (b) sources surviving a
+    crashed deletion are excluded by the fold's _covers marker; (c) a
+    marker-less negative dir (impossible under the atomic install —
+    foreign layout or non-atomic fs) is ignored by reads and REFUSED by
+    the compactor (deleting it could destroy a foreign fold)."""
+    import shutil
+
+    from hadoopwebgraph_spark.functions.snapshot_util import (
+        compact_snapshot,
+        live_batch_dirs,
+    )
+
+    snap = str(tmp_path / "snap")
+    _land_tf_batches(spark, sf_small, snap)
+    baseline = _index_rows(spark, snap)
+
+    # (a) staging leftover
+    os.makedirs(os.path.join(snap, ".compact-deadbeef", "x"), exist_ok=True)
+    assert _index_rows(spark, snap) == baseline
+
+    # (b) crashed deletion: compact, then resurrect a source partition
+    saved = str(tmp_path / "saved")
+    shutil.copytree(os.path.join(snap, "batch_id=1"), saved)
+    out = compact_snapshot(spark, snap, target_bytes=1 << 30)
+    assert out["batch_id"] == -1
+    assert not os.path.isdir(os.path.join(snap, ".compact-deadbeef"))
+    shutil.copytree(saved, os.path.join(snap, "batch_id=1"))
+    assert os.path.basename(live_batch_dirs(snap)[0]) == "batch_id=-1"
+    assert len(live_batch_dirs(snap)) == 1  # resurrected source excluded
+    assert _index_rows(spark, snap) == baseline
+    # re-running compaction finishes the deletion and converges
+    compact_snapshot(spark, snap, target_bytes=1 << 30)
+    assert not os.path.isdir(os.path.join(snap, "batch_id=1"))
+    assert _index_rows(spark, snap) == baseline
+
+    # (c) marker-less negative dir: reads skip it, compaction refuses
+    fresh = str(tmp_path / "snap2")
+    _land_tf_batches(spark, sf_small, fresh)
+    base2 = _index_rows(spark, fresh)
+    bogus = os.path.join(fresh, "batch_id=-7")
+    shutil.copytree(os.path.join(fresh, "batch_id=0"), bogus)
+    cov = os.path.join(bogus, "_covers.json")
+    if os.path.exists(cov):
+        os.remove(cov)
+    assert len(live_batch_dirs(fresh)) == 3
+    assert _index_rows(spark, fresh) == base2
+    with pytest.raises(ValueError, match="refusing to guess"):
+        compact_snapshot(spark, fresh, target_bytes=1 << 30)
+    # operator removes the foreign dir; compaction then folds exactly
+    shutil.rmtree(bogus)
+    compact_snapshot(spark, fresh, target_bytes=1 << 30)
+    assert _index_rows(spark, fresh) == base2
+
+
+def test_inverted_index_snapshot_not_stale_after_new_batch(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r12 (medium): a snapshot read, then a NEW batch, then a
+    re-read — the second read must serve the grown index, not the
+    persisted first read (cache-manager path matching served a frozen
+    index before)."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.text import _tf_one_batch
+
+    snap = str(tmp_path / "snap")
+    _land_tf_batches(spark, sf_small, snap, splits=(0,), mod=2)
+    first = _index_rows(spark, snap)
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    _tf_one_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, snap)
+    second = _index_rows(spark, snap)
+    assert second != first
+    # exact on the union, not merely different
+    from hadoopwebgraph_spark.functions.text import q137_inverted_index
+
+    assert second == {
+        (r.term, r.df, r.total_tf, r.postings)
+        for r in q137_inverted_index(spark, sf_small).collect()
+    }
+
+
+def test_tf_snapshot_memo_cleared_by_release_all(spark, sf_small, tmp_path):
+    from hadoopwebgraph_spark import cache
+    from hadoopwebgraph_spark.functions import text as T
+
+    snap = str(tmp_path / "snap")
+    _land_tf_batches(spark, sf_small, snap, splits=(0,), mod=2)
+    _index_rows(spark, snap)
+    assert T._TF_SNAPSHOT_MEMO
+    cache.release_all()
+    assert not T._TF_SNAPSHOT_MEMO
+    assert _index_rows(spark, snap)  # recomputes fine after release
+
+
+def test_theta_and_priority_snapshots_survive_compaction(
+    spark, sf_small, tmp_path
+):
+    """compact_snapshot is row-multiset-preserving, so the other two
+    twins' read-time merges are unchanged by a fold."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.sampling import (
+        _priority_one_batch,
+        priority_sample_snapshot,
+    )
+    from hadoopwebgraph_spark.functions.sketches import (
+        _theta_one_batch,
+        theta_sketch_snapshot,
+    )
+    from hadoopwebgraph_spark.functions.snapshot_util import compact_snapshot
+
+    docs = load(spark, sf_small, "documents")
+    tsnap, psnap = str(tmp_path / "theta"), str(tmp_path / "prio")
+    for i in (0, 1):
+        chunk = docs.filter(F.col("doc_id") % 2 == i)
+        _theta_one_batch(chunk.select("text"), i, "text", tsnap, 64)
+        _priority_one_batch(chunk, i, psnap)
+
+    theta_before = [r.h for r in theta_sketch_snapshot(spark, tsnap).collect()]
+    prio_before = [tuple(r) for r in priority_sample_snapshot(spark, psnap).collect()]
+    assert compact_snapshot(spark, tsnap)["batch_id"] == -1
+    assert compact_snapshot(spark, psnap)["batch_id"] == -1
+    assert [r.h for r in theta_sketch_snapshot(spark, tsnap).collect()] == theta_before
+    assert [
+        tuple(r) for r in priority_sample_snapshot(spark, psnap).collect()
+    ] == prio_before
