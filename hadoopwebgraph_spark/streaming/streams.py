@@ -269,6 +269,17 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+# Sessionize state-tuple schema version (VERDICT r12 #6 / ADVICE r11).
+# The leading field of every stored state tuple; bump it whenever the
+# tuple's layout or meaning changes so a restart from an old checkpoint
+# raises loudly at the first state read instead of decoding stale bytes
+# under the new layout (same-width changes — v2's total double -> cents
+# long — reinterpret bits silently; Spark's state-schema check cannot be
+# relied on to catch them). History: v1 = running float total (pre-r10);
+# v2 = integer cents accumulator.
+SESSIONIZE_STATE_V = 2
+
+
 def make_sessionize_update(gap_minutes: int = 30):
     """Build the per-key state-walk closure for incremental_sessionize
     (module-level factory so tests can drive chunked replays against a
@@ -284,7 +295,15 @@ def make_sessionize_update(gap_minutes: int = 30):
         # resolution (Arrow hands timestamp_ntz over as datetime64[ns])
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         if state.exists:
-            last_us, seq, n, start_us, cents = state.get
+            stored = state.get
+            if stored[0] != SESSIONIZE_STATE_V:
+                raise ValueError(
+                    f"incremental_sessionize state version {stored[0]} != "
+                    f"{SESSIONIZE_STATE_V}: this checkpoint was written by "
+                    "an incompatible build of the state tuple — reset the "
+                    "checkpoint directory (state cannot be migrated)"
+                )
+            _v, last_us, seq, n, start_us, cents = stored
         else:
             last_us, seq, n, start_us, cents = None, 0, 0, 0, 0
         out = []
@@ -304,7 +323,7 @@ def make_sessionize_update(gap_minutes: int = 30):
             cents += int(round(float(v) * 100))
             last_us = t
         emit(seq, n, start_us, last_us, cents)  # open session, running row
-        state.update((last_us, seq, n, start_us, cents))
+        state.update((SESSIONIZE_STATE_V, last_us, seq, n, start_us, cents))
         df = pd.DataFrame(
             out,
             columns=[
@@ -337,13 +356,14 @@ def incremental_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFram
     Scale: state is one narrow tuple per user (not per event); emitted
     rows are bounded by sessions touched per batch.
 
-    Checkpoint compatibility (ADVICE r11): the state tuple's last field
-    changed from ``total double`` to ``cents long`` when the accumulator
-    went integer-exact. Spark's state store does NOT migrate schemas —
-    restarting from a checkpoint written by the old schema would decode
-    stale bytes under the new layout (wrong values or a state-store
-    error). Reset the checkpoint directory when upgrading across that
-    change; fresh streams are unaffected.
+    Checkpoint compatibility: Spark's state store does NOT migrate
+    schemas, so the stored tuple leads with SESSIONIZE_STATE_V and every
+    state read asserts it (VERDICT r12 #6) — a restart from a checkpoint
+    written by a different tuple layout raises a clear reset-the-
+    checkpoint error instead of decoding stale bytes (the v1 ``total
+    double`` -> v2 ``cents long`` change was byte-width-identical, i.e.
+    silent garbage without the version field). Fresh streams are
+    unaffected.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -354,7 +374,9 @@ def incremental_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFram
     )
     # total carried as integer CENTS: exact across any batch chunking and
     # arrival order; the event values are 2-decimal by contract
-    state_schema = "last_us long, seq long, n long, start_us long, cents long"
+    state_schema = (
+        "v long, last_us long, seq long, n long, start_us long, cents long"
+    )
 
     return (
         events.select("user_id", "ts", "event_id", "value")
