@@ -166,6 +166,17 @@ def main() -> None:
         from hadoopwebgraph_spark.queries.graph import graph_df
 
         graph_df(spark).count()
+        # Persist the embeddings scan the whole ANN block shares
+        # (VERDICT r12 #5): every probe, the index builds, and the
+        # mirror fingerprint verify all start from the same
+        # load(sf_dir, "embeddings") plan, and Spark's cache manager
+        # substitutes the cached relation for parquet-rooted plans —
+        # so one persist removes the repeated corpus scans that
+        # amplified driver-host load into per-probe seconds in
+        # BENCH_r12 (q71 2.43s driver vs 0.81s quiet).
+        from hadoopwebgraph_spark.catalog import load as _load
+
+        _load(spark, sf_dir, "embeddings").persist().count()
         # Build the ANN indexes for the bench SF if absent (train-once /
         # probe-many lifecycle: index construction is an ETL job, not
         # query time — q73/q74 measure the probe), then run the probes
@@ -362,7 +373,11 @@ def main() -> None:
 
 
 
+    # EXTRA_DETAIL failures stay OUT of the stdout errors dict (ADVICE
+    # r12: they spent the headroom the detail split exists to protect);
+    # they are driver-invisible timings, so their errors are too
     extra_timings = {}
+    extra_errors: dict[str, str] = {}
     for name in EXTRA_DETAIL:
         q = queries.get(name)
         if q is None:
@@ -370,7 +385,7 @@ def main() -> None:
         _time_best_of_2(
             name,
             lambda q=q: q.fn(spark, sf_dir).count(),
-            extra_timings, cold, loads, errors,
+            extra_timings, cold, loads, extra_errors,
             check=_check_nonneg,
         )
 
@@ -426,8 +441,12 @@ def main() -> None:
         **scan_stats,
     }
     if errors:
-        # driver-visible signal only; full tracebacks live in the detail file
-        out["errors"] = {k: v[:80] for k, v in errors.items()}
+        # driver-visible signal only; full tracebacks live in the detail
+        # file. 40 chars (the exception type + message head) keeps even a
+        # 5-failure round inside the shed guard, so the error signal
+        # survives onto the parsed line exactly when it matters most
+        # (pinned by tests/test_bench_contract.py).
+        out["errors"] = {k: v[:40] for k, v in errors.items()}
     detail = {
         "loadavg_end": round(os.getloadavg()[0], 1),
         **detail_stats,
@@ -439,6 +458,7 @@ def main() -> None:
         "queries_cold": cold,
         "loadavg_per_query": loads,
         "errors": errors,
+        "errors_extra": extra_errors,
     }
     try:
         detail_path = os.path.join(

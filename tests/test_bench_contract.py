@@ -66,3 +66,42 @@ def test_bench_headline_names_resolve():
     names = set(all_queries())
     missing = [n for n in bench.HEADLINE if n not in names]
     assert not missing, f"HEADLINE references unknown queries: {missing}"
+
+
+def test_bench_stdout_line_with_errors_stays_parseable():
+    """Error entries DO reach stdout (80-char-truncated, headline-only
+    — EXTRA_DETAIL errors go to bench_detail's errors_extra, ADVICE
+    r12) but only for queries with no timing entry. Model a 5-failure
+    round at full error width and assert the line still fits the
+    driver's capture without tripping bench.py's 1900 shed guard — so
+    the errors actually SURVIVE onto the parsed line when they matter
+    most."""
+    queries = {name: 999.999 for name in bench.HEADLINE}
+    for extra in (
+        "gXL_graph_scan",
+        "gXL_degree_hist",
+        "gXL_sink_write",
+        "gXL_sink_copy",
+        "gB_hyperanf_3hop",
+    ):
+        queries[extra] = 999.999
+    failed = sorted(queries, key=len, reverse=True)[:5]
+    errors = {name: "E" * 40 for name in failed}  # bench's stdout truncation
+    for name in failed:
+        del queries[name]  # bench records an error only when no timing landed
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "graph_scan_arcs_per_sec": 999_999_999,
+        "graph_scan_partition_invariant": False,
+        "errors": errors,
+    }
+    line = json.dumps(out)
+    assert len(line) < 1900, (
+        f"a 5-failure bench line would be {len(line)} chars and trip the "
+        "shed guard, losing the error signal — trim HEADLINE or tighten "
+        "the error truncation"
+    )
