@@ -31,6 +31,16 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def untrack(df: DataFrame, blocking: bool = True) -> None:
+    """Unpersist a tracked DataFrame AND drop its registry entry — the
+    pair must move together (review r13): a bare unpersist leaves the
+    entry behind, so a later release_all re-unpersists the dead entry
+    and counts it as a drop, re-inflating the count the ADVICE r12 fix
+    made accurate."""
+    _TRACKED.pop(df.semanticHash(), None)
+    df.unpersist(blocking=blocking)
+
+
 def register_release_hook(fn) -> None:
     """Run ``fn()`` after every release_all — for caller-side memo maps
     that hold references to the unpersisted DataFrames."""

@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import uuid
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -401,9 +402,24 @@ def _commit_build(tmp: str, path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_MODEL_CACHE: dict[str, tuple[int, dict]] = {}
+
+
 def _read_model(path: str) -> dict:
-    with open(os.path.join(path, "model.json")) as f:
-        return json.load(f)
+    """Load an index's model.json, cached per mtime — models are
+    write-once (atomic os.replace at build), and _live_appended runs on
+    EVERY default probe, so without the cache each probe would re-parse
+    the full centroid/codebook payload twice (review r13). Callers
+    treat the returned dict as read-only."""
+    p = os.path.join(path, "model.json")
+    m = os.stat(p).st_mtime_ns
+    hit = _MODEL_CACHE.get(p)
+    if hit is not None and hit[0] == m:
+        return hit[1]
+    with open(p) as f:
+        model = json.load(f)
+    _MODEL_CACHE[p] = (m, model)
+    return model
 
 
 def _invfile_files(path: str) -> list[str]:
@@ -511,7 +527,10 @@ def _mirror_df(spark: SparkSession, sub: str, ckey: int | None) -> DataFrame | N
     return None if d is None else spark.read.parquet(d)
 
 
-_CKEY_MEMO: dict[tuple, int] = {}
+# value = (weakref to the owning session, ckey): id() keys alone can
+# collide when a stopped session is GC'd and CPython reuses its id —
+# the weakref identity check turns that into a memo miss (review r13)
+_CKEY_MEMO: dict[tuple, tuple] = {}
 register_release_hook(_CKEY_MEMO.clear)
 
 
@@ -536,10 +555,13 @@ def _mirror_ckey(e: DataFrame, sf_dir: str, *subs: str) -> int | None:
             return None
         if not any(x.startswith("ckey=") for x in entries):
             return None
-    key = (id(e.sparkSession), os.path.abspath(sf_dir))
-    if key not in _CKEY_MEMO:
-        _CKEY_MEMO[key] = _corpus_key(e)
-    return _CKEY_MEMO[key]
+    session = e.sparkSession
+    key = (id(session), os.path.abspath(sf_dir))
+    hit = _CKEY_MEMO.get(key)
+    if hit is None or hit[0]() is not session:
+        hit = (weakref.ref(session), _corpus_key(e))
+        _CKEY_MEMO[key] = hit
+    return hit[1]
 
 
 _MIRROR_VERIFIED: set[int] = set()

@@ -166,7 +166,7 @@ def _covered_ids(path: str) -> list[int] | None:
         return None
 
 
-def live_batch_dirs(snapshot_dir: str) -> list[str]:
+def live_batch_dirs(snapshot_dir: str, require: bool = False) -> list[str]:
     """Partition dirs a reader should scan: every published partition,
     minus (a) compacted dirs whose install never completed (negative id,
     no ``_covers.json`` — the marker is staged with the data, so its
@@ -174,7 +174,9 @@ def live_batch_dirs(snapshot_dir: str) -> list[str]:
     by a completed compaction's marker (their deletion crashed; reading
     them alongside the fold would double-count). Exactness under any
     crash point follows: either the fold is invisible and every source
-    is read, or the fold is visible and every source is excluded."""
+    is read, or the fold is visible and every source is excluded.
+    ``require=True`` raises on an empty result (the shared reader-side
+    guard) instead of returning []."""
     by_id = _batch_ids(snapshot_dir)
     covered: set[int] = set()
     incomplete: set[int] = set()
@@ -186,11 +188,16 @@ def live_batch_dirs(snapshot_dir: str) -> list[str]:
             incomplete.add(i)
         else:
             covered.update(cov)
-    return [
+    dirs = [
         by_id[i]
         for i in sorted(by_id)
         if i not in covered and i not in incomplete
     ]
+    if require and not dirs:
+        raise ValueError(
+            f"snapshot {snapshot_dir!r} has no published partitions"
+        )
+    return dirs
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -198,22 +205,21 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     entry point for compactable snapshots — a bare
     ``spark.read.parquet(snapshot_dir)`` double-counts after a crashed
     compaction deletion and reads half-installed folds."""
-    dirs = live_batch_dirs(snapshot_dir)
-    if not dirs:
-        raise ValueError(
-            f"snapshot {snapshot_dir!r} has no published partitions"
-        )
-    return spark.read.parquet(*dirs)
+    return spark.read.parquet(*live_batch_dirs(snapshot_dir, require=True))
 
 
-def _snapshot_parquet_bytes(dirs: list[str]) -> int:
+def _parquet_stats(dirs: list[str]) -> tuple[int, int]:
+    """(file count, total bytes) of the parquet parts under ``dirs`` in
+    one walk."""
+    files = 0
     total = 0
     for d in dirs:
-        for dirpath, _dirs, files in os.walk(d):
-            for fn in files:
+        for dirpath, _dirs, fns in os.walk(d):
+            for fn in fns:
                 if fn.endswith(".parquet"):
+                    files += 1
                     total += os.path.getsize(os.path.join(dirpath, fn))
-    return total
+    return files, total
 
 
 def compact_snapshot(
@@ -266,13 +272,7 @@ def compact_snapshot(
             del by_id[i]
 
     live = [by_id[i] for i in sorted(by_id)]
-    files_before = sum(
-        1
-        for d in live
-        for _dp, _ds, fs in os.walk(d)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    files_before, bytes_before = _parquet_stats(live)
     if len(live) <= 1:
         return {
             "files_before": files_before,
@@ -281,9 +281,7 @@ def compact_snapshot(
             "batch_id": None,
         }
     new_id = min(0, *by_id) - 1
-    n_out = max(
-        1, -(-_snapshot_parquet_bytes(live) // target_bytes)
-    )
+    n_out = max(1, -(-bytes_before // target_bytes))
     stage = os.path.join(snapshot_dir, f".compact-{uuid.uuid4().hex[:8]}")
     spark.read.parquet(*live).repartition(n_out).write.mode(
         "overwrite"
@@ -294,13 +292,8 @@ def compact_snapshot(
     os.rename(stage, os.path.join(snapshot_dir, f"batch_id={new_id}"))
     for path in live:
         shutil.rmtree(path, ignore_errors=True)
-    files_after = sum(
-        1
-        for _dp, _ds, fs in os.walk(
-            os.path.join(snapshot_dir, f"batch_id={new_id}")
-        )
-        for f in fs
-        if f.endswith(".parquet")
+    files_after, _ = _parquet_stats(
+        [os.path.join(snapshot_dir, f"batch_id={new_id}")]
     )
     return {
         "files_before": files_before,

@@ -1116,26 +1116,33 @@ def inverted_index_snapshot(
     hazard #2 — the merge was O(every batch ever, forever)).
 
     Staleness (ADVICE r12): the tf persist is keyed on the CURRENT live
-    partition set, not the root path — Spark's cache manager matches
-    file-source plans by path, so a root-path persist kept serving a
-    frozen index after new batches landed. A set change unpersists the
-    stale entry and refreshes the path before re-reading."""
-    from ..cache import track
+    parquet file identity (relpath + size per part — Spark part names
+    embed a per-job UUID, so a wipe-and-republish under the same batch
+    ids still changes the key), not the root path — Spark's cache
+    manager matches file-source plans by path, so a root-path persist
+    kept serving a frozen index after new batches landed. A key change
+    untracks the stale entry and refreshes the path before re-reading;
+    a weakref identity check guards against a recycled session id
+    serving another session's DataFrame (review r13)."""
+    import weakref
+
+    from ..cache import track, untrack
     from .snapshot_util import live_batch_dirs
 
-    dirs = live_batch_dirs(snapshot_dir)
-    if not dirs:
-        raise ValueError(
-            f"snapshot {snapshot_dir!r} has no published partitions"
-        )
+    dirs = live_batch_dirs(snapshot_dir, require=True)
     base = (id(spark), os.path.abspath(snapshot_dir))
-    part_key = tuple(os.path.basename(d) for d in dirs)
+    part_key = tuple(
+        (os.path.basename(d), fn, os.path.getsize(os.path.join(d, fn)))
+        for d in dirs
+        for fn in sorted(os.listdir(d))
+        if fn.endswith(".parquet")
+    )
     memo = _TF_SNAPSHOT_MEMO.get(base)
-    if memo is not None and memo[0] == part_key:
-        tf = memo[1]
+    if memo is not None and memo[0]() is spark and memo[1] == part_key:
+        tf = memo[2]
     else:
-        if memo is not None:
-            memo[1].unpersist()
+        if memo is not None and memo[0]() is spark:
+            untrack(memo[2])
             spark.catalog.refreshByPath(snapshot_dir)
         # tf feeds BOTH branches; Python DataFrame reuse does not dedupe
         # subtrees (q137's own lesson), so without this the accumulated
@@ -1146,7 +1153,7 @@ def inverted_index_snapshot(
             .select("term", "doc_id", "tf")
             .persist()
         )
-        _TF_SNAPSHOT_MEMO[base] = (part_key, tf)
+        _TF_SNAPSHOT_MEMO[base] = (weakref.ref(spark), part_key, tf)
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )

@@ -388,3 +388,61 @@ def test_sessionize_state_version_mismatch_raises():
     old = StubState(seeded=(1704096000000000, 1, 3, 1704096000000000, 450))
     with pytest.raises(ValueError, match="reset the checkpoint"):
         list(update((7,), iter([chunk]), old))
+
+
+def test_tf_snapshot_memo_survives_wipe_and_republish(
+    spark, sf_small, tmp_path
+):
+    """Review r13: a snapshot wiped and republished under the SAME batch
+    ids must not serve the frozen persisted index — the memo key is the
+    parquet file identity (Spark part names embed a per-job UUID), not
+    the partition-name set."""
+    import shutil
+
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.text import _tf_one_batch
+
+    snap = str(tmp_path / "snap")
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    _tf_one_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, snap)
+    first = _index_rows(spark, snap)
+
+    shutil.rmtree(snap)
+    _tf_one_batch(docs.filter(F.col("doc_id") % 2 == 1), 0, snap)
+    second = _index_rows(spark, snap)
+    assert second != first  # different residue class -> different corpus
+
+
+def test_tf_snapshot_memo_ignores_recycled_session_id(
+    spark, sf_small, tmp_path
+):
+    """Review r13: a memo entry whose session weakref no longer resolves
+    to the calling session (id() recycled after a stopped session was
+    GC'd) must be a miss, not a hit serving a dead session's DataFrame."""
+    from hadoopwebgraph_spark.functions import text as T
+
+    snap = str(tmp_path / "snap")
+    _land_tf_batches(spark, sf_small, snap, splits=(0,), mod=2)
+    good = _index_rows(spark, snap)
+
+    base = (id(spark), os.path.abspath(snap))
+    assert base in T._TF_SNAPSHOT_MEMO
+    _ref, part_key, _tf = T._TF_SNAPSHOT_MEMO[base]
+    poison = object()  # would blow up if ever used as a DataFrame
+    T._TF_SNAPSHOT_MEMO[base] = (lambda: None, part_key, poison)
+    assert _index_rows(spark, snap) == good
+    assert T._TF_SNAPSHOT_MEMO[base][2] is not poison
+
+
+def test_untrack_removes_registry_entry(spark):
+    """cache.untrack drops the registry entry with the unpersist, so a
+    later release_all neither re-unpersists it nor counts it."""
+    from hadoopwebgraph_spark import cache
+
+    cache.release_all()
+    df = spark.range(100).persist()
+    cache.track(df)
+    assert len(cache._TRACKED) == 1
+    cache.untrack(df)
+    assert not cache._TRACKED
+    assert cache.release_all() == 0
