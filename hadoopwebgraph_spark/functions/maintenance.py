@@ -37,6 +37,14 @@ from pyspark.sql import SparkSession
 
 from ..bvgraph.storage import fs_for_path, move_dir
 
+# The third maintenance job (r13) lives with the snapshot layout it
+# compacts but belongs to this surface: fold a batch-partition snapshot
+# (inverted-index tf partials, theta sketches, priority samples) into
+# one partition. NOT interchangeable with compact_digest_snapshot —
+# the two crash contracts differ (exclusion markers vs superset
+# semantics) and each refuses the other's layout.
+from .snapshot_util import compact_snapshot  # noqa: F401  (re-export)
+
 
 def _dir_parquet_bytes(fs, base: str) -> tuple[int, int]:
     """(total_bytes, n_files) of the parquet data files under base."""
