@@ -7,37 +7,50 @@ would defeat the point, so the persists deliberately outlive the call
 gives every such site one lever: ``track()`` at the persist site,
 ``release_all()`` when a long-lived session is done with the operators.
 
-Tracking is deduplicated by ``DataFrame.semanticHash()`` — Spark's cache
-manager already keys entries by logical plan, so re-running the same
-query must not grow the registry (a prior version appended per call)."""
+Tracking is deduplicated by (session, ``DataFrame.semanticHash()``) —
+Spark's cache manager already keys entries by logical plan, so re-running
+the same query must not grow the registry (a prior version appended per
+call). The session id is part of the key (review r13, second pass):
+semanticHash canonicalizes across sessions, so a dead session's entry
+would otherwise SHADOW a new session's identical-plan persist — the new
+cache would then never be tracked, and release_all would unpersist only
+the dead one. The id is stable for as long as the entry exists because
+the tracked DataFrame itself pins its session."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_TRACKED: dict[int, DataFrame] = {}
+_TRACKED: dict[tuple, DataFrame] = {}
 _RELEASE_HOOKS: list = []
+
+
+def _key(df: DataFrame) -> tuple:
+    return (id(df.sparkSession), df.semanticHash())
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register an already-persisted DataFrame for session-level release;
-    returns it unchanged. Same-plan re-registrations are no-ops — BUT
-    note Python-DataSource plans never compare equal (each read creates
-    a fresh plan identity; measured r12: two identical bvgraph reads =
-    two semanticHashes AND two cache-manager entries), so DS-rooted
-    shares must be memoized by the caller (queries/graph._materialize's
-    key=) rather than relying on this dedup."""
-    _TRACKED.setdefault(df.semanticHash(), df)
+    returns it unchanged. Same-plan same-session re-registrations are
+    no-ops — BUT note Python-DataSource plans never compare equal (each
+    read creates a fresh plan identity; measured r12: two identical
+    bvgraph reads = two semanticHashes AND two cache-manager entries),
+    so DS-rooted shares must be memoized by the caller
+    (queries/graph._materialize's key=) rather than relying on this
+    dedup."""
+    _TRACKED.setdefault(_key(df), df)
     return df
 
 
-def untrack(df: DataFrame, blocking: bool = True) -> None:
+def untrack(df: DataFrame, blocking: bool = False) -> None:
     """Unpersist a tracked DataFrame AND drop its registry entry — the
     pair must move together (review r13): a bare unpersist leaves the
     entry behind, so a later release_all re-unpersists the dead entry
     and counts it as a drop, re-inflating the count the ADVICE r12 fix
-    made accurate."""
-    _TRACKED.pop(df.semanticHash(), None)
+    made accurate. Non-blocking by default: callers sit on read hot
+    paths (the snapshot refresh) where waiting for block eviction buys
+    nothing."""
+    _TRACKED.pop(_key(df), None)
     df.unpersist(blocking=blocking)
 
 

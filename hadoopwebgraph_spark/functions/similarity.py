@@ -403,6 +403,7 @@ def _commit_build(tmp: str, path: str) -> None:
 
 
 _MODEL_CACHE: dict[str, tuple[int, dict]] = {}
+register_release_hook(_MODEL_CACHE.clear)
 
 
 def _read_model(path: str) -> dict:

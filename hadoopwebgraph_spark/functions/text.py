@@ -1129,14 +1129,25 @@ def inverted_index_snapshot(
     from ..cache import track, untrack
     from .snapshot_util import live_batch_dirs
 
-    dirs = live_batch_dirs(snapshot_dir, require=True)
     base = (id(spark), os.path.abspath(snapshot_dir))
-    part_key = tuple(
-        (os.path.basename(d), fn, os.path.getsize(os.path.join(d, fn)))
-        for d in dirs
-        for fn in sorted(os.listdir(d))
-        if fn.endswith(".parquet")
-    )
+    # resolve dirs + file identity with one retry: a compact_snapshot
+    # running concurrently (only the WRITER must be stopped during
+    # maintenance) may delete a source partition between the listing and
+    # the stat — re-resolving then lands on the installed fold, whose
+    # rows are exactly the deleted sources' (review r13, second pass)
+    for attempt in (0, 1):
+        dirs = live_batch_dirs(snapshot_dir, require=True)
+        try:
+            part_key = tuple(
+                (os.path.basename(d), fn, os.path.getsize(os.path.join(d, fn)))
+                for d in dirs
+                for fn in sorted(os.listdir(d))
+                if fn.endswith(".parquet")
+            )
+            break
+        except OSError:
+            if attempt:
+                raise
     memo = _TF_SNAPSHOT_MEMO.get(base)
     if memo is not None and memo[0]() is spark and memo[1] == part_key:
         tf = memo[2]
