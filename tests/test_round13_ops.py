@@ -446,3 +446,72 @@ def test_untrack_removes_registry_entry(spark):
     cache.untrack(df)
     assert not cache._TRACKED
     assert cache.release_all() == 0
+
+
+def test_compaction_randomized_interleavings_stay_exact(spark, tmp_path):
+    """Seeded randomized schedules over the snapshot lifecycle: publish /
+    compact / orphan-stage-drop / resurrect-a-deleted-source (the
+    reachable crash states on an atomic-rename filesystem). After EVERY
+    step the read must equal the multiset of all published rows — the
+    exclusion contract has no window where a reader double-counts or
+    under-reads."""
+    import random
+    import shutil
+
+    from hadoopwebgraph_spark.functions.snapshot_util import (
+        compact_snapshot,
+        publish_partition,
+        read_snapshot,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        snap = str(tmp_path / f"s{seed}")
+        shadow = str(tmp_path / f"shadow{seed}")
+        os.makedirs(shadow)
+        expected: list[int] = []
+        next_bid = 0
+        published_dirs: dict[int, str] = {}  # bid -> shadow copy
+
+        def publish():
+            nonlocal next_bid
+            vals = [next_bid * 1000 + i for i in range(rng.randint(1, 4))]
+            df = spark.createDataFrame([(v,) for v in vals], "v long")
+            publish_partition(df.coalesce(1), snap, next_bid)
+            shadow_dir = os.path.join(shadow, f"batch_id={next_bid}")
+            shutil.copytree(
+                os.path.join(snap, f"batch_id={next_bid}"), shadow_dir
+            )
+            published_dirs[next_bid] = shadow_dir
+            expected.extend(vals)
+            next_bid += 1
+
+        def compact():
+            compact_snapshot(spark, snap, target_bytes=1 << 30)
+
+        def orphan_stage():
+            d = os.path.join(snap, f".compact-crash{rng.randint(0, 99)}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "junk.parquet"), "wb") as f:
+                f.write(b"not parquet")
+
+        def resurrect():
+            # crashed deletion: a source dir a prior compaction folded
+            # reappears (object-store eventual listing, partial rmtree)
+            gone = [
+                b
+                for b, sd in published_dirs.items()
+                if not os.path.isdir(os.path.join(snap, f"batch_id={b}"))
+            ]
+            if gone:
+                b = rng.choice(gone)
+                shutil.copytree(
+                    published_dirs[b], os.path.join(snap, f"batch_id={b}")
+                )
+
+        publish()  # every schedule starts non-empty
+        ops = [publish, compact, orphan_stage, resurrect]
+        for _ in range(5):
+            rng.choice(ops)()
+            got = sorted(r.v for r in read_snapshot(spark, snap).collect())
+            assert got == sorted(expected), f"seed={seed} diverged"
