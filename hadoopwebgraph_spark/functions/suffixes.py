@@ -1,0 +1,186 @@
+"""Suffix-class machinery: distributed prefix doubling over a document
+corpus — staged in round 13 for round 14's registered operator (the r13
+driver window had zero spare slots, so REGISTRATION is deliberately
+deferred; see NOTES.md r13 and VERDICT r12 #9).
+
+The exact-substring dedup the repo already ships (q119, Lee et al.)
+fingerprints fixed-length grams with one md5 shuffle — the right tool
+for ONE threshold L. This module builds the general structure instead:
+per-position equivalence classes of the first 2^k characters, doubled
+k -> k+1 rounds, from which a class for ANY window length composes in
+O(1) extra shuffles (the classic suffix-array doubling/LCP trick). One
+build answers every L — maximal-span queries, multi-threshold sweeps —
+where the gram approach pays a full corpus shuffle per L.
+
+Spark-first shape (no suffix-array ORDER is ever materialized):
+
+- Classes need only EQUALITY, not rank order, so each round's class id
+  is the canonical representative ``min(gpos)`` of the class — one
+  groupBy + one join-back per round, never a global sort, never a
+  single-partition window (the audit class). Ids stay 8-byte longs
+  regardless of window length: round k shuffles (doc_id, pos, long)
+  instead of 2^k-character substrings.
+- Validity-by-construction: round k's table contains exactly the
+  positions whose full 2^k-char window is in-bounds, because each
+  doubling inner-joins position p with position p + 2^k from the SAME
+  doc's valid table — out-of-range windows fall out of the join instead
+  of needing sentinel ranks.
+- At 100 TB: every round is two key-partitioned shuffles of narrow
+  longs; rounds = ceil(log2 L) (L=64 -> 6). Characters-as-rows is the
+  honest cost model for exact-substring work at scale — the same rows
+  q119 already explodes, amortized across all thresholds here.
+
+Cross-engine note: class ids are min-gpos representatives, which are
+content-derived and deterministic, but an oracle should compare the
+CLASSES (substring equality), not the representative values — the r14
+registration contract will group on the substring itself in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# gpos = doc_id * _DOC_STRIDE + pos must be injective; documents at any
+# SF are chunk-bounded well under this (q132 chunks at 4k chars)
+_DOC_STRIDE = 1 << 24
+
+
+def corpus_positions(docs: DataFrame) -> DataFrame:
+    """Explode documents to one row per character position:
+    (doc_id, pos, gpos, ch). ``docs`` needs (doc_id, text)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "(?!^)")).alias("pos", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("doc_id") * _DOC_STRIDE + F.col("pos")).alias("gpos"),
+            "ch",
+        )
+    )
+
+
+def _representative(classes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Replace an equality key by its canonical long id: the smallest
+    gpos in the key's class. Injective by content, no ordering pass."""
+    reps = classes.groupBy(*key_cols).agg(F.min("gpos").alias("cls"))
+    return classes.join(reps, key_cols).drop(*key_cols)
+
+
+def _materialize_round(df: DataFrame) -> DataFrame:
+    """Loop-state truncation: every doubling round consumes the previous
+    round TWICE (the shifted copy self-joins the original), so both the
+    execution AND the logical plan double per round — persist alone
+    fixes only execution, while Catalyst still analyzes a 2^rounds-node
+    tree (measured here: round 4 spent seconds in plan analysis and a
+    small driver OOM'd stringifying the tree). localCheckpoint is the
+    repo's established remedy for exactly this iterative loop-state
+    class (pagerank/hyperanf hop loops, NOTES r11/r12)."""
+    return df.localCheckpoint(eager=True)
+
+
+def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
+    """Doubling rounds 0..max_pow: returns (doc_id, pos, gpos, rank)
+    where ``rank`` identifies the equivalence class of the first
+    2^max_pow characters at (doc_id, pos); only positions whose full
+    window is in-bounds appear. The result is checkpointed (callers
+    self-join it); the backing RDDs release when the DataFrame refs
+    drop (ContextCleaner), like the other iterative loop sites."""
+    cur = _materialize_round(
+        _representative(corpus_positions(docs), ["ch"]).withColumnRenamed(
+            "cls", "rank"
+        )
+    )
+    for k in range(max_pow):
+        step = 1 << k
+        nxt = cur.select(
+            "doc_id",
+            (F.col("pos") - step).alias("pos"),
+            F.col("rank").alias("r2"),
+        )
+        pairs = (
+            cur.join(nxt, ["doc_id", "pos"])
+            .select("doc_id", "pos", "gpos", F.col("rank").alias("r1"), "r2")
+        )
+        cur = _materialize_round(
+            _representative(pairs, ["r1", "r2"]).withColumnRenamed(
+                "cls", "rank"
+            )
+        )
+    return cur
+
+
+def substring_classes(docs: DataFrame, length: int) -> DataFrame:
+    """(doc_id, pos, gpos, cls) where ``cls`` identifies the exact
+    ``length``-character substring at (doc_id, pos): two rows share cls
+    IFF their substrings are equal. Composes the largest power-of-two
+    class with an overlapping offset copy (the O(1) LCP-compare trick),
+    so a non-power-of-two length costs one extra shuffle, not a round."""
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    max_pow = (length - 1).bit_length()  # smallest 2^K >= length
+    if (1 << max_pow) == length:
+        return prefix_class_ranks(docs, max_pow).withColumnRenamed(
+            "rank", "cls"
+        )
+    k = max_pow - 1  # largest 2^k < length; window = [p, p+2^k) U [p+L-2^k, p+L)
+    ranks = prefix_class_ranks(docs, k)
+    off = length - (1 << k)
+    right = ranks.select(
+        "doc_id",
+        (F.col("pos") - off).alias("pos"),
+        F.col("rank").alias("r2"),
+    )
+    pairs = (
+        ranks.join(right, ["doc_id", "pos"])
+        .select("doc_id", "pos", "gpos", F.col("rank").alias("r1"), "r2")
+    )
+    # persisted: duplicated_span_intervals consumes the classes twice
+    # (count-per-class, then the membership join back)
+    return _materialize_round(_representative(pairs, ["r1", "r2"]))
+
+
+def duplicated_span_intervals(docs: DataFrame, length: int) -> DataFrame:
+    """Merged per-document intervals [span_start, span_end) covered by
+    some substring of ``length`` chars that occurs more than once in the
+    corpus (any document, including the same one) — q119's Lee-et-al
+    semantics generalized onto the class structure. Interval merge is a
+    per-document gaps-and-islands window (doc-bounded partitions, the
+    q119 class)."""
+    cls = substring_classes(docs, length)
+    # groupBy + join rather than a count-over-class window: a stop-word
+    # class holds a large fraction of the corpus, and the partial
+    # aggregate combines map-side where a window partition cannot
+    dup = (
+        cls.groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("cls")
+    )
+    starts = cls.join(dup, "cls").select("doc_id", "pos")
+    doc_w = W.partitionBy("doc_id").orderBy("pos")
+    run_w = doc_w.rowsBetween(W.unboundedPreceding, -1)
+    islands = (
+        starts.withColumn(
+            "new_island",
+            (
+                F.col("pos")
+                > F.coalesce(
+                    F.max(F.col("pos") + length).over(run_w), F.lit(-1)
+                )
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(doc_w))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + length).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )

@@ -1,0 +1,122 @@
+"""Prefix-doubling suffix-class machinery (r14-staged; see
+functions/suffixes.py) — verified against a pure-Python reference on
+both handcrafted corpora and the documents fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopwebgraph_spark.functions.suffixes import (
+    duplicated_span_intervals,
+    substring_classes,
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _ref_classes(texts, length):
+    """substring -> set of (doc_id, pos) with that exact substring."""
+    groups = {}
+    for d, t in enumerate(texts):
+        for p in range(len(t) - length + 1):
+            groups.setdefault(t[p : p + length], set()).add((d, p))
+    return groups
+
+
+def _ref_intervals(texts, length):
+    """Merged per-doc intervals covered by corpus-duplicated windows."""
+    groups = _ref_classes(texts, length)
+    starts = {}
+    for sub, members in groups.items():
+        if len(members) > 1:
+            for d, p in members:
+                starts.setdefault(d, set()).add(p)
+    out = set()
+    for d, ps in starts.items():
+        cur_s = cur_e = None
+        for p in sorted(ps):
+            if cur_s is None or p > cur_e:
+                if cur_s is not None:
+                    out.add((d, cur_s, cur_e))
+                cur_s, cur_e = p, p + length
+            else:
+                cur_e = p + length
+        out.add((d, cur_s, cur_e))
+    return out
+
+
+CORPORA = [
+    ["banana", "bandana"],
+    ["aaaaaaa", "aa", "a"],
+    ["abcdefgh", "xyzabcde", "qqqq"],
+    ["the cat sat on the mat", "a cat sat", "the mat the cat"],
+    ["", "ab", "ab"],
+]
+
+
+# lengths pick the three composition shapes: single round (pow2),
+# composed non-pow2 (extra overlap join), exact-pow2 multi-round
+@pytest.mark.parametrize("length", [2, 5, 8])
+def test_substring_classes_match_reference(spark, length):
+    texts = CORPORA[0] + CORPORA[2] + CORPORA[3]
+    cls = substring_classes(_docs_df(spark, texts), length).collect()
+    got = {}
+    for r in cls:
+        got.setdefault(r.cls, set()).add((r.doc_id, r.pos))
+    ref = _ref_classes(texts, length)
+    # same partition of positions into substring-equality classes
+    assert sorted(map(sorted, got.values())) == sorted(
+        map(sorted, ref.values())
+    )
+    # and every class member really has the same substring
+    for members in got.values():
+        subs = {texts[d][p : p + length] for d, p in members}
+        assert len(subs) == 1
+
+
+@pytest.mark.parametrize(
+    "corpus,length",
+    [
+        (CORPORA[0], 3),  # overlapping repeats (banana)
+        (CORPORA[1], 2),  # run of one char: islands merge wall-to-wall
+        (CORPORA[1], 4),  # window longer than some docs
+        (CORPORA[2], 4),  # cross-doc repeat mid-string
+        (CORPORA[3], 3),  # natural text, within- and cross-doc
+        (CORPORA[4], 2),  # empty doc + identical docs
+    ],
+)
+def test_duplicated_span_intervals_match_reference(spark, corpus, length):
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_span_intervals(
+            _docs_df(spark, corpus), length
+        ).collect()
+    }
+    assert got == _ref_intervals(corpus, length)
+
+
+def test_spans_on_documents_fixture(spark, sf_small):
+    """Fixture smoke at a q119-like threshold: spans exist, stay
+    in-bounds, and every span's leading window really is duplicated."""
+    from hadoopwebgraph_spark.catalog import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    L = 20
+    spans = duplicated_span_intervals(docs, L)
+    rows = spans.collect()
+    assert rows, "vocabulary-generated fixture must contain duplicate spans"
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    counts = {}
+    for d, t in texts.items():
+        for p in range(len(t) - L + 1):
+            counts[t[p : p + L]] = counts.get(t[p : p + L], 0) + 1
+    for r in rows:
+        assert 0 <= r.span_start < r.span_end <= len(texts[r.doc_id])
+        assert r.span_end - r.span_start >= L
+        lead = texts[r.doc_id][r.span_start : r.span_start + L]
+        assert counts[lead] > 1
