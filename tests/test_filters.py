@@ -1,0 +1,86 @@
+"""Xor-filter semi-join pre-filter (r14-staged; functions/filters.py):
+construction invariants against numpy ground truth, and join exactness
+against a plain semi-join on the fixture tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopwebgraph_spark.functions.filters import (
+    build_xor_filter,
+    xor_filter_contains,
+    xor_filter_join,
+)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 5000, 60000])
+def test_no_false_negatives(n):
+    rng = np.random.default_rng(n)
+    keys = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    filt = build_xor_filter(keys)
+    assert bool(xor_filter_contains(filt, keys).all())
+
+
+def test_false_positive_rate_and_size():
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**62, size=50_000, dtype=np.int64)
+    filt = build_xor_filter(members)
+    # ~10 bits/key (Bloom at the same ~0.4% FP needs ~14.4)
+    assert len(filt["table"]) * 8 <= 11 * len(np.unique(members))
+    probes = rng.integers(-(2**62), -1, size=200_000, dtype=np.int64)
+    fp = xor_filter_contains(filt, probes).mean()
+    assert fp < 0.01, f"false-positive rate {fp:.4f} exceeds 8-bit bound"
+
+
+def test_duplicate_and_empty_build():
+    keys = np.array([5, 5, 5, -9, -9], dtype=np.int64)
+    filt = build_xor_filter(keys)
+    assert bool(xor_filter_contains(filt, np.array([5, -9])).all())
+    empty = build_xor_filter([])
+    assert not xor_filter_contains(empty, np.array([1, 2, 3])).any()
+
+
+def test_build_side_cap_enforced():
+    with pytest.raises(ValueError, match="max_build"):
+        build_xor_filter(np.arange(100, dtype=np.int64), max_build=10)
+
+
+def test_xor_filter_join_equals_plain_semijoin(spark, sf_small):
+    from hadoopwebgraph_spark.catalog import load
+
+    lineitem = load(spark, sf_small, "lineitem")
+    supplier = load(spark, sf_small, "supplier").filter(
+        F.col("s_acctbal") > 5000
+    )
+    got = xor_filter_join(lineitem, "l_suppkey", supplier, "s_suppkey")
+    want = lineitem.join(
+        supplier.select(F.col("s_suppkey").alias("k")).distinct(),
+        lineitem["l_suppkey"] == F.col("k"),
+        "left_semi",
+    )
+    assert got.count() == want.count()
+
+    def value_hash(df):
+        # pmod-bounded so the ANSI sum cannot overflow (the repo's
+        # fingerprint idiom)
+        return df.select(
+            F.sum(F.pmod(F.xxhash64(*sorted(df.columns)), F.lit(1 << 31)))
+        ).collect()
+
+    assert value_hash(got) == value_hash(want)
+
+
+def test_xor_filter_join_string_keys(spark, sf_small):
+    from hadoopwebgraph_spark.catalog import load
+
+    orders = load(spark, sf_small, "orders")
+    build = orders.select("o_orderpriority").distinct().limit(2)
+    got = xor_filter_join(orders, "o_orderpriority", build, "o_orderpriority")
+    want = orders.join(
+        build.withColumnRenamed("o_orderpriority", "k"),
+        orders["o_orderpriority"] == F.col("k"),
+        "left_semi",
+    )
+    assert got.count() == want.count() > 0
