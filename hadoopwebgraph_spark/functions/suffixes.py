@@ -83,19 +83,42 @@ def _materialize_round(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# widest seed window: round 0 classes come from a direct substring key
+# computed in the scan projection (only the short key shuffles, never
+# the text), replacing the first SEED_POW doubling rounds
+_SEED_POW = 2
+
+
+def _seed_classes(docs: DataFrame, seed_len: int) -> DataFrame:
+    """Round-0 classes of the first ``seed_len`` characters, straight
+    from a substring key — two fewer doubling rounds than starting from
+    single characters (each round is two shuffles + a checkpoint)."""
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.split("text", "(?!^)")).alias("pos", "ch"),
+    ).filter(F.col("ch") != "")
+    keyed = pos.filter(
+        F.col("pos") + seed_len <= F.length("text")
+    ).select(
+        "doc_id",
+        "pos",
+        (F.col("doc_id") * _DOC_STRIDE + F.col("pos")).alias("gpos"),
+        F.col("text").substr(F.col("pos") + 1, F.lit(seed_len)).alias("k"),
+    )
+    return _representative(keyed, ["k"]).withColumnRenamed("cls", "rank")
+
+
 def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
-    """Doubling rounds 0..max_pow: returns (doc_id, pos, gpos, rank)
-    where ``rank`` identifies the equivalence class of the first
+    """Doubling rounds up to 2^max_pow: returns (doc_id, pos, gpos,
+    rank) where ``rank`` identifies the equivalence class of the first
     2^max_pow characters at (doc_id, pos); only positions whose full
     window is in-bounds appear. The result is checkpointed (callers
     self-join it); the backing RDDs release when the DataFrame refs
     drop (ContextCleaner), like the other iterative loop sites."""
-    cur = _materialize_round(
-        _representative(corpus_positions(docs), ["ch"]).withColumnRenamed(
-            "cls", "rank"
-        )
-    )
-    for k in range(max_pow):
+    seed_pow = min(_SEED_POW, max_pow)
+    cur = _materialize_round(_seed_classes(docs, 1 << seed_pow))
+    for k in range(seed_pow, max_pow):
         step = 1 << k
         nxt = cur.select(
             "doc_id",
