@@ -84,3 +84,30 @@ def test_xor_filter_join_string_keys(spark, sf_small):
         "left_semi",
     )
     assert got.count() == want.count() > 0
+
+
+def test_xor_prefilter_sits_below_the_join(spark, sf_small):
+    """Census pin (r14-ready): the Arrow-batched membership filter runs
+    directly above the fact scan, BELOW the verify semi-join — rows drop
+    before any join exchange, which is the entire point of the op."""
+    from hadoopwebgraph_spark.catalog import load
+
+    li = load(spark, sf_small, "lineitem")
+    sup = load(spark, sf_small, "supplier").filter(F.col("s_acctbal") > 5000)
+    df = xor_filter_join(li, "l_suppkey", sup, "s_suppkey")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan
+    # in the tree outline every ArrowEvalPython renders BELOW the join
+    # node — the membership filter runs on the scan side, never above
+    # the join
+    head = plan.split("\n\n")[0]
+    join_line = next(
+        i for i, l in enumerate(head.splitlines()) if "LeftSemi" in l
+    )
+    udf_lines = [
+        i for i, l in enumerate(head.splitlines()) if "ArrowEvalPython" in l
+    ]
+    assert udf_lines and all(i > join_line for i in udf_lines)
+    assert "SinglePartition" not in plan

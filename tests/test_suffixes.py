@@ -120,3 +120,18 @@ def test_spans_on_documents_fixture(spark, sf_small):
         assert r.span_end - r.span_start >= L
         lead = texts[r.doc_id][r.span_start : r.span_start + L]
         assert counts[lead] > 1
+
+
+def test_span_plan_has_no_single_partition(spark, sf_small):
+    """Census pin (r14-ready): nothing corpus-scale funnels through one
+    task — class ids come from groupBy representatives (never an ordered
+    global rank) and the interval merge windows are per-document."""
+    from hadoopwebgraph_spark.catalog import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    df = duplicated_span_intervals(docs, 8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+    assert 'Window' in plan or 'window' in plan  # the per-doc island merge
