@@ -140,24 +140,63 @@ def xor_filter_contains(filt: dict, keys: np.ndarray) -> np.ndarray:
     return (t[s0] ^ t[s1] ^ t[s2]) == _fingerprints(h)
 
 
+_INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _hash_type(fact: DataFrame, fact_key: str, build: DataFrame, build_key: str) -> str:
+    """The type both key columns are cast to BEFORE hashing. xxhash64 is
+    type-sensitive (it hashes 4 bytes for an INT, 8 for a BIGINT), so
+    hashing un-normalized keys makes the pre-filter silently drop true
+    matches that the coercing verify join would keep (review r13, third
+    pass). Identical types hash as-is; integral widths widen to bigint
+    (lossless, matches join coercion); any other mixed pair raises —
+    the caller must cast explicitly rather than get quiet emptiness."""
+    ft = fact.schema[fact_key].dataType.simpleString()
+    bt = build.schema[build_key].dataType.simpleString()
+    if ft == bt:
+        return ft
+    if ft in _INTEGRALS and bt in _INTEGRALS:
+        return "bigint"
+    raise TypeError(
+        f"xor_filter_join keys have incompatible types ({fact_key}: {ft}, "
+        f"{build_key}: {bt}); cast them to a common type explicitly"
+    )
+
+
 def xor_filter_join(
     fact: DataFrame,
-    fact_key,
+    fact_key: str,
     build: DataFrame,
-    build_key,
+    build_key: str,
     max_build: int = MAX_BUILD_KEYS,
 ) -> DataFrame:
     """Semi-join ``fact`` to ``build`` with an xor-filter pre-filter:
     exact result (identical to fact.join(build, ..., "left_semi")), but
     non-matching fact rows drop at the scan site before the shuffle."""
-    hcol = "__xh"
-    bkeys = [
-        r[0]
-        for r in build.select(
-            F.xxhash64(build_key).alias(hcol)
-        ).distinct().collect()
-    ]
-    filt = build_xor_filter(bkeys, max_build=max_build)
+    import uuid
+
+    from ..cache import track
+
+    key_t = _hash_type(fact, fact_key, build, build_key)
+    tag = uuid.uuid4().hex[:8]  # collision-proof internal column names
+    hcol, bcol = f"__xh_{tag}", f"__bk_{tag}"
+    # ONE distinct build-key projection feeds both the driver-side
+    # filter build and the verify join (persisted: it is bounded by
+    # max_build and would otherwise scan+shuffle the build side twice)
+    bkeys_df = track(
+        build.select(F.col(build_key).cast(key_t).alias(bcol))
+        .distinct()
+        .persist()
+    )
+    # bound the collect itself — a guard AFTER a full collect cannot
+    # prevent the driver OOM it exists for
+    hashes = bkeys_df.select(F.xxhash64(bcol)).limit(max_build + 1).collect()
+    if len(hashes) > max_build:
+        raise ValueError(
+            f"xor-filter build side exceeds max_build={max_build} distinct "
+            "keys; a filter-pushdown join needs a bounded build side"
+        )
+    filt = build_xor_filter([r[0] for r in hashes], max_build=max_build)
 
     @pandas_udf("boolean")
     def maybe_member(h: pd.Series) -> pd.Series:
@@ -165,13 +204,15 @@ def xor_filter_join(
             xor_filter_contains(filt, h.to_numpy(dtype=np.int64))
         )
 
-    pre = fact.withColumn(hcol, F.xxhash64(fact_key)).filter(
-        maybe_member(F.col(hcol))
-    ).drop(hcol)
+    pre = (
+        fact.withColumn(hcol, F.xxhash64(F.col(fact_key).cast(key_t)))
+        .filter(maybe_member(F.col(hcol)))
+        .drop(hcol)
+    )
     # exact verify: false positives (~0.4%) fall out here; the filter
     # can only ever REDUCE the rows entering this shuffle
     return pre.join(
-        build.select(F.col(build_key).alias("__bk")).distinct(),
-        pre[fact_key] == F.col("__bk"),
+        bkeys_df,
+        pre[fact_key].cast(key_t) == F.col(bcol),
         "left_semi",
     )

@@ -46,22 +46,24 @@ from pyspark.sql import functions as F
 _DOC_STRIDE = 1 << 24
 
 
-def corpus_positions(docs: DataFrame) -> DataFrame:
-    """Explode documents to one row per character position:
-    (doc_id, pos, gpos, ch). ``docs`` needs (doc_id, text)."""
-    return (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", "(?!^)")).alias("pos", "ch"),
-        )
-        .filter(F.col("ch") != "")
-        .select(
-            "doc_id",
-            "pos",
-            (F.col("doc_id") * _DOC_STRIDE + F.col("pos")).alias("gpos"),
-            "ch",
-        )
+def _gpos() -> "F.Column":
+    """Injective packed position. The embedded assert makes a violated
+    packing assumption (doc longer than the stride, negative doc_id) an
+    EXECUTION ERROR instead of silently merged classes and wrong dedup
+    output (review r13, third pass); the coalesce keeps the assert
+    column alive through optimization (it adds 0 on success)."""
+    ok = (F.col("pos") < F.lit(_DOC_STRIDE)) & (F.col("doc_id") >= 0)
+    guard = F.coalesce(
+        F.assert_true(
+            ok,
+            F.lit(
+                "suffixes: gpos packing needs doc_id >= 0 and docs under "
+                f"{_DOC_STRIDE} chars — chunk long documents first (q132)"
+            ),
+        ).cast("long"),
+        F.lit(0),
     )
+    return F.col("doc_id") * _DOC_STRIDE + F.col("pos") + guard
 
 
 def _representative(classes: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -103,7 +105,7 @@ def _seed_classes(docs: DataFrame, seed_len: int) -> DataFrame:
     ).select(
         "doc_id",
         "pos",
-        (F.col("doc_id") * _DOC_STRIDE + F.col("pos")).alias("gpos"),
+        _gpos().alias("gpos"),
         F.col("text").substr(F.col("pos") + 1, F.lit(seed_len)).alias("k"),
     )
     return _representative(keyed, ["k"]).withColumnRenamed("cls", "rank")

@@ -111,3 +111,20 @@ def test_xor_prefilter_sits_below_the_join(spark, sf_small):
     ]
     assert udf_lines and all(i > join_line for i in udf_lines)
     assert "SinglePartition" not in plan
+
+
+def test_mixed_integral_key_types_widen(spark):
+    """INT fact key vs BIGINT build key must match exactly like the
+    coercing plain join — xxhash64 is type-sensitive, so un-normalized
+    hashing would silently drop every true match (review r13)."""
+    fact = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    build = spark.range(10, 20).select(F.col("id").alias("bk"))  # bigint
+    got = xor_filter_join(fact, "k", build, "bk")
+    assert got.count() == 10
+
+
+def test_incompatible_key_types_raise(spark):
+    fact = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    build = spark.range(5).select(F.col("id").alias("bk"))
+    with pytest.raises(TypeError, match="incompatible types"):
+        xor_filter_join(fact, "k", build, "bk")

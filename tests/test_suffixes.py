@@ -135,3 +135,19 @@ def test_span_plan_has_no_single_partition(spark, sf_small):
     )
     assert "SinglePartition" not in plan
     assert 'Window' in plan or 'window' in plan  # the per-doc island merge
+
+
+def test_gpos_packing_violation_raises(spark):
+    """A doc longer than the packing stride must fail loudly at
+    execution, never silently merge classes (review r13)."""
+    from hadoopwebgraph_spark.functions import suffixes as X
+
+    long_doc = _docs_df(spark, ["abc"])  # pos=1 survives the window filter
+    # shrink the stride instead of building a 16M-char fixture
+    orig = X._DOC_STRIDE
+    X._DOC_STRIDE = 1
+    try:
+        with pytest.raises(Exception, match="chunk long documents"):
+            duplicated_span_intervals(long_doc, 2).collect()
+    finally:
+        X._DOC_STRIDE = orig
