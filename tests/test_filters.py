@@ -128,3 +128,28 @@ def test_incompatible_key_types_raise(spark):
     build = spark.range(5).select(F.col("id").alias("bk"))
     with pytest.raises(TypeError, match="incompatible types"):
         xor_filter_join(fact, "k", build, "bk")
+
+
+# r14 registration dry-run (see test_suffixes.py note): the xor-filter
+# join's oracle is the PLAIN semi-join — the filter provably cannot
+# change the answer, so the whole op is hash-oracle-able.
+Q164_ORACLE = """
+SELECT * FROM lineitem
+WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000
+)
+"""
+
+
+def _q164_filter_join(spark, sf_dir):
+    from hadoopwebgraph_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return xor_filter_join(li, "l_suppkey", sup, "s_suppkey")
+
+
+def test_q164_draft_oracle_parity(spark, sf_small):
+    from tests.oracle_util import compare
+
+    compare(spark, sf_small, "q164_draft", _q164_filter_join, Q164_ORACLE)

@@ -151,3 +151,61 @@ def test_gpos_packing_violation_raises(spark):
             duplicated_span_intervals(long_doc, 2).collect()
     finally:
         X._DOC_STRIDE = orig
+
+
+# ---------------------------------------------------------------------------
+# r14 registration dry-run: the exact (query_fn, oracle_sql) pair a
+# future @register("q163_suffix_span_dedup", ...) would use, validated
+# through the same compare harness the driver's t2 loop replicates —
+# so round 14's registration is a copy-paste, not new work.
+# ---------------------------------------------------------------------------
+
+SPAN_L = 20
+
+Q163_ORACLE = f"""
+WITH pos0 AS (
+    SELECT doc_id, text,
+           unnest(range(1, length(text) - {SPAN_L} + 2)) AS p
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           substr(text, CAST(p AS INTEGER), {SPAN_L}) AS k
+    FROM pos0
+),
+dup AS (SELECT k FROM pos GROUP BY k HAVING count(*) > 1),
+starts AS (SELECT doc_id, pos FROM pos JOIN dup USING (k)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + {SPAN_L}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM starts
+),
+grp AS (
+    SELECT doc_id, pos,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {SPAN_L} AS span_end
+FROM grp GROUP BY doc_id, island
+"""
+
+
+def _q163_spans(spark, sf_dir):
+    from hadoopwebgraph_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    df = duplicated_span_intervals(docs, SPAN_L)
+    return df.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+def test_q163_draft_oracle_parity(spark, sf_small):
+    from tests.oracle_util import compare
+
+    compare(spark, sf_small, "q163_draft", _q163_spans, Q163_ORACLE)
