@@ -405,6 +405,46 @@ _DRIVER_GREEN.update(
 )
 
 
+# Round 13's driver window: CORRECTNESS_r13.json, 49/50 hash-exact plus
+# q115_bpe_train rows-only by design (BPE training exactness is pinned by
+# the pure-Python reference-trainer equivalence test instead). The window
+# was exactly the 50 round-9 names, as the r12 rotation simulation
+# predicted. Post-stamp composition (scripts/gen_driver_green_stamp.py):
+# {10: 48, 11: 2} — round 14's window = 48 round-10 names + 2 spare slots,
+# so the r14 registration budget is exactly 2 (q163 + q164, staged in r13).
+_DRIVER_GREEN.update(
+    {
+        name: 13
+        for name in (
+            "g16_bfs_distances g17_kcore g18_hits "
+            "g19_clustering_coefficient g20_degree_assortativity "
+            "g21_personalized_pagerank g22_link_prediction "
+            "g23_reciprocity g24_transpose_roundtrip "
+            "g34_union_roundtrip g35_skipgram_pairs "
+            "q100_repetition_stats q101_mixture_sample "
+            "q102_stream_stream_join q103_correlated_agg_subquery "
+            "q104_exists_subquery q105_quality_filter "
+            "q106_scd2_history q107_stratified_fixed_n "
+            "q108_gif_frame_sample q109_zorder_curve "
+            "q110_volume_shipping q111_latest_per_key "
+            "q112_gap_fill_ffill q113_corr_stats "
+            "q114_ulaw_audio_decode q115_bpe_train "
+            "q116_funnel_analysis q117_retention_cohorts "
+            "q118_bloom_filter_join q120_table_profile "
+            "q121_weighted_sample q122_editdist_join "
+            "q123_histogram q124_salted_count_distinct "
+            "q125_market_share q126_returned_item_reporting "
+            "q127_salted_hot_join q128_incremental_dedup "
+            "q27_rolling_time_window q47_unpivot q54_stream_dedup "
+            "q55_asof_join q75_embedding_quantize q86_hash_sample "
+            "q87_dataset_split q88_shuffle_order "
+            "q89_sequence_packing q95_image_resize "
+            "q96_video_frame_sample"
+        ).split()
+    }
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     # Never-verified first (round 0), then oldest-verified, name as tiebreak.
