@@ -87,46 +87,46 @@ def build_xor_filter(keys, max_build: int = MAX_BUILD_KEYS) -> dict:
         h = _splitmix64(arr, seed)
         s0, s1, s2 = _slots(h, seg_len)
         slots = np.stack([s0, s1, s2], axis=1)  # n x 3
-        # peel: repeatedly remove keys that own a slot no other key uses
+        # peel: repeatedly remove keys that own a slot no other key uses.
+        # Whole sweeps vectorize because a count-1 slot is owned by
+        # exactly ONE alive key — candidates within a sweep can never
+        # contend for a slot or strip each other's uniqueness, so the
+        # whole frontier removes in bulk (per-key Python loop was the
+        # r13 ADVICE scale item: minutes at the 5M-key cap).
         counts = np.bincount(slots.ravel(), minlength=3 * seg_len)
-        alive = np.ones(n, bool)
-        order: list[int] = []
-        slot_of: list[int] = []
-        frontier = True
-        while frontier:
-            frontier = False
-            own = counts[slots] == 1  # n x 3: slots uniquely owned
-            cand = alive & own.any(axis=1)
-            idx = np.nonzero(cand)[0]
-            if len(idx):
-                frontier = True
-                for i in idx:
-                    if not alive[i]:
-                        continue
-                    js = np.nonzero(counts[slots[i]] == 1)[0]
-                    if len(js) == 0:
-                        continue  # lost uniqueness within this sweep
-                    order.append(i)
-                    slot_of.append(int(slots[i][js[0]]))
-                    alive[i] = False
-                    counts[slots[i]] -= 1
-        if not alive.any():
+        act = np.arange(n)  # alive key indexes
+        sweeps_keys: list[np.ndarray] = []
+        sweeps_slots: list[np.ndarray] = []
+        while len(act):
+            own = counts[slots[act]] == 1  # |act| x 3
+            hit = own.any(axis=1)
+            if not hit.any():
+                break
+            cand = act[hit]
+            # first uniquely-owned slot per candidate
+            chosen = slots[cand, own[hit].argmax(axis=1)]
+            sweeps_keys.append(cand)
+            sweeps_slots.append(chosen)
+            np.subtract.at(counts, slots[cand].ravel(), 1)
+            act = act[~hit]
+        if len(act) == 0:
             break
     else:
         raise RuntimeError("xor-filter peeling failed for 63 seeds")
     table = np.zeros(3 * seg_len, np.uint8)
     fps = _fingerprints(h)
-    # reverse peel order; each assigned slot is written exactly once and
-    # is still zero here, so xoring all three slots (incl. the zero at
-    # s) yields fp ^ (the other two), making the membership equation
-    # fp == t[s0]^t[s1]^t[s2] hold for this key without disturbing any
-    # key assigned earlier in this loop
-    for i, s in zip(reversed(order), reversed(slot_of)):
-        table[s] = (
-            fps[i]
-            ^ table[slots[i][0]]
-            ^ table[slots[i][1]]
-            ^ table[slots[i][2]]
+    # assign in reverse peel order. A key's slots are never written by
+    # any key peeled before it (else that slot couldn't have been
+    # count-1 at its own peel), and same-sweep keys share no written
+    # slots — so each reversed sweep assigns in bulk against the
+    # pre-sweep table: the gather at the key's own (still-zero) slot
+    # xors in 0, making fp == t[s0]^t[s1]^t[s2] hold for every key.
+    for cand, chosen in zip(reversed(sweeps_keys), reversed(sweeps_slots)):
+        table[chosen] = (
+            fps[cand]
+            ^ table[slots[cand, 0]]
+            ^ table[slots[cand, 1]]
+            ^ table[slots[cand, 2]]
         )
     return {"seed": seed, "seg_len": seg_len, "table": table}
 

@@ -110,8 +110,25 @@ def publish_partition(
     atomic rename. Idempotent under replay (the already-published
     partition wins and the identical stage is discarded); every OTHER
     rename failure re-raises so the streaming checkpoint does not
-    commit a batch whose data never landed."""
+    commit a batch whose data never landed.
+
+    Publishing an id that a compaction fold already covers raises: it
+    means the stream's checkpoint was reset (ids restarted at 0)
+    against an existing compacted snapshot, and the new batch's rows
+    would be silently excluded by every reader forever — a legitimate
+    replay of a covered id cannot occur, because compaction requires
+    the checkpoint to have committed past it (ADVICE r13)."""
     os.makedirs(snapshot_dir, exist_ok=True)
+    covered = _all_covered_ids(snapshot_dir)
+    if batch_id in covered:
+        raise ValueError(
+            f"batch_id={batch_id} is named in a compaction fold's "
+            f"{_COVERS} marker of snapshot {snapshot_dir!r}: the stream "
+            "checkpoint was reset against a compacted snapshot, and this "
+            "batch would be invisible to every reader. Point the restarted "
+            "stream at a FRESH snapshot dir (or delete the snapshot "
+            "together with the checkpoint)"
+        )
     final = os.path.join(snapshot_dir, f"batch_id={batch_id}")
     # reclaim stages orphaned by a crash between write and rename of a
     # PRIOR attempt at this batch (replays are serial per stream)
@@ -164,6 +181,15 @@ def _covered_ids(path: str) -> list[int] | None:
             return [int(x) for x in json.load(f)["covers"]]
     except OSError:
         return None
+
+
+def _all_covered_ids(snapshot_dir: str) -> set[int]:
+    """Union of every completed fold's covered source ids."""
+    covered: set[int] = set()
+    for i, path in _batch_ids(snapshot_dir).items():
+        if i < 0:
+            covered.update(_covered_ids(path) or [])
+    return covered
 
 
 def live_batch_dirs(snapshot_dir: str, require: bool = False) -> list[str]:
@@ -230,9 +256,13 @@ def compact_snapshot(
     small-file count for an always-on stream (a year of micro-batches is
     thousands of partitions otherwise). Row-multiset-preserving, so it
     is valid for ALL snapshot kinds (tf partials, theta hashes, priority
-    partials) — the read-time merge is unchanged. Run it while the
-    stream is STOPPED (the maintenance-window contract, same as
-    compact_digest_snapshot); one maintenance actor at a time.
+    partials) — the read-time merge is unchanged. Run it in a QUIESCED
+    maintenance window (the same contract as compact_digest_snapshot):
+    the writer stream stopped, one maintenance actor at a time, and no
+    concurrent readers — a reader that resolved partitions before the
+    fold's source deletion fails loudly (FileNotFoundException on its
+    lazy scan; never silently wrong), see functions/text.py's
+    snapshot-read retry note (ADVICE r13).
 
     Crash safety (exclusion semantics, see module docstring): the fold
     stages under a dot-prefixed dir (invisible to readers) WITH its

@@ -1130,11 +1130,16 @@ def inverted_index_snapshot(
     from .snapshot_util import live_batch_dirs
 
     base = (id(spark), os.path.abspath(snapshot_dir))
-    # resolve dirs + file identity with one retry: a compact_snapshot
-    # running concurrently (only the WRITER must be stopped during
-    # maintenance) may delete a source partition between the listing and
-    # the stat — re-resolving then lands on the installed fold, whose
-    # rows are exactly the deleted sources' (review r13, second pass)
+    # resolve dirs + file identity with one retry: a compact_snapshot's
+    # source deletion may land between the listing and the stat —
+    # re-resolving then picks up the installed fold, whose rows are
+    # exactly the deleted sources' (review r13, second pass). This only
+    # NARROWS the race: the parquet scan itself is lazy, so a compaction
+    # deleting sources between this resolution and the first action (or
+    # a cache re-scan after eviction) still fails loudly with a
+    # FileNotFoundException — never wrong, but compact_snapshot's
+    # quiesced-maintenance-window contract covers READERS too
+    # (ADVICE r13: the two contracts now agree)
     for attempt in (0, 1):
         dirs = live_batch_dirs(snapshot_dir, require=True)
         try:
