@@ -104,6 +104,10 @@ EXTRA_DETAIL = [
     "q160_theta_sketch_setops",
     "q161_substring_search",
     "q162_crossencoder_rerank",
+    # round 14 registrations (stdout line is at its capture budget, so
+    # these join the detail file like the r12 batch above)
+    "q163_suffix_span_dedup",
+    "q164_xor_filter_join",
 ]
 
 

@@ -34,9 +34,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load
+from ..registry import register
 
 # bounded-collect guard for the build side (same contract as broadcast)
 MAX_BUILD_KEYS = 5_000_000
@@ -216,3 +219,27 @@ def xor_filter_join(
         pre[fact_key].cast(key_t) == F.col(bcol),
         "left_semi",
     )
+
+
+# registered operator (round 14; the pair below was staged + validated
+# as tests/test_filters.py::Q164_ORACLE in round 13). The oracle is the
+# PLAIN semi-join: the xor filter provably cannot change the answer —
+# only the volume entering the verify join's shuffle.
+@register(
+    "q164_xor_filter_join",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000
+    )
+    """,
+    doc="Semi-join of lineitem to high-balance suppliers through a "
+    "broadcast 8-bit xor filter (Graf-Lemire; ~9.84 bits/key at ~0.39% "
+    "FP vs Bloom's ~14.4): non-matching fact rows drop at the scan site "
+    "via an Arrow-batched numpy probe BEFORE the shuffle, then the "
+    "exact semi-join removes false positives on the survivors.",
+)
+def q164_xor_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return xor_filter_join(li, "l_suppkey", sup, "s_suppkey")

@@ -38,8 +38,11 @@ registration contract will group on the substring itself in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
 
 # gpos = doc_id * _DOC_STRIDE + pos must be injective; documents at any
 # SF are chunk-bounded well under this (q132 chunks at 4k chars)
@@ -47,13 +50,22 @@ _DOC_STRIDE = 1 << 24
 
 
 def _gpos() -> "F.Column":
-    """Injective packed position. The embedded assert makes a violated
-    packing assumption (doc longer than the stride, negative doc_id) an
-    EXECUTION ERROR instead of silently merged classes and wrong dedup
-    output (review r13, third pass); the coalesce keeps the assert
-    column alive through optimization (it adds 0 on success)."""
-    ok = (F.col("pos") < F.lit(_DOC_STRIDE)) & (F.col("doc_id") >= 0)
-    guard = F.coalesce(
+    """Injective packed position. The packing assumption (doc fits the
+    stride, non-negative doc_id) is asserted per DOC in ``_seed_classes``
+    — an assert here would run per POSITION, ~len(text) times more
+    (measured ~2s/phase at sf0.1, r14)."""
+    return F.col("doc_id") * _DOC_STRIDE + F.col("pos")
+
+
+def _packing_guard() -> "F.Column":
+    """Per-doc execution-time assert: a violated packing assumption
+    (doc longer than the stride, negative doc_id) must be an ERROR,
+    never silently merged classes and wrong dedup output (review r13).
+    Evaluates to doc_id on success; folded into the repartition key so
+    column pruning can never drop it (it runs once per doc row).
+    ``length <= stride`` implies every position < stride."""
+    ok = (F.length("text") <= F.lit(_DOC_STRIDE)) & (F.col("doc_id") >= 0)
+    return F.col("doc_id") + F.coalesce(
         F.assert_true(
             ok,
             F.lit(
@@ -63,7 +75,6 @@ def _gpos() -> "F.Column":
         ).cast("long"),
         F.lit(0),
     )
-    return F.col("doc_id") * _DOC_STRIDE + F.col("pos") + guard
 
 
 def _representative(classes: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -87,28 +98,63 @@ def _materialize_round(df: DataFrame) -> DataFrame:
 
 # widest seed window: round 0 classes come from a direct substring key
 # computed in the scan projection (only the short key shuffles, never
-# the text), replacing the first SEED_POW doubling rounds
-_SEED_POW = 2
+# the text), replacing the first SEED_POW doubling rounds. 16 chars is
+# the sweet spot: the seed's key shuffle grows by 8 bytes/position while
+# each round it replaces costs ~3 narrow-long shuffles + a checkpoint of
+# the whole position table (measured r14: one round ≈ 3.5s at sf0.1).
+_SEED_POW = 4
 
 
 def _seed_classes(docs: DataFrame, seed_len: int) -> DataFrame:
     """Round-0 classes of the first ``seed_len`` characters, straight
-    from a substring key — two fewer doubling rounds than starting from
-    single characters (each round is two shuffles + a checkpoint)."""
-    pos = docs.select(
-        "doc_id",
-        "text",
-        F.posexplode(F.split("text", "(?!^)")).alias("pos", "ch"),
-    ).filter(F.col("ch") != "")
-    keyed = pos.filter(
-        F.col("pos") + seed_len <= F.length("text")
-    ).select(
-        "doc_id",
-        "pos",
-        _gpos().alias("gpos"),
-        F.col("text").substr(F.col("pos") + 1, F.lit(seed_len)).alias("k"),
+    from a substring key — ``_SEED_POW`` fewer doubling rounds than
+    starting from single characters. Positions come from a
+    ``sequence()`` explode (never a per-character regex split), and the
+    corpus is spread by doc_id FIRST: each doc fans out to ~len(text)
+    rows, so the explode must parallelize even when the input arrives
+    as one split (locally: one small parquet file; at scale: a handful
+    of giant text files). The partition count is EXPLICIT because AQE
+    sizes coalescing from the exchange's input bytes — pre-explode
+    text is ~len(text)/stride smaller than what the stage produces, so
+    AQE would coalesce the amplifying stage to one task (measured:
+    the whole seed serialized on one core at sf0.1)."""
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    keyed = (
+        docs.filter(F.length("text") >= seed_len)
+        .repartition(n_shuffle, _packing_guard())
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - seed_len)
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            _gpos().alias("gpos"),
+            F.col("text").substr(F.col("pos") + 1, F.lit(seed_len)).alias("k"),
+        )
     )
     return _representative(keyed, ["k"]).withColumnRenamed("cls", "rank")
+
+
+def _shifted_rank(cur: DataFrame, step: int) -> DataFrame:
+    """``r2`` = the class rank at position pos+step of the same doc,
+    null when out of range — computed with ``lead(rank, step)`` over a
+    per-document window instead of a two-sided self-join. Sound because
+    every round's valid positions are a CONTIGUOUS prefix 0..len-2^k of
+    each doc (validity is pos <= len - window), so the row ``step``
+    rows ahead in pos order is exactly position pos+step. One
+    doc-bounded shuffle (the q119 class) replaces the join's two."""
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        cur.withColumn("r2", F.lead("rank", step).over(w))
+        .filter(F.col("r2").isNotNull())
+        .select("doc_id", "pos", "gpos", F.col("rank").alias("r1"), "r2")
+    )
 
 
 def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
@@ -121,20 +167,10 @@ def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
     seed_pow = min(_SEED_POW, max_pow)
     cur = _materialize_round(_seed_classes(docs, 1 << seed_pow))
     for k in range(seed_pow, max_pow):
-        step = 1 << k
-        nxt = cur.select(
-            "doc_id",
-            (F.col("pos") - step).alias("pos"),
-            F.col("rank").alias("r2"),
-        )
-        pairs = (
-            cur.join(nxt, ["doc_id", "pos"])
-            .select("doc_id", "pos", "gpos", F.col("rank").alias("r1"), "r2")
-        )
         cur = _materialize_round(
-            _representative(pairs, ["r1", "r2"]).withColumnRenamed(
-                "cls", "rank"
-            )
+            _representative(
+                _shifted_rank(cur, 1 << k), ["r1", "r2"]
+            ).withColumnRenamed("cls", "rank")
         )
     return cur
 
@@ -155,18 +191,11 @@ def substring_classes(docs: DataFrame, length: int) -> DataFrame:
     k = max_pow - 1  # largest 2^k < length; window = [p, p+2^k) U [p+L-2^k, p+L)
     ranks = prefix_class_ranks(docs, k)
     off = length - (1 << k)
-    right = ranks.select(
-        "doc_id",
-        (F.col("pos") - off).alias("pos"),
-        F.col("rank").alias("r2"),
-    )
-    pairs = (
-        ranks.join(right, ["doc_id", "pos"])
-        .select("doc_id", "pos", "gpos", F.col("rank").alias("r1"), "r2")
-    )
     # persisted: duplicated_span_intervals consumes the classes twice
     # (count-per-class, then the membership join back)
-    return _materialize_round(_representative(pairs, ["r1", "r2"]))
+    return _materialize_round(
+        _representative(_shifted_rank(ranks, off), ["r1", "r2"])
+    )
 
 
 def duplicated_span_intervals(docs: DataFrame, length: int) -> DataFrame:
@@ -208,4 +237,59 @@ def duplicated_span_intervals(docs: DataFrame, length: int) -> DataFrame:
             (F.max("pos") + length).alias("span_end"),
         )
         .select("doc_id", "span_start", "span_end")
+    )
+
+
+# registered operator (round 14; the pair below was staged + validated
+# as tests/test_suffixes.py::Q163_ORACLE in round 13)
+_SPAN_L = 20
+
+
+@register(
+    "q163_suffix_span_dedup",
+    oracle=f"""
+    WITH pos0 AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_SPAN_L} + 2)) AS p
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+               substr(text, CAST(p AS INTEGER), {_SPAN_L}) AS k
+        FROM pos0
+    ),
+    dup AS (SELECT k FROM pos GROUP BY k HAVING count(*) > 1),
+    starts AS (SELECT doc_id, pos FROM pos JOIN dup USING (k)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + {_SPAN_L}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM starts
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM isl
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {_SPAN_L} AS span_end
+    FROM grp GROUP BY doc_id, island
+    """,
+    doc="Merged per-document spans covered by a corpus-duplicated "
+    f"{_SPAN_L}-char window, computed on the prefix-doubling suffix-class "
+    "structure (min-gpos representatives; equality-only, never a global "
+    "sort) — q119's Lee-et-al semantics off a build that answers ANY "
+    "span length, where the gram approach pays a corpus shuffle per L. "
+    "The oracle groups on the substring itself (class representatives "
+    "are internal).",
+)
+def q163_suffix_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    df = duplicated_span_intervals(docs, _SPAN_L)
+    return df.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
     )

@@ -64,6 +64,8 @@ def _load_all_modules() -> None:
     from .functions import grouped  # noqa: F401
     from .functions import sketches  # noqa: F401
     from .functions import search  # noqa: F401
+    from .functions import suffixes  # noqa: F401
+    from .functions import filters  # noqa: F401
 
 
 # Queries with a green driver CORRECTNESS row in a past round, by round.

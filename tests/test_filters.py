@@ -130,26 +130,16 @@ def test_incompatible_key_types_raise(spark):
         xor_filter_join(fact, "k", build, "bk")
 
 
-# r14 registration dry-run (see test_suffixes.py note): the xor-filter
-# join's oracle is the PLAIN semi-join — the filter provably cannot
-# change the answer, so the whole op is hash-oracle-able.
-Q164_ORACLE = """
-SELECT * FROM lineitem
-WHERE l_suppkey IN (
-    SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000
-)
-"""
+# The r13-staged dry-run pair was promoted verbatim to
+# @register("q164_xor_filter_join") in round 14 — the registry entry is
+# the single source of truth (oracle = the PLAIN semi-join: the filter
+# provably cannot change the answer); the full-registry parity sweep and
+# the driver's t2 loop run it.
+def test_q164_registered_pair_parity(spark, sf_small):
+    from hadoopwebgraph_spark.registry import all_queries
 
-
-def _q164_filter_join(spark, sf_dir):
-    from hadoopwebgraph_spark.catalog import load
-
-    li = load(spark, sf_dir, "lineitem")
-    sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
-    return xor_filter_join(li, "l_suppkey", sup, "s_suppkey")
-
-
-def test_q164_draft_oracle_parity(spark, sf_small):
     from tests.oracle_util import compare
 
-    compare(spark, sf_small, "q164_draft", _q164_filter_join, Q164_ORACLE)
+    q = all_queries()["q164_xor_filter_join"]
+    assert q.oracle is not None
+    compare(spark, sf_small, q.name, q.fn, q.oracle)

@@ -793,6 +793,16 @@ _SCAN_CENSUS = {
     "q161_substring_search": {"Scan parquet": 3},
     # corpus tokens + candidate texts; the query table is a local RDD
     "q162_crossencoder_rerank": {"Scan parquet": 2, "Scan ExistingRDD": 2},
+    # r14: the doubling rounds are localCheckpoint-truncated, so the
+    # final plan's only leaves are the checkpointed class table's RDD
+    # scans (dup-count + membership join-back = 2); the documents
+    # parquet scan lives inside the already-executed checkpoint builds,
+    # never re-runs per consumer
+    "q163_suffix_span_dedup": {"Scan ExistingRDD": 2},
+    # r14: one fact scan + the persisted distinct-build-keys cache (its
+    # own supplier scan shows once inside the InMemoryRelation build
+    # plan); the verify join reads the cache, never re-scans supplier
+    "q164_xor_filter_join": {"Scan parquet": 2, "InMemoryTableScan": 1},
 }
 
 

@@ -79,6 +79,31 @@ def test_substring_classes_match_reference(spark, length):
         assert len(subs) == 1
 
 
+# with _SEED_POW=4 the 16-char seed covers every L<=32 without a real
+# doubling round — these lengths force rounds k=4 (and k=5 at L=65) so
+# the doubling path itself stays reference-verified
+@pytest.mark.parametrize("length", [33, 40, 65])
+def test_substring_classes_doubling_rounds(spark, length):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the quick brown fox jumps over the lazy dog again today"
+    )
+    texts = [base, base[7:] + " tail", base * 2, "short", base[:40]]
+    cls = substring_classes(_docs_df(spark, texts), length).collect()
+    got = {}
+    for r in cls:
+        got.setdefault(r.cls, set()).add((r.doc_id, r.pos))
+    ref = _ref_classes(texts, length)
+    # same partition of positions into substring-equality classes
+    assert sorted(map(sorted, got.values())) == sorted(
+        map(sorted, ref.values())
+    )
+    # and every class member really has the same substring
+    for members in got.values():
+        subs = {texts[d][p : p + length] for d, p in members}
+        assert len(subs) == 1
+
+
 @pytest.mark.parametrize(
     "corpus,length",
     [
@@ -154,58 +179,18 @@ def test_gpos_packing_violation_raises(spark):
 
 
 # ---------------------------------------------------------------------------
-# r14 registration dry-run: the exact (query_fn, oracle_sql) pair a
-# future @register("q163_suffix_span_dedup", ...) would use, validated
-# through the same compare harness the driver's t2 loop replicates —
-# so round 14's registration is a copy-paste, not new work.
+# The r13-staged dry-run pair was promoted verbatim to
+# @register("q163_suffix_span_dedup") in round 14 — the registry entry
+# is now the single source of truth, and the full-registry parity sweep
+# (tests/test_oracle_parity.py) plus the driver's own t2 loop run it.
 # ---------------------------------------------------------------------------
 
-SPAN_L = 20
 
-Q163_ORACLE = f"""
-WITH pos0 AS (
-    SELECT doc_id, text,
-           unnest(range(1, length(text) - {SPAN_L} + 2)) AS p
-    FROM documents
-),
-pos AS (
-    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
-           substr(text, CAST(p AS INTEGER), {SPAN_L}) AS k
-    FROM pos0
-),
-dup AS (SELECT k FROM pos GROUP BY k HAVING count(*) > 1),
-starts AS (SELECT doc_id, pos FROM pos JOIN dup USING (k)),
-isl AS (
-    SELECT doc_id, pos,
-           CASE WHEN pos > coalesce(max(pos + {SPAN_L}) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                THEN 1 ELSE 0 END AS new_island
-    FROM starts
-),
-grp AS (
-    SELECT doc_id, pos,
-           sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-    FROM isl
-)
-SELECT doc_id, min(pos) AS span_start, max(pos) + {SPAN_L} AS span_end
-FROM grp GROUP BY doc_id, island
-"""
+def test_q163_registered_pair_parity(spark, sf_small):
+    from hadoopwebgraph_spark.registry import all_queries
 
-
-def _q163_spans(spark, sf_dir):
-    from hadoopwebgraph_spark.catalog import load
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    df = duplicated_span_intervals(docs, SPAN_L)
-    return df.select(
-        "doc_id",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-    )
-
-
-def test_q163_draft_oracle_parity(spark, sf_small):
     from tests.oracle_util import compare
 
-    compare(spark, sf_small, "q163_draft", _q163_spans, Q163_ORACLE)
+    q = all_queries()["q163_suffix_span_dedup"]
+    assert q.oracle is not None
+    compare(spark, sf_small, q.name, q.fn, q.oracle)
