@@ -143,6 +143,134 @@ def xor_filter_contains(filt: dict, keys: np.ndarray) -> np.ndarray:
     return (t[s0] ^ t[s1] ^ t[s2]) == _fingerprints(h)
 
 
+# ---------------------------------------------------------------------------
+# Binary fuse filter (staged in round 14 for round 15's registration;
+# same contract as the xor filter above, smaller table).
+#
+# Graf & Lemire, "Binary Fuse Filters: Fast and Smaller Than Xor
+# Filters" (JEA 2022): same three-slot XOR membership equation, but the
+# three slots land in three CONSECUTIVE segments of a segmented array
+# chosen from the key's hash, which makes the random 3-uniform
+# hypergraph "fuse-shaped" and peelable at a ~0.879 load factor —
+# ~9.1 bits/key at 100k keys (size factor shrinks toward 1.125 as n
+# grows) vs the plain xor filter's ~9.84+, at the same ~0.39% FP.
+# Parameters follow the paper's reference implementation
+# (binaryfusefilter.h): segment_length = 2^floor(log3.33(n) + 2.25)
+# capped at 2^18, size_factor = max(1.125, 0.875 + 0.25*ln(1e6)/ln(n)).
+# ---------------------------------------------------------------------------
+
+
+def _fuse_params(n: int) -> tuple[int, int, int]:
+    """(segment_length, segment_count, array_length) for ``n`` keys."""
+    import math
+
+    if n <= 1:
+        return 4, 1, 12
+    seg_len = 1 << int(math.floor(math.log(n) / math.log(3.33) + 2.25))
+    seg_len = max(4, min(seg_len, 1 << 18))
+    size_factor = max(1.125, 0.875 + 0.25 * math.log(1e6) / math.log(n))
+    capacity = int(round(n * size_factor))
+    init_segment_count = -(-capacity // seg_len) - 2
+    array_length = (init_segment_count + 2) * seg_len
+    segment_count = max(1, -(-array_length // seg_len) - 2)
+    array_length = (segment_count + 2) * seg_len
+    return seg_len, segment_count, array_length
+
+
+def _fuse_slots(
+    h: np.ndarray, seg_len: int, segment_count: int
+) -> np.ndarray:
+    """n x 3 slot indexes: a start segment from the high bits, then one
+    slot in each of three consecutive segments (the paper's layout)."""
+    seg_count_len = np.uint64(segment_count * seg_len)
+    # multiply-shift range reduction: high 64 bits of h * seg_count_len
+    lo = (h & np.uint64(0xFFFFFFFF)) * seg_count_len
+    hi = (h >> np.uint64(32)) * seg_count_len
+    h0 = ((hi + (lo >> np.uint64(32))) >> np.uint64(32)).astype(np.int64)
+    mask = np.int64(seg_len - 1)  # seg_len is a power of two
+    # the within-segment offset is XORed, not added: xor only flips bits
+    # below the segment size, so each slot stays inside its seg_len-
+    # aligned block and h2 < (segment_count + 2) * seg_len always
+    h1 = (h0 + seg_len) ^ ((h >> np.uint64(18)).astype(np.int64) & mask)
+    h2 = (h0 + 2 * seg_len) ^ (h.astype(np.int64) & mask)
+    return np.stack([h0, h1, h2], axis=1)
+
+
+def build_fuse_filter(keys, max_build: int = MAX_BUILD_KEYS) -> dict:
+    """8-bit 3-wise binary fuse filter via the same vectorized sweep
+    peel as :func:`build_xor_filter` (fuse graphs are peelable by
+    construction at these parameters; a rare failure retries with a
+    fresh seed). Returns {"kind", "seed", "seg_len", "segment_count",
+    "table"}."""
+    arr = np.unique(np.asarray(list(keys), dtype=np.int64).view(np.uint64))
+    n = len(arr)
+    if n > max_build:
+        raise ValueError(
+            f"fuse-filter build side has {n} keys > max_build={max_build}; "
+            "a filter-pushdown join needs a bounded build side"
+        )
+    seg_len, segment_count, array_length = _fuse_params(n)
+    if n == 0:
+        return {
+            "kind": "fuse8",
+            "seed": 0,
+            "seg_len": seg_len,
+            "segment_count": segment_count,
+            "table": np.zeros(array_length, np.uint8),
+        }
+    for seed in range(1, 64):
+        h = _splitmix64(arr, seed)
+        slots = _fuse_slots(h, seg_len, segment_count)
+        counts = np.bincount(slots.ravel(), minlength=array_length)
+        act = np.arange(n)
+        sweeps_keys: list[np.ndarray] = []
+        sweeps_slots: list[np.ndarray] = []
+        while len(act):
+            own = counts[slots[act]] == 1
+            hit = own.any(axis=1)
+            if not hit.any():
+                break
+            cand = act[hit]
+            chosen = slots[cand, own[hit].argmax(axis=1)]
+            sweeps_keys.append(cand)
+            sweeps_slots.append(chosen)
+            np.subtract.at(counts, slots[cand].ravel(), 1)
+            act = act[~hit]
+        if len(act) == 0:
+            break
+    else:
+        raise RuntimeError("fuse-filter peeling failed for 63 seeds")
+    table = np.zeros(array_length, np.uint8)
+    fps = _fingerprints(h)
+    # reverse bulk assignment — correctness argument identical to
+    # build_xor_filter (same peel invariants, different slot layout)
+    for cand, chosen in zip(reversed(sweeps_keys), reversed(sweeps_slots)):
+        table[chosen] = (
+            fps[cand]
+            ^ table[slots[cand, 0]]
+            ^ table[slots[cand, 1]]
+            ^ table[slots[cand, 2]]
+        )
+    return {
+        "kind": "fuse8",
+        "seed": seed,
+        "seg_len": seg_len,
+        "segment_count": segment_count,
+        "table": table,
+    }
+
+
+def fuse_filter_contains(filt: dict, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership: no false negatives, FP ~ 2^-8 per probe."""
+    arr = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    h = _splitmix64(arr, filt["seed"])
+    slots = _fuse_slots(h, filt["seg_len"], filt["segment_count"])
+    t = filt["table"]
+    return (
+        t[slots[:, 0]] ^ t[slots[:, 1]] ^ t[slots[:, 2]]
+    ) == _fingerprints(h)
+
+
 _INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
 
 
@@ -166,16 +294,22 @@ def _hash_type(fact: DataFrame, fact_key: str, build: DataFrame, build_key: str)
     )
 
 
-def xor_filter_join(
+def _filtered_semi_join(
     fact: DataFrame,
     fact_key: str,
     build: DataFrame,
     build_key: str,
-    max_build: int = MAX_BUILD_KEYS,
+    build_filter,
+    contains,
+    max_build: int,
+    family: str,
 ) -> DataFrame:
-    """Semi-join ``fact`` to ``build`` with an xor-filter pre-filter:
-    exact result (identical to fact.join(build, ..., "left_semi")), but
-    non-matching fact rows drop at the scan site before the shuffle."""
+    """Shared two-phase filter-pushdown semi-join: collect the build
+    side's distinct key hashes (bounded), build a succinct broadcast
+    filter driver-side, drop non-matching fact rows at the scan site
+    with an Arrow-batched numpy probe, then remove the ~0.4% false
+    positives with an exact semi-join — the filter can never change the
+    answer, only the shuffled volume."""
     import uuid
 
     from ..cache import track
@@ -196,16 +330,14 @@ def xor_filter_join(
     hashes = bkeys_df.select(F.xxhash64(bcol)).limit(max_build + 1).collect()
     if len(hashes) > max_build:
         raise ValueError(
-            f"xor-filter build side exceeds max_build={max_build} distinct "
+            f"{family} build side exceeds max_build={max_build} distinct "
             "keys; a filter-pushdown join needs a bounded build side"
         )
-    filt = build_xor_filter([r[0] for r in hashes], max_build=max_build)
+    filt = build_filter([r[0] for r in hashes], max_build=max_build)
 
     @pandas_udf("boolean")
     def maybe_member(h: pd.Series) -> pd.Series:
-        return pd.Series(
-            xor_filter_contains(filt, h.to_numpy(dtype=np.int64))
-        )
+        return pd.Series(contains(filt, h.to_numpy(dtype=np.int64)))
 
     pre = (
         fact.withColumn(hcol, F.xxhash64(F.col(fact_key).cast(key_t)))
@@ -218,6 +350,50 @@ def xor_filter_join(
         bkeys_df,
         pre[fact_key].cast(key_t) == F.col(bcol),
         "left_semi",
+    )
+
+
+def xor_filter_join(
+    fact: DataFrame,
+    fact_key: str,
+    build: DataFrame,
+    build_key: str,
+    max_build: int = MAX_BUILD_KEYS,
+) -> DataFrame:
+    """Semi-join ``fact`` to ``build`` with an xor-filter pre-filter:
+    exact result (identical to fact.join(build, ..., "left_semi")), but
+    non-matching fact rows drop at the scan site before the shuffle."""
+    return _filtered_semi_join(
+        fact,
+        fact_key,
+        build,
+        build_key,
+        build_xor_filter,
+        xor_filter_contains,
+        max_build,
+        "xor-filter",
+    )
+
+
+def fuse_filter_join(
+    fact: DataFrame,
+    fact_key: str,
+    build: DataFrame,
+    build_key: str,
+    max_build: int = MAX_BUILD_KEYS,
+) -> DataFrame:
+    """:func:`xor_filter_join` with the smaller binary fuse filter —
+    identical exactness contract (the verify semi-join removes every
+    false positive), ~0.7 fewer bits/key broadcast."""
+    return _filtered_semi_join(
+        fact,
+        fact_key,
+        build,
+        build_key,
+        build_fuse_filter,
+        fuse_filter_contains,
+        max_build,
+        "fuse-filter",
     )
 
 

@@ -143,3 +143,92 @@ def test_q164_registered_pair_parity(spark, sf_small):
     q = all_queries()["q164_xor_filter_join"]
     assert q.oracle is not None
     compare(spark, sf_small, q.name, q.fn, q.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Binary fuse filter (r15-staged; see functions/filters.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 5000, 60000])
+def test_fuse_no_false_negatives(n):
+    from hadoopwebgraph_spark.functions.filters import (
+        build_fuse_filter,
+        fuse_filter_contains,
+    )
+
+    rng = np.random.default_rng(n)
+    keys = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    filt = build_fuse_filter(keys)
+    assert bool(fuse_filter_contains(filt, keys).all())
+
+
+def test_fuse_smaller_than_xor_at_scale():
+    from hadoopwebgraph_spark.functions.filters import (
+        build_fuse_filter,
+        build_xor_filter,
+        fuse_filter_contains,
+    )
+
+    rng = np.random.default_rng(11)
+    members = rng.integers(0, 2**62, size=100_000, dtype=np.int64)
+    fuse = build_fuse_filter(members)
+    xor = build_xor_filter(members)
+    n = len(np.unique(members))
+    assert len(fuse["table"]) < len(xor["table"])
+    assert len(fuse["table"]) * 8 <= 9.6 * n  # ~9.1 bits/key at 100k
+    probes = rng.integers(-(2**62), -1, size=200_000, dtype=np.int64)
+    fp = fuse_filter_contains(fuse, probes).mean()
+    assert fp < 0.01, f"false-positive rate {fp:.4f} exceeds 8-bit bound"
+
+
+def test_fuse_empty_and_cap():
+    from hadoopwebgraph_spark.functions.filters import (
+        build_fuse_filter,
+        fuse_filter_contains,
+    )
+
+    empty = build_fuse_filter([])
+    assert not fuse_filter_contains(empty, np.array([1, 2, 3])).any()
+    with pytest.raises(ValueError, match="max_build"):
+        build_fuse_filter(np.arange(100, dtype=np.int64), max_build=10)
+
+
+def test_fuse_filter_join_equals_plain_semijoin(spark, sf_small):
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.filters import fuse_filter_join
+
+    orders = load(spark, sf_small, "orders")
+    cust = load(spark, sf_small, "customer").filter(F.col("c_acctbal") > 7000)
+    got = fuse_filter_join(orders, "o_custkey", cust, "c_custkey")
+    want = orders.join(
+        cust.select(F.col("c_custkey").alias("k")).distinct(),
+        orders["o_custkey"] == F.col("k"),
+        "left_semi",
+    )
+    assert got.count() == want.count() > 0
+
+
+# r15 registration dry-run (same contract as q164: the oracle is the
+# PLAIN semi-join — the fuse filter provably cannot change the answer).
+Q165_ORACLE = """
+SELECT * FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+)
+"""
+
+
+def _q165_fuse_join(spark, sf_dir):
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.filters import fuse_filter_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000)
+    return fuse_filter_join(o, "o_custkey", c, "c_custkey")
+
+
+def test_q165_draft_oracle_parity(spark, sf_small):
+    from tests.oracle_util import compare
+
+    compare(spark, sf_small, "q165_draft", _q165_fuse_join, Q165_ORACLE)
