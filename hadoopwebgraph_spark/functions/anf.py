@@ -1,0 +1,264 @@
+"""Bottom-k (KMV) approximate neighborhood function with an EXACT
+incremental update under edge additions — staged in round 14 for the
+round-15 registration window (the r14 window had exactly 2 slots, both
+spent on q163/q164; see VERDICT r13 #9).
+
+Streaming HyperANF was parked twice (NOTES r13 design note) because the
+two obvious implementations are wrong: (a) warm-starting the hop loop
+from the previous graph's sketches mixes path ages and does not compute
+the new graph's N(t); (b) change detection by HLL sketch BYTE equality
+is unsound — Spark/DataSketches HLL serialization is non-canonical
+(sparse/set/dense modes depend on build path), so equal register
+contents can serialize differently. The note's soundness condition was
+an EXPLICIT sketch representation. This module satisfies it with
+bottom-k sketches stored as plain rows:
+
+- A ball sketch is the ``k`` smallest distinct member hashes, stored as
+  ``(node, h)`` rows — the representation IS canonical (values, not
+  bytes), so per-node change detection is an exact row anti-join.
+- ``truncate_k(A ∪ B)`` is a join-semilattice: idempotent, commutative,
+  associative, and MONOTONE under additions. The per-level recurrence
+  S_t(v) = ⊔ over u in in(v)∪{v} of S_{t-1}(u) therefore admits exact
+  delta propagation when edges are only ever ADDED (the design note's
+  monotonicity argument, re-proved for truncation in
+  :func:`anf_delta_update`'s docstring).
+- The estimator is the repo's established exact-integer theta/KMV math
+  (functions/sketches.py, q160): hashes are the md5 40-bit discipline,
+  estimates are ``(k-1) * 2^40 div kth`` — bit-identical in DuckDB, so
+  the future registered gate is fully hash-oracled (the HLL-based
+  g26/g27 gates need the sparse-exact-regime restriction instead; this
+  estimator is exact-integer at EVERY regime, and exactly |ball| when
+  |ball| < k).
+
+Scale shape: one hop is one edge join + one per-node top-k; sketches
+are <= k narrow longs per node (vs 2^lg_k registers for HLL — bottom-k
+trades bytes for exactness-below-k and integer algebra). The delta
+update touches only new edges, changed nodes' sketches, and old edges
+whose source changed — the whole point at 100 TB, where re-running the
+full hop loop per micro-batch re-shuffles every sketch ever built.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+K_DEFAULT = 64
+_SCALE = 1 << 40  # md5 40-bit hash space, the q160 theta discipline
+
+
+def node_hash(col: Column) -> Column:
+    """The member hash: first 40 md5 bits of 'anf-<node>' plus one, as
+    a bigint in [1, 2^40] (the +1 keeps the kth-smallest divisor
+    nonzero; both engines apply it identically)."""
+    hx = F.substring(
+        F.md5(F.concat(F.lit("anf-"), col.cast("string"))), 1, 10
+    )
+    return (F.conv(hx, 16, 10).cast("long") + F.lit(1)).alias("h")
+
+
+def _hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`node_hash` (the q160 mirror pattern)."""
+    return (
+        f"CAST('0x' || substr(md5('anf-' || CAST({expr} AS VARCHAR)), 1, 10)"
+        " AS BIGINT) + 1"
+    )
+
+
+def _norm_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _nodes_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def seed_sketches(nodes: DataFrame) -> DataFrame:
+    """S_0: every node's ball is {itself} — one (node, h) row each."""
+    return nodes.select("node", node_hash(F.col("node")))
+
+
+def _topk(contrib: DataFrame, k: int) -> DataFrame:
+    """truncate_k: the k smallest distinct hashes per node. Per-node
+    window partitions (the q20 rank class — bounded by ball size, never
+    corpus-wide)."""
+    w = W.partitionBy("node").orderBy("h")
+    return (
+        contrib.distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def _gather(sketches: DataFrame, edges: DataFrame) -> DataFrame:
+    """Flow sketch rows along edges: contributions of S(u) to each v
+    with u -> v."""
+    return edges.join(
+        sketches.withColumnRenamed("node", "src"), "src"
+    ).select(F.col("dst").alias("node"), "h")
+
+
+def ball_sketches(
+    edges: DataFrame, hops: int, k: int = K_DEFAULT
+) -> list[DataFrame]:
+    """Batch build: [S_0 .. S_hops], each level checkpointed (levels are
+    consumed twice — by the next hop and by the curve read-out — and
+    the hop loop is the repo's standard lineage-truncated iteration)."""
+    e = _norm_edges(edges)
+    levels = [seed_sketches(_nodes_of(e)).localCheckpoint(eager=True)]
+    for _ in range(hops):
+        prev = levels[-1]
+        # S_t(v) = truncate_k(S_{t-1}(v) ∪ ⊔_{u->v} S_{t-1}(u))
+        contrib = prev.select("node", "h").union(_gather(prev, e))
+        levels.append(_topk(contrib, k).localCheckpoint(eager=True))
+    return levels
+
+
+def anf_curve_from_levels(
+    levels: list[DataFrame], k: int = K_DEFAULT
+) -> DataFrame:
+    """(t, n_scaled): the neighborhood function N(t) = sum over nodes of
+    the ball-size estimate — EXACTLY |ball| while |ball| < k, else the
+    exact-integer KMV estimate (k-1)*2^40 div kth-smallest-hash. All
+    arithmetic is int64 on both engines (no float ties by
+    construction)."""
+    outs = []
+    for t, s in enumerate(levels):
+        per_node = s.groupBy("node").agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("h").alias("kth")
+        )
+        est = F.when(F.col("cnt") < k, F.col("cnt")).otherwise(
+            F.expr(f"({k} - 1) * {_SCALE} div kth")
+        )
+        outs.append(
+            per_node.agg(
+                F.lit(t).cast("long").alias("t"),
+                F.coalesce(F.sum(est), F.lit(0)).cast("long").alias(
+                    "n_scaled"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def anf_curve(
+    edges: DataFrame, hops: int, k: int = K_DEFAULT
+) -> DataFrame:
+    """Batch ANF: build the ball sketches and read the curve."""
+    return anf_curve_from_levels(ball_sketches(edges, hops, k), k)
+
+
+def anf_delta_update(
+    levels_old: list[DataFrame],
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    k: int = K_DEFAULT,
+) -> list[DataFrame]:
+    """Exact incremental update of [S_0 .. S_T] after adding
+    ``new_edges`` to ``old_edges``: returns the levels of the UNION
+    graph without re-running the full hop loop.
+
+    Per level t (changed_0 = nodes first seen in this batch)::
+
+        cand_t(v) = S_t_old(v)
+                    ∪ ⊔ over u->v in NEW edges      of S_{t-1}_new(u)
+                    ∪ ⊔ over u->v in OLD edges,
+                        u in changed_{t-1}           of S_{t-1}_new(u)
+                    ∪ (S_{t-1}_new(v) if v in changed_{t-1})
+        S_t_new(v) = truncate_k(cand_t(v))
+        changed_t  = nodes with a row in S_t_new \\ S_t_old
+
+    Exactness under truncation (the subtle part): let target =
+    truncate_k of the full new-state union. Take x in target, flowing
+    from source u. If the edge is new, or u changed at t-1, x is in
+    cand. Otherwise S_{t-1}_new(u) = S_{t-1}_old(u), so x contributed to
+    the OLD union too; suppose x missed S_t_old — then >= k old-union
+    elements were smaller than x, and each is either still contributed
+    by its (unchanged) source or was evicted from a changed source,
+    which by truncation means that source now holds k elements smaller
+    still. Either way the NEW union has >= k elements below x,
+    contradicting x in target. So cand ⊇ target, and
+    truncate_k(cand) = target because cand ⊆ new union.
+
+    Change detection is exact because the representation is canonical
+    rows: truncation only evicts when a smaller element arrives, so a
+    changed sketch always has at least one ADDED row, and
+    ``S_t_new EXCEPT S_t_old`` (an anti-join on (node, h)) finds exactly
+    the changed nodes. This is the explicit-representation condition the
+    streaming-HyperANF design note demands — HLL sketch bytes cannot do
+    this (non-canonical serialization).
+
+    Scale: the update shuffles new edges once per level, old edges
+    SEMI-JOINED down to changed sources (the changed set is typically a
+    vanishing fraction of the graph per micro-batch), and sketch rows
+    only for changed/new nodes — never the full sketch state.
+    """
+    e_old = _norm_edges(old_edges)
+    e_new = _norm_edges(new_edges).join(
+        e_old, ["src", "dst"], "left_anti"
+    )  # additions only: an edge replayed in a later batch is a no-op
+    known = levels_old[0].select("node").distinct()
+    fresh = _nodes_of(e_new).join(known, "node", "left_anti")
+    s0 = (
+        levels_old[0]
+        .union(seed_sketches(fresh))
+        .localCheckpoint(eager=True)
+    )
+    levels_new = [s0]
+    changed = fresh.localCheckpoint(eager=True)  # changed_0
+    for t in range(1, len(levels_old)):
+        prev_new = levels_new[-1]
+        changed_sketches = prev_new.join(changed, "node")
+        old_from_changed = e_old.join(
+            changed.withColumnRenamed("node", "src"), "src"
+        )
+        cand = (
+            levels_old[t]
+            .select("node", "h")
+            .union(_gather(prev_new, e_new))
+            .union(_gather(changed_sketches, old_from_changed))
+            .union(changed_sketches.select("node", "h"))
+        )
+        s_t = _topk(cand, k).localCheckpoint(eager=True)
+        changed = (
+            s_t.join(levels_old[t], ["node", "h"], "left_anti")
+            .select("node")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        levels_new.append(s_t)
+    return levels_new
+
+
+def anf_over_batches(
+    batches: list[DataFrame], hops: int, k: int = K_DEFAULT
+) -> list[DataFrame]:
+    """Fold :func:`anf_delta_update` over edge batches (the streaming
+    twin's per-micro-batch body): batch 0 seeds the levels with a full
+    build, every later batch delta-propagates. The result levels are
+    row-identical to a full :func:`ball_sketches` over the union graph
+    (equivalence pinned in tests/test_anf.py)."""
+    if not batches:
+        raise ValueError("anf_over_batches needs at least one batch")
+    acc = _norm_edges(batches[0]).localCheckpoint(eager=True)
+    levels = ball_sketches(acc, hops, k)
+    for b in batches[1:]:
+        nb = _norm_edges(b)
+        levels = anf_delta_update(levels, acc, nb, k)
+        acc = acc.union(nb).distinct().localCheckpoint(eager=True)
+    return levels

@@ -1,0 +1,297 @@
+"""Bottom-k ANF with exact incremental updates (r15-staged;
+functions/anf.py) — the streaming-HyperANF design finally built with
+the explicit sketch representation the NOTES r13 design note demands.
+
+Verified three ways: the sketch levels against a pure-Python bottom-k
+reference (the KMV property makes truncated propagation equal the
+k-smallest hashes of the TRUE ball, so the reference computes exact
+balls), the delta-propagated levels row-identical to a full recompute
+across randomized batch splits, and the md5 hash discipline pinned
+cross-engine against DuckDB."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopwebgraph_spark.functions.anf import (
+    anf_curve,
+    anf_curve_from_levels,
+    anf_delta_update,
+    anf_over_batches,
+    ball_sketches,
+)
+
+
+def _h(u: int) -> int:
+    return int(hashlib.md5(f"anf-{u}".encode()).hexdigest()[:10], 16) + 1
+
+
+def _ref_levels(edges, hops, k):
+    """k smallest member hashes of the TRUE in-ball per node per level
+    (equal to truncated propagation by the KMV union property)."""
+    edges = {(s, d) for s, d in edges if s != d}
+    nodes = {u for e in edges for u in e}
+    balls = {u: {u} for u in nodes}
+    out = [dict(balls)]
+    for _ in range(hops):
+        nxt = {v: set(b) for v, b in balls.items()}
+        for s, d in edges:
+            nxt[d] |= balls[s]
+        balls = nxt
+        out.append({v: set(b) for v, b in balls.items()})
+    return [
+        {v: sorted(_h(u) for u in b)[:k] for v, b in lvl.items()}
+        for lvl in out
+    ]
+
+
+def _ref_curve(edges, hops, k):
+    scale = 1 << 40
+    curve = []
+    for t, lvl in enumerate(_ref_levels(edges, hops, k)):
+        total = 0
+        for v, hs in lvl.items():
+            total += len(hs) if len(hs) < k else (k - 1) * scale // hs[-1]
+        curve.append((t, total))
+    return curve
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(list(edges), "src long, dst long")
+
+
+def _levels_as_sets(levels):
+    return [
+        {(r.node, r.h) for r in lvl.collect()} for lvl in levels
+    ]
+
+
+GRAPHS = {
+    "chain+cycle": [(0, 1), (1, 2), (2, 3), (3, 0), (4, 0), (2, 4)],
+    "star": [(i, 9) for i in range(9)] + [(9, 0)],
+    "two-comps": [(0, 1), (1, 0), (5, 6), (6, 7), (7, 5), (8, 5)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+@pytest.mark.parametrize("k", [2, 64])
+def test_ball_sketches_match_reference(spark, name, k):
+    edges = GRAPHS[name]
+    got = _levels_as_sets(ball_sketches(_edges_df(spark, edges), 3, k))
+    ref = _ref_levels(edges, 3, k)
+    want = [
+        {(v, h) for v, hs in lvl.items() for h in hs} for lvl in ref
+    ]
+    assert got == want
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_anf_curve_matches_reference(spark, name):
+    edges = GRAPHS[name]
+    k = 3  # force the estimator branch on tiny balls
+    got = sorted(
+        (r.t, r.n_scaled)
+        for r in anf_curve(_edges_df(spark, edges), 3, k).collect()
+    )
+    assert got == _ref_curve(edges, 3, k)
+
+
+def test_hash_discipline_cross_engine(spark):
+    """Spark node_hash == DuckDB _hash_sql == the Python reference, so
+    the future registered gate's oracle mirrors bit-for-bit."""
+    from hadoopwebgraph_spark.functions.anf import _hash_sql, node_hash
+
+    vals = [0, 1, 7, 399, 123456]
+    s = {
+        r.node: r.h
+        for r in spark.createDataFrame([(v,) for v in vals], "node long")
+        .select("node", node_hash(F.col("node")))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        d = con.sql(f"SELECT {_hash_sql(str(v))}").fetchone()[0]
+        assert s[v] == d == _h(v)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("k", [2, 64])
+def test_delta_update_equals_recompute(spark, seed, k):
+    """The heart of the staged operator: fold random edge batches
+    through anf_delta_update and compare every level ROW-IDENTICAL to a
+    full rebuild on the union graph — including the truncation-eviction
+    cases the docstring's exactness argument covers."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(14))
+    all_edges = [
+        (s, d) for s in nodes for d in nodes if s != d and rng.random() < 0.2
+    ]
+    rng.shuffle(all_edges)
+    cut1, cut2 = len(all_edges) // 3, 2 * len(all_edges) // 3
+    batches = [
+        all_edges[:cut1],
+        all_edges[cut1:cut2],
+        all_edges[cut2:] + all_edges[:2],  # replayed edges are no-ops
+    ]
+    got = anf_over_batches([_edges_df(spark, b) for b in batches], 3, k)
+    want = ball_sketches(_edges_df(spark, all_edges), 3, k)
+    assert _levels_as_sets(got) == _levels_as_sets(want)
+
+
+def test_delta_update_new_nodes_appear_mid_stream(spark):
+    """Nodes first seen in a later batch get seeded and propagate —
+    the changed_0 = fresh-nodes path."""
+    b1 = [(0, 1), (1, 2)]
+    b2 = [(3, 0), (2, 3)]  # node 3 is brand new
+    got = anf_over_batches([_edges_df(spark, b) for b in [b1, b2]], 2, 64)
+    want = ball_sketches(_edges_df(spark, b1 + b2), 2, 64)
+    assert _levels_as_sets(got) == _levels_as_sets(want)
+
+
+def test_streaming_foreachbatch_twin(spark, tmp_path):
+    """Drive a REAL file-source stream whose foreachBatch body is the
+    delta update; the final curve equals the batch curve over
+    everything ingested (the incremental-twin contract every other
+    streaming op in the repo pins)."""
+    import os
+
+    edges = GRAPHS["chain+cycle"] + [(5, 2), (4, 5), (0, 4)]
+    inc = str(tmp_path / "incoming")
+    os.makedirs(inc)
+    batches = [edges[:3], edges[3:6], edges[6:]]
+    state = {}
+
+    def one_batch(batch_df, batch_id):
+        from hadoopwebgraph_spark.functions.anf import (
+            _norm_edges,
+            anf_delta_update,
+            ball_sketches,
+        )
+
+        nb = _norm_edges(batch_df).localCheckpoint(eager=True)
+        if "levels" not in state:
+            state["levels"] = ball_sketches(nb, 3, 64)
+            state["acc"] = nb
+        else:
+            state["levels"] = anf_delta_update(
+                state["levels"], state["acc"], nb, 64
+            )
+            state["acc"] = (
+                state["acc"].union(nb).distinct().localCheckpoint(eager=True)
+            )
+
+    stream = (
+        spark.readStream.schema("src long, dst long").parquet(inc)
+    )
+    q = (
+        stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for i, b in enumerate(batches):
+            # file streams do not recurse: stage the batch, then drop its
+            # part files flat into the watch dir (the test_round12 idiom)
+            import glob
+            import shutil
+
+            stage = str(tmp_path / f"stage{i}")
+            _edges_df(spark, b).write.parquet(stage)
+            for j, f in enumerate(
+                sorted(glob.glob(os.path.join(stage, "*.parquet")))
+            ):
+                shutil.copy(f, os.path.join(inc, f"b{i}-{j}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.t, r.n_scaled)
+        for r in anf_curve_from_levels(state["levels"], 64).collect()
+    )
+    want = sorted(
+        (r.t, r.n_scaled)
+        for r in anf_curve(_edges_df(spark, edges), 3, 64).collect()
+    )
+    assert got == want
+
+
+def test_anf_plan_has_no_single_partition(spark):
+    df = anf_curve(_edges_df(spark, GRAPHS["chain+cycle"]), 2, 64)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan.split("== Physical Plan ==")[-1].split(
+        "\n\n"
+    )[0]
+
+
+# ---------------------------------------------------------------------------
+# r15 registration dry-run: the exact (query_fn, oracle_sql) pair a
+# future @register("g44_anf_curve", ...) would use, validated through
+# the same compare harness the driver's t2 loop replicates. Runs on the
+# <400-node fixture subgraph (the g26/g27 cap) with k=64 < max ball
+# size, so BOTH estimator branches (exact-below-k and the KMV integer
+# estimate) are exercised and hash-matched.
+# ---------------------------------------------------------------------------
+
+_CAP = 400
+_T_HOPS = 4
+_K = 64
+
+
+def _g44_oracle() -> str:
+    from hadoopwebgraph_spark.functions.anf import _SCALE, _hash_sql
+    from hadoopwebgraph_spark.queries.graph import _T
+
+    return f"""
+    WITH RECURSIVE
+    e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    f AS (SELECT DISTINCT src, dst FROM e0
+          WHERE src < {_CAP} AND dst < {_CAP} AND src <> dst),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM f UNION SELECT dst FROM f)),
+    reach(root, node, d) AS MATERIALIZED (
+        SELECT node, node, 0 FROM n
+        UNION
+        SELECT r.root, f.dst, r.d + 1 FROM reach r
+        JOIN f ON f.src = r.node WHERE r.d < {_T_HOPS}
+    ),
+    md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node),
+    hh AS (SELECT root, node, d, {_hash_sql('root')} AS h FROM md),
+    ts AS (SELECT unnest(range(0, {_T_HOPS + 1})) AS t),
+    memb AS (SELECT ts.t, hh.node AS v, hh.h FROM hh JOIN ts ON hh.d <= ts.t),
+    rk AS (SELECT t, v, h,
+                  row_number() OVER (PARTITION BY t, v ORDER BY h) AS r,
+                  count(*) OVER (PARTITION BY t, v) AS cnt
+           FROM memb),
+    pn AS (SELECT t, v, max(cnt) AS cnt,
+                  max(CASE WHEN r = {_K} THEN h END) AS kth
+           FROM rk GROUP BY t, v)
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(sum(CASE WHEN cnt < {_K} THEN cnt
+                         ELSE ({_K} - 1) * {_SCALE} // kth END) AS BIGINT)
+               AS n_scaled
+    FROM pn GROUP BY t
+    """
+
+
+def _g44_anf_curve(spark, sf_dir):
+    from hadoopwebgraph_spark.queries.graph import edges_df
+
+    e = edges_df(spark).filter(
+        (F.col("src") < _CAP) & (F.col("dst") < _CAP)
+    )
+    return anf_curve(e, _T_HOPS, _K)
+
+
+def test_g44_draft_oracle_parity(spark, sf_small):
+    from tests.oracle_util import compare
+
+    compare(spark, sf_small, "g44_draft", _g44_anf_curve, _g44_oracle())
