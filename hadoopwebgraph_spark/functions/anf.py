@@ -205,13 +205,18 @@ def anf_delta_update(
 
     Scale: the update shuffles new edges once per level, old edges
     SEMI-JOINED down to changed sources (the changed set is typically a
-    vanishing fraction of the graph per micro-batch), and sketch rows
-    only for changed/new nodes — never the full sketch state.
+    vanishing fraction of the graph per micro-batch), and runs the
+    distinct + top-k ONLY over the touched nodes' rows — untouched
+    nodes' sketch rows pass through by an anti-join, never through a
+    shuffle-the-world re-aggregation (review r14: the first cut unioned
+    the full old level into the top-k, costing a full-state shuffle per
+    level per micro-batch). A replayed edge needs no dedup against the
+    old edge set: its contribution was already in the old union and the
+    candidate union is idempotent, so replays are semantic no-ops
+    without anti-joining the accumulated edges.
     """
     e_old = _norm_edges(old_edges)
-    e_new = _norm_edges(new_edges).join(
-        e_old, ["src", "dst"], "left_anti"
-    )  # additions only: an edge replayed in a later batch is a no-op
+    e_new = _norm_edges(new_edges)
     known = levels_old[0].select("node").distinct()
     fresh = _nodes_of(e_new).join(known, "node", "left_anti")
     s0 = (
@@ -227,21 +232,32 @@ def anf_delta_update(
         old_from_changed = e_old.join(
             changed.withColumnRenamed("node", "src"), "src"
         )
-        cand = (
-            levels_old[t]
-            .select("node", "h")
-            .union(_gather(prev_new, e_new))
+        contribs = (
+            _gather(prev_new, e_new)
             .union(_gather(changed_sketches, old_from_changed))
             .union(changed_sketches.select("node", "h"))
         )
-        s_t = _topk(cand, k).localCheckpoint(eager=True)
+        # only nodes receiving a contribution can change; everyone else
+        # keeps their old rows verbatim
+        touched = contribs.select("node").distinct().localCheckpoint(
+            eager=True
+        )
+        s_t_touched = _topk(
+            levels_old[t].join(touched, "node").select("node", "h")
+            .union(contribs),
+            k,
+        ).localCheckpoint(eager=True)
         changed = (
-            s_t.join(levels_old[t], ["node", "h"], "left_anti")
+            s_t_touched.join(levels_old[t], ["node", "h"], "left_anti")
             .select("node")
             .distinct()
             .localCheckpoint(eager=True)
         )
-        levels_new.append(s_t)
+        levels_new.append(
+            s_t_touched.union(
+                levels_old[t].join(touched, "node", "left_anti")
+            ).localCheckpoint(eager=True)
+        )
     return levels_new
 
 

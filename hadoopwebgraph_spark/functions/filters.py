@@ -70,6 +70,58 @@ def _fingerprints(h: np.ndarray) -> np.ndarray:
     return np.where(fp == 0, np.uint8(1), fp)  # 0 is the empty-slot value
 
 
+def _peel(slots: np.ndarray, n_slots: int):
+    """Vectorized sweep peel of a 3-uniform hypergraph: repeatedly
+    remove keys that own a slot no other alive key uses. Whole sweeps
+    vectorize because a count-1 slot is owned by exactly ONE alive key —
+    candidates within a sweep can never contend for a slot or strip
+    each other's uniqueness, so the whole frontier removes in bulk
+    (per-key Python loop was the r13 ADVICE scale item: minutes at the
+    5M-key cap). Returns (sweeps_keys, sweeps_slots) in peel order, or
+    None when the graph has a 2-core (caller retries with a new seed).
+    Shared by the xor and binary-fuse builds — only the slot LAYOUT
+    differs between them, never the peel invariants."""
+    n = len(slots)
+    counts = np.bincount(slots.ravel(), minlength=n_slots)
+    act = np.arange(n)  # alive key indexes
+    sweeps_keys: list[np.ndarray] = []
+    sweeps_slots: list[np.ndarray] = []
+    while len(act):
+        own = counts[slots[act]] == 1  # |act| x 3
+        hit = own.any(axis=1)
+        if not hit.any():
+            return None
+        cand = act[hit]
+        # first uniquely-owned slot per candidate
+        chosen = slots[cand, own[hit].argmax(axis=1)]
+        sweeps_keys.append(cand)
+        sweeps_slots.append(chosen)
+        np.subtract.at(counts, slots[cand].ravel(), 1)
+        act = act[~hit]
+    return sweeps_keys, sweeps_slots
+
+
+def _assign(
+    slots: np.ndarray, fps: np.ndarray, n_slots: int, peel
+) -> np.ndarray:
+    """Fill the table in reverse peel order. A key's slots are never
+    written by any key peeled before it (else that slot couldn't have
+    been count-1 at its own peel), and same-sweep keys share no written
+    slots — so each reversed sweep assigns in bulk against the
+    pre-sweep table: the gather at the key's own (still-zero) slot xors
+    in 0, making fp == t[s0]^t[s1]^t[s2] hold for every key."""
+    sweeps_keys, sweeps_slots = peel
+    table = np.zeros(n_slots, np.uint8)
+    for cand, chosen in zip(reversed(sweeps_keys), reversed(sweeps_slots)):
+        table[chosen] = (
+            fps[cand]
+            ^ table[slots[cand, 0]]
+            ^ table[slots[cand, 1]]
+            ^ table[slots[cand, 2]]
+        )
+    return table
+
+
 def build_xor_filter(keys, max_build: int = MAX_BUILD_KEYS) -> dict:
     """Construct an 8-bit xor filter over int64 keys via the standard
     peeling algorithm; retries with a fresh seed on the rare peel
@@ -90,47 +142,12 @@ def build_xor_filter(keys, max_build: int = MAX_BUILD_KEYS) -> dict:
         h = _splitmix64(arr, seed)
         s0, s1, s2 = _slots(h, seg_len)
         slots = np.stack([s0, s1, s2], axis=1)  # n x 3
-        # peel: repeatedly remove keys that own a slot no other key uses.
-        # Whole sweeps vectorize because a count-1 slot is owned by
-        # exactly ONE alive key — candidates within a sweep can never
-        # contend for a slot or strip each other's uniqueness, so the
-        # whole frontier removes in bulk (per-key Python loop was the
-        # r13 ADVICE scale item: minutes at the 5M-key cap).
-        counts = np.bincount(slots.ravel(), minlength=3 * seg_len)
-        act = np.arange(n)  # alive key indexes
-        sweeps_keys: list[np.ndarray] = []
-        sweeps_slots: list[np.ndarray] = []
-        while len(act):
-            own = counts[slots[act]] == 1  # |act| x 3
-            hit = own.any(axis=1)
-            if not hit.any():
-                break
-            cand = act[hit]
-            # first uniquely-owned slot per candidate
-            chosen = slots[cand, own[hit].argmax(axis=1)]
-            sweeps_keys.append(cand)
-            sweeps_slots.append(chosen)
-            np.subtract.at(counts, slots[cand].ravel(), 1)
-            act = act[~hit]
-        if len(act) == 0:
+        peel = _peel(slots, 3 * seg_len)
+        if peel is not None:
             break
     else:
         raise RuntimeError("xor-filter peeling failed for 63 seeds")
-    table = np.zeros(3 * seg_len, np.uint8)
-    fps = _fingerprints(h)
-    # assign in reverse peel order. A key's slots are never written by
-    # any key peeled before it (else that slot couldn't have been
-    # count-1 at its own peel), and same-sweep keys share no written
-    # slots — so each reversed sweep assigns in bulk against the
-    # pre-sweep table: the gather at the key's own (still-zero) slot
-    # xors in 0, making fp == t[s0]^t[s1]^t[s2] hold for every key.
-    for cand, chosen in zip(reversed(sweeps_keys), reversed(sweeps_slots)):
-        table[chosen] = (
-            fps[cand]
-            ^ table[slots[cand, 0]]
-            ^ table[slots[cand, 1]]
-            ^ table[slots[cand, 2]]
-        )
+    table = _assign(slots, _fingerprints(h), 3 * seg_len, peel)
     return {"seed": seed, "seg_len": seg_len, "table": table}
 
 
@@ -221,36 +238,12 @@ def build_fuse_filter(keys, max_build: int = MAX_BUILD_KEYS) -> dict:
     for seed in range(1, 64):
         h = _splitmix64(arr, seed)
         slots = _fuse_slots(h, seg_len, segment_count)
-        counts = np.bincount(slots.ravel(), minlength=array_length)
-        act = np.arange(n)
-        sweeps_keys: list[np.ndarray] = []
-        sweeps_slots: list[np.ndarray] = []
-        while len(act):
-            own = counts[slots[act]] == 1
-            hit = own.any(axis=1)
-            if not hit.any():
-                break
-            cand = act[hit]
-            chosen = slots[cand, own[hit].argmax(axis=1)]
-            sweeps_keys.append(cand)
-            sweeps_slots.append(chosen)
-            np.subtract.at(counts, slots[cand].ravel(), 1)
-            act = act[~hit]
-        if len(act) == 0:
+        peel = _peel(slots, array_length)
+        if peel is not None:
             break
     else:
         raise RuntimeError("fuse-filter peeling failed for 63 seeds")
-    table = np.zeros(array_length, np.uint8)
-    fps = _fingerprints(h)
-    # reverse bulk assignment — correctness argument identical to
-    # build_xor_filter (same peel invariants, different slot layout)
-    for cand, chosen in zip(reversed(sweeps_keys), reversed(sweeps_slots)):
-        table[chosen] = (
-            fps[cand]
-            ^ table[slots[cand, 0]]
-            ^ table[slots[cand, 1]]
-            ^ table[slots[cand, 2]]
-        )
+    table = _assign(slots, _fingerprints(h), array_length, peel)
     return {
         "kind": "fuse8",
         "seed": seed,
@@ -274,7 +267,13 @@ def fuse_filter_contains(filt: dict, keys: np.ndarray) -> np.ndarray:
 _INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
 
 
-def _hash_type(fact: DataFrame, fact_key: str, build: DataFrame, build_key: str) -> str:
+def _hash_type(
+    fact: DataFrame,
+    fact_key: str,
+    build: DataFrame,
+    build_key: str,
+    family: str,
+) -> str:
     """The type both key columns are cast to BEFORE hashing. xxhash64 is
     type-sensitive (it hashes 4 bytes for an INT, 8 for a BIGINT), so
     hashing un-normalized keys makes the pre-filter silently drop true
@@ -289,7 +288,7 @@ def _hash_type(fact: DataFrame, fact_key: str, build: DataFrame, build_key: str)
     if ft in _INTEGRALS and bt in _INTEGRALS:
         return "bigint"
     raise TypeError(
-        f"xor_filter_join keys have incompatible types ({fact_key}: {ft}, "
+        f"{family} join keys have incompatible types ({fact_key}: {ft}, "
         f"{build_key}: {bt}); cast them to a common type explicitly"
     )
 
@@ -314,7 +313,7 @@ def _filtered_semi_join(
 
     from ..cache import track
 
-    key_t = _hash_type(fact, fact_key, build, build_key)
+    key_t = _hash_type(fact, fact_key, build, build_key, family)
     tag = uuid.uuid4().hex[:8]  # collision-proof internal column names
     hcol, bcol = f"__xh_{tag}", f"__bk_{tag}"
     # ONE distinct build-key projection feeds both the driver-side

@@ -97,8 +97,10 @@ def _materialize_round(df: DataFrame) -> DataFrame:
 
 
 # widest seed window: round 0 classes come from a direct substring key
-# computed in the scan projection (only the short key shuffles, never
-# the text), replacing the first SEED_POW doubling rounds. 16 chars is
+# computed right after the spread-by-doc shuffle (one full-text shuffle
+# to parallelize the explode; after that only the seed key and narrow
+# longs ever shuffle), replacing the first SEED_POW doubling rounds.
+# 16 chars is
 # the sweet spot: the seed's key shuffle grows by 8 bytes/position while
 # each round it replaces costs ~3 narrow-long shuffles + a checkpoint of
 # the whole position table (measured r14: one round ≈ 3.5s at sf0.1).

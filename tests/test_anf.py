@@ -222,14 +222,41 @@ def test_streaming_foreachbatch_twin(spark, tmp_path):
     assert got == want
 
 
-def test_anf_plan_has_no_single_partition(spark):
+def test_anf_single_partition_parents_are_final_aggregates(spark):
+    """The q77-class scale pin, done the audit script's way (the naive
+    'no SinglePartition in the tree slice' assertion was vacuous —
+    review r14): every SinglePartition exchange in the curve plan must
+    feed a final global aggregate (one partial row per partition), never
+    a corpus-scale Sort or Window."""
+    import re
+
     df = anf_curve(_edges_df(spark, GRAPHS["chain+cycle"]), 2, 64)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "SinglePartition" not in plan.split("== Physical Plan ==")[-1].split(
-        "\n\n"
-    )[0]
+    lines = plan.splitlines()
+    sp_ids, cur = set(), None
+    for line in lines:
+        m = re.match(r"^\((\d+)\) Exchange", line)
+        if m:
+            cur = m.group(1)
+        if cur and "Arguments: SinglePartition" in line:
+            sp_ids.add(cur)
+            cur = None
+    tree = lines[: lines.index("")] if "" in lines else lines[:80]
+    parents = []
+    for i, line in enumerate(tree):
+        m = re.search(r"(\w+) \((\d+)\)\s*$", line)
+        if m and m.group(2) in sp_ids:
+            depth = len(line) - len(line.lstrip(" +-:"))
+            for j in range(i - 1, -1, -1):
+                mj = re.search(r"(\w+) \((\d+)\)\s*$", tree[j])
+                dj = len(tree[j]) - len(tree[j].lstrip(" +-:"))
+                if mj and dj < depth:
+                    parents.append(mj.group(1))
+                    break
+    aggs = {"HashAggregate", "ObjectHashAggregate", "SortAggregate", "Union"}
+    assert all(p in aggs for p in parents), (parents, plan)
 
 
 # ---------------------------------------------------------------------------
