@@ -214,8 +214,18 @@ def anf_delta_update(
     old edge set: its contribution was already in the old union and the
     candidate union is idempotent, so replays are semantic no-ops
     without anti-joining the accumulated edges.
+
+    ``old_edges`` may contain duplicates and is NEVER normalized
+    wholesale (review r14: a full-history distinct() per micro-batch is
+    itself a shuffle-the-world cost): it is consumed only semi-joined
+    down to changed sources, where duplicate contributions are no-ops
+    through the candidate union. At scale, keep the accumulated edges
+    as a bucketed-by-src table so that semi-join co-locates.
     """
-    e_old = _norm_edges(old_edges)
+    e_old = old_edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
     e_new = _norm_edges(new_edges)
     known = levels_old[0].select("node").distinct()
     fresh = _nodes_of(e_new).join(known, "node", "left_anti")
@@ -232,16 +242,18 @@ def anf_delta_update(
         old_from_changed = e_old.join(
             changed.withColumnRenamed("node", "src"), "src"
         )
+        # checkpointed: contribs feeds both the touched-node projection
+        # and the top-k re-aggregation, and its upstream includes the
+        # old-edge semi-join — re-running that per consumer would double
+        # the batch's heaviest scan
         contribs = (
             _gather(prev_new, e_new)
             .union(_gather(changed_sketches, old_from_changed))
             .union(changed_sketches.select("node", "h"))
-        )
+        ).localCheckpoint(eager=True)
         # only nodes receiving a contribution can change; everyone else
         # keeps their old rows verbatim
-        touched = contribs.select("node").distinct().localCheckpoint(
-            eager=True
-        )
+        touched = contribs.select("node").distinct()
         s_t_touched = _topk(
             levels_old[t].join(touched, "node").select("node", "h")
             .union(contribs),
@@ -274,7 +286,11 @@ def anf_over_batches(
     acc = _norm_edges(batches[0]).localCheckpoint(eager=True)
     levels = ball_sketches(acc, hops, k)
     for b in batches[1:]:
-        nb = _norm_edges(b)
+        nb = _norm_edges(b).localCheckpoint(eager=True)
         levels = anf_delta_update(levels, acc, nb, k)
-        acc = acc.union(nb).distinct().localCheckpoint(eager=True)
+        # accumulate WITHOUT a distinct: anf_delta_update tolerates
+        # duplicate old edges (no-op contributions), and a full-history
+        # dedup shuffle per batch is the cost this operator exists to
+        # avoid (review r14)
+        acc = acc.union(nb).localCheckpoint(eager=True)
     return levels

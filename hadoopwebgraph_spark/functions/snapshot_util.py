@@ -115,9 +115,12 @@ def publish_partition(
     Publishing an id that a compaction fold already covers raises: it
     means the stream's checkpoint was reset (ids restarted at 0)
     against an existing compacted snapshot, and the new batch's rows
-    would be silently excluded by every reader forever — a legitimate
-    replay of a covered id cannot occur, because compaction requires
-    the checkpoint to have committed past it (ADVICE r13)."""
+    would be silently excluded by every reader forever (ADVICE r13).
+    A legitimate crash replay can never hit this: only the NEWEST batch
+    can be uncommitted (Structured Streaming commits batch N before
+    starting N+1) and ``compact_snapshot`` never folds the newest live
+    partition (review r14 — the first guard cut wedged exactly that
+    tail-batch replay), so every covered id is checkpoint-committed."""
     os.makedirs(snapshot_dir, exist_ok=True)
     covered = _all_covered_ids(snapshot_dir)
     if batch_id in covered:
@@ -251,10 +254,14 @@ def _parquet_stats(dirs: list[str]) -> tuple[int, int]:
 def compact_snapshot(
     spark: SparkSession, snapshot_dir: str, target_bytes: int = 128 << 20
 ) -> dict:
-    """Fold every live partition of a snapshot into ONE negative-id
-    partition and drop the sources — bounds the read-time merge and the
-    small-file count for an always-on stream (a year of micro-batches is
-    thousands of partitions otherwise). Row-multiset-preserving, so it
+    """Fold every live partition EXCEPT the newest positive batch into
+    ONE negative-id partition and drop the sources — bounds the
+    read-time merge and the small-file count for an always-on stream (a
+    year of micro-batches is thousands of partitions otherwise). The
+    newest batch stays un-folded because it is the only id a restarted
+    stream can legitimately replay (crash after publish, before the
+    checkpoint commit); folding it would turn that benign replay into
+    publish_partition's permanent reset error (review r14). Row-multiset-preserving, so it
     is valid for ALL snapshot kinds (tf partials, theta hashes, priority
     partials) — the read-time merge is unchanged. Run it in a QUIESCED
     maintenance window (the same contract as compact_digest_snapshot):
@@ -301,8 +308,19 @@ def compact_snapshot(
             shutil.rmtree(by_id[i], ignore_errors=True)
             del by_id[i]
 
-    live = [by_id[i] for i in sorted(by_id)]
-    files_before, bytes_before = _parquet_stats(live)
+    # never fold the NEWEST live batch: it is the only id Structured
+    # Streaming can legitimately replay after a crash-before-commit, and
+    # publish_partition's reset guard relies on every covered id being
+    # checkpoint-committed (review r14 — folding the tail wedged that
+    # replay into a permanent ValueError)
+    fold_ids = sorted(by_id)
+    positives = [i for i in fold_ids if i >= 0]
+    if positives:
+        fold_ids = [i for i in fold_ids if i != positives[-1]]
+    live = [by_id[i] for i in fold_ids]
+    files_before, bytes_before = _parquet_stats(
+        [by_id[i] for i in sorted(by_id)]
+    )
     if len(live) <= 1:
         return {
             "files_before": files_before,
@@ -318,12 +336,13 @@ def compact_snapshot(
     ).parquet(stage)
     rows = spark.read.parquet(stage).count()
     with open(os.path.join(stage, _COVERS), "w") as f:
-        json.dump({"covers": sorted(by_id)}, f)
+        json.dump({"covers": fold_ids}, f)
     os.rename(stage, os.path.join(snapshot_dir, f"batch_id={new_id}"))
     for path in live:
         shutil.rmtree(path, ignore_errors=True)
     files_after, _ = _parquet_stats(
         [os.path.join(snapshot_dir, f"batch_id={new_id}")]
+        + ([by_id[positives[-1]]] if positives else [])
     )
     return {
         "files_before": files_before,

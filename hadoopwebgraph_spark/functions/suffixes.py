@@ -85,13 +85,15 @@ def _representative(classes: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def _materialize_round(df: DataFrame) -> DataFrame:
-    """Loop-state truncation: every doubling round consumes the previous
-    round TWICE (the shifted copy self-joins the original), so both the
+    """Loop-state truncation: each round's ``_representative`` consumes
+    its input TWICE (the class groupBy and the join-back), so both the
     execution AND the logical plan double per round — persist alone
     fixes only execution, while Catalyst still analyzes a 2^rounds-node
-    tree (measured here: round 4 spent seconds in plan analysis and a
-    small driver OOM'd stringifying the tree). localCheckpoint is the
-    repo's established remedy for exactly this iterative loop-state
+    tree (measured on the pre-r14 self-join shape: round 4 spent
+    seconds in plan analysis and a small driver OOM'd stringifying the
+    tree; the lead()-window rewrite did not change the double
+    consumption, only the shift's shuffle count). localCheckpoint is
+    the repo's established remedy for exactly this iterative loop-state
     class (pagerank/hyperanf hop loops, NOTES r11/r12)."""
     return df.localCheckpoint(eager=True)
 
@@ -164,8 +166,9 @@ def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
     rank) where ``rank`` identifies the equivalence class of the first
     2^max_pow characters at (doc_id, pos); only positions whose full
     window is in-bounds appear. The result is checkpointed (callers
-    self-join it); the backing RDDs release when the DataFrame refs
-    drop (ContextCleaner), like the other iterative loop sites."""
+    consume it more than once — the compose shift plus the class
+    groupBy/join-back); the backing RDDs release when the DataFrame
+    refs drop (ContextCleaner), like the other iterative loop sites."""
     seed_pow = min(_SEED_POW, max_pow)
     cur = _materialize_round(_seed_classes(docs, 1 << seed_pow))
     for k in range(seed_pow, max_pow):

@@ -194,7 +194,10 @@ def test_inverted_index_exact_across_compaction(spark, sf_small, tmp_path):
     )
 
     snap = str(tmp_path / "snap")
-    _land_tf_batches(spark, sf_small, snap, splits=(0, 1), mod=3)
+    # r14: the newest live batch never folds (publish_partition's reset
+    # guard relies on covered ids being checkpoint-committed), so three
+    # batches land before the first fold and batch 2 stays live
+    _land_tf_batches(spark, sf_small, snap, splits=(0, 1, 2), mod=4)
     docs = load(spark, sf_small, "documents").select("doc_id", "text")
 
     partial = _index_rows(spark, snap)
@@ -204,18 +207,18 @@ def test_inverted_index_exact_across_compaction(spark, sf_small, tmp_path):
     assert _index_rows(spark, snap) == partial
 
     # a post-compaction batch must appear in the served index
-    _tf_one_batch(docs.filter(F.col("doc_id") % 3 == 2), 2, snap)
+    _tf_one_batch(docs.filter(F.col("doc_id") % 4 == 3), 3, snap)
     full = {
         (r.term, r.df, r.total_tf, r.postings)
         for r in q137_inverted_index(spark, sf_small).collect()
     }
     assert _index_rows(spark, snap) == full
 
-    # second fold over (batch_id=-1, batch_id=2) — still exact
+    # second fold over (batch_id=-1, batch_id=2) — batch 3 stays live
     out2 = compact_snapshot(spark, snap, target_bytes=1 << 30)
     assert out2["batch_id"] == -2
     assert _index_rows(spark, snap) == full
-    # converged: a third run with one live partition is a no-op
+    # converged: a third run with only (fold, newest) left is a no-op
     out3 = compact_snapshot(spark, snap, target_bytes=1 << 30)
     assert out3["batch_id"] is None
 
@@ -250,7 +253,8 @@ def test_compaction_crash_points_stay_exact(spark, sf_small, tmp_path):
     assert not os.path.isdir(os.path.join(snap, ".compact-deadbeef"))
     shutil.copytree(saved, os.path.join(snap, "batch_id=1"))
     assert os.path.basename(live_batch_dirs(snap)[0]) == "batch_id=-1"
-    assert len(live_batch_dirs(snap)) == 1  # resurrected source excluded
+    # the fold + the never-folded newest batch; resurrected source excluded
+    assert len(live_batch_dirs(snap)) == 2
     assert _index_rows(spark, snap) == baseline
     # re-running compaction finishes the deletion and converges
     compact_snapshot(spark, snap, target_bytes=1 << 30)
@@ -333,8 +337,9 @@ def test_theta_and_priority_snapshots_survive_compaction(
 
     docs = load(spark, sf_small, "documents")
     tsnap, psnap = str(tmp_path / "theta"), str(tmp_path / "prio")
-    for i in (0, 1):
-        chunk = docs.filter(F.col("doc_id") % 2 == i)
+    # three batches: the newest never folds (r14), so two must fold
+    for i in (0, 1, 2):
+        chunk = docs.filter(F.col("doc_id") % 3 == i)
         _theta_one_batch(chunk.select("text"), i, "text", tsnap, 64)
         _priority_one_batch(chunk, i, psnap)
 

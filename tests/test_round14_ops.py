@@ -31,12 +31,42 @@ def test_checkpoint_reset_into_compacted_snapshot_raises(spark, tmp_path):
     snap = str(tmp_path / "snap")
     _publish(spark, snap, 0, [1, 2])
     _publish(spark, snap, 1, [3])
+    _publish(spark, snap, 2, [4])
     compact_snapshot(spark, snap)
-    # replay-of-covered-id cannot legitimately happen post-compaction;
-    # the only producer of this publish is a reset checkpoint
+    # replay-of-covered-id cannot legitimately happen (the newest batch
+    # never folds); the only producer of this publish is a reset
     with pytest.raises(ValueError, match="checkpoint was reset"):
         _publish(spark, snap, 0, [99])
     # fresh ids beyond the covered set still publish fine
-    _publish(spark, snap, 2, [4])
+    _publish(spark, snap, 3, [5])
+    got = sorted(r.v for r in read_snapshot(spark, snap).collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_tail_batch_crash_replay_survives_compaction(spark, tmp_path):
+    """The legitimate replay: publish(N) landed but the checkpoint
+    never committed N, the operator compacts during the downtime, the
+    restarted stream replays N. The newest batch is excluded from the
+    fold, so the replay takes the normal already-published path instead
+    of the reset error, and reads stay exact (review r14 — the first
+    guard cut wedged this stream permanently)."""
+    from hadoopwebgraph_spark.functions.snapshot_util import (
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    _publish(spark, snap, 0, [1])
+    _publish(spark, snap, 1, [2])
+    _publish(spark, snap, 2, [3])  # landed; checkpoint commit crashed
+    res = compact_snapshot(spark, snap)
+    assert res["batch_id"] is not None
+    _publish(spark, snap, 2, [3])  # restart replays the tail batch
+    got = sorted(r.v for r in read_snapshot(spark, snap).collect())
+    assert got == [1, 2, 3]
+    # a second compaction folds the previous fold + the now-committed
+    # tail (a newer batch exists), and converges
+    _publish(spark, snap, 3, [4])
+    compact_snapshot(spark, snap)
     got = sorted(r.v for r in read_snapshot(spark, snap).collect())
     assert got == [1, 2, 3, 4]
