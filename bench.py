@@ -377,22 +377,6 @@ def main() -> None:
 
 
 
-    # EXTRA_DETAIL failures stay OUT of the stdout errors dict (ADVICE
-    # r12: they spent the headroom the detail split exists to protect);
-    # they are driver-invisible timings, so their errors are too
-    extra_timings = {}
-    extra_errors: dict[str, str] = {}
-    for name in EXTRA_DETAIL:
-        q = queries.get(name)
-        if q is None:
-            continue
-        _time_best_of_2(
-            name,
-            lambda q=q: q.fn(spark, sf_dir).count(),
-            extra_timings, cold, loads, extra_errors,
-            check=_check_nonneg,
-        )
-
     # HyperANF stays AFTER the query loop deliberately: measured at the
     # head it runs 2x slower (10.5s vs ~4.6s) — its sketch shuffles
     # benefit from the JIT/shuffle machinery the 44 queries warm up;
@@ -428,6 +412,27 @@ def main() -> None:
         timings, cold, loads, errors,
         check=_check_nf,
     )
+
+    # EXTRA_DETAIL runs LAST (r14): these entries are driver-invisible
+    # diagnostics, and running them before gB_hyperanf changed the JVM
+    # heap/GC state its cross-round number depends on (measured: the
+    # checkpoint-heavy q163 right before it tripled the hyperanf time).
+    # Everything that feeds the stdout total keeps the exact r13 order.
+    # EXTRA_DETAIL failures stay OUT of the stdout errors dict (ADVICE
+    # r12: they spent the headroom the detail split exists to protect);
+    # they are driver-invisible timings, so their errors are too
+    extra_timings = {}
+    extra_errors: dict[str, str] = {}
+    for name in EXTRA_DETAIL:
+        q = queries.get(name)
+        if q is None:
+            continue
+        _time_best_of_2(
+            name,
+            lambda q=q: q.fn(spark, sf_dir).count(),
+            extra_timings, cold, loads, extra_errors,
+            check=_check_nonneg,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
