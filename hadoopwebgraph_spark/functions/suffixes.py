@@ -161,56 +161,80 @@ def _shifted_rank(cur: DataFrame, step: int) -> DataFrame:
     )
 
 
+def _class_levels(
+    docs: DataFrame, seed_pow: int, max_pow: int
+) -> dict[int, DataFrame]:
+    """Every power level ``seed_pow..max_pow`` from ONE build. Each
+    level is the checkpointed table the next round consumes anyway, so
+    retaining them all is free — this is what lets one build answer
+    every span length (the structure's advantage over per-L gram
+    hashing). Levels are checkpointed (each is consumed by the next
+    round, per-L composes, and the class groupBy/join-back); the
+    backing RDDs release when the DataFrame refs drop (ContextCleaner),
+    like the other iterative loop sites."""
+    levels = {
+        seed_pow: _materialize_round(_seed_classes(docs, 1 << seed_pow))
+    }
+    for k in range(seed_pow, max_pow):
+        levels[k + 1] = _materialize_round(
+            _representative(
+                _shifted_rank(levels[k], 1 << k), ["r1", "r2"]
+            ).withColumnRenamed("cls", "rank")
+        )
+    return levels
+
+
 def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
     """Doubling rounds up to 2^max_pow: returns (doc_id, pos, gpos,
     rank) where ``rank`` identifies the equivalence class of the first
     2^max_pow characters at (doc_id, pos); only positions whose full
-    window is in-bounds appear. The result is checkpointed (callers
-    consume it more than once — the compose shift plus the class
-    groupBy/join-back); the backing RDDs release when the DataFrame
-    refs drop (ContextCleaner), like the other iterative loop sites."""
+    window is in-bounds appear."""
     seed_pow = min(_SEED_POW, max_pow)
-    cur = _materialize_round(_seed_classes(docs, 1 << seed_pow))
-    for k in range(seed_pow, max_pow):
-        cur = _materialize_round(
-            _representative(
-                _shifted_rank(cur, 1 << k), ["r1", "r2"]
-            ).withColumnRenamed("cls", "rank")
-        )
-    return cur
+    return _class_levels(docs, seed_pow, max_pow)[max_pow]
+
+
+def _required_pow(length: int) -> int:
+    """The power level a ``length``-char class composes from: log2 L
+    when L is a power of two (used directly), else the largest
+    2^k < L (composed with an overlapping offset copy)."""
+    max_pow = (length - 1).bit_length()  # smallest 2^K >= length
+    return max_pow if (1 << max_pow) == length else max_pow - 1
+
+
+def _classes_from_levels(
+    levels: dict[int, DataFrame], length: int
+) -> DataFrame:
+    """Classes of exact ``length``-char substrings off retained levels:
+    a power-of-two length IS its level; otherwise compose the largest
+    2^k < L with an offset-L-2^k copy (the O(1) LCP-compare trick) —
+    one extra shuffle, never a round."""
+    k = _required_pow(length)
+    if (1 << k) == length:
+        return levels[k].withColumnRenamed("rank", "cls")
+    off = length - (1 << k)
+    # materialized: span merging consumes the classes twice
+    # (count-per-class, then the membership join back)
+    return _materialize_round(
+        _representative(_shifted_rank(levels[k], off), ["r1", "r2"])
+    )
 
 
 def substring_classes(docs: DataFrame, length: int) -> DataFrame:
     """(doc_id, pos, gpos, cls) where ``cls`` identifies the exact
     ``length``-character substring at (doc_id, pos): two rows share cls
-    IFF their substrings are equal. Composes the largest power-of-two
-    class with an overlapping offset copy (the O(1) LCP-compare trick),
-    so a non-power-of-two length costs one extra shuffle, not a round."""
+    IFF their substrings are equal."""
     if length < 1:
         raise ValueError("length must be >= 1")
-    max_pow = (length - 1).bit_length()  # smallest 2^K >= length
-    if (1 << max_pow) == length:
-        return prefix_class_ranks(docs, max_pow).withColumnRenamed(
-            "rank", "cls"
-        )
-    k = max_pow - 1  # largest 2^k < length; window = [p, p+2^k) U [p+L-2^k, p+L)
-    ranks = prefix_class_ranks(docs, k)
-    off = length - (1 << k)
-    # persisted: duplicated_span_intervals consumes the classes twice
-    # (count-per-class, then the membership join back)
-    return _materialize_round(
-        _representative(_shifted_rank(ranks, off), ["r1", "r2"])
-    )
+    k = _required_pow(length)
+    seed_pow = min(_SEED_POW, k)
+    return _classes_from_levels(_class_levels(docs, seed_pow, k), length)
 
 
-def duplicated_span_intervals(docs: DataFrame, length: int) -> DataFrame:
-    """Merged per-document intervals [span_start, span_end) covered by
-    some substring of ``length`` chars that occurs more than once in the
-    corpus (any document, including the same one) — q119's Lee-et-al
-    semantics generalized onto the class structure. Interval merge is a
+def _merge_spans(cls: DataFrame, length: int) -> DataFrame:
+    """Merged per-document intervals covered by corpus-duplicated
+    ``length``-char windows, from a class table. Interval merge is a
     per-document gaps-and-islands window (doc-bounded partitions, the
     q119 class)."""
-    cls = substring_classes(docs, length)
     # groupBy + join rather than a count-over-class window: a stop-word
     # class holds a large fraction of the corpus, and the partial
     # aggregate combines map-side where a window partition cannot
@@ -243,6 +267,46 @@ def duplicated_span_intervals(docs: DataFrame, length: int) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end")
     )
+
+
+def duplicated_span_intervals(docs: DataFrame, length: int) -> DataFrame:
+    """Merged per-document intervals [span_start, span_end) covered by
+    some substring of ``length`` chars that occurs more than once in the
+    corpus (any document, including the same one) — q119's Lee-et-al
+    semantics generalized onto the class structure."""
+    return _merge_spans(substring_classes(docs, length), length)
+
+
+def duplicated_span_intervals_multi(
+    docs: DataFrame, lengths: list[int]
+) -> DataFrame:
+    """Duplicated spans at EVERY threshold in ``lengths`` off ONE class
+    build — the structure's differentiator (staged r14 for a future
+    registration): the doubling levels are retained as they are built,
+    each L composes from its level with at most one extra shuffle, and
+    only the per-L dup-count + island merge repeat. A gram/md5 approach
+    (q119) pays a full corpus explode + shuffle PER threshold; a
+    multi-threshold sweep here costs one build + per-L post-processing
+    on the narrow class tables. Returns (span_len, doc_id, span_start,
+    span_end)."""
+    uniq = sorted(set(lengths))
+    if not uniq or uniq[0] < 1:
+        raise ValueError("lengths must be a non-empty list of ints >= 1")
+    pows = {length: _required_pow(length) for length in uniq}
+    seed_pow = min(_SEED_POW, min(pows.values()))
+    levels = _class_levels(docs, seed_pow, max(pows.values()))
+    out = None
+    for length in uniq:
+        spans = _merge_spans(
+            _classes_from_levels(levels, length), length
+        ).select(
+            F.lit(length).cast("long").alias("span_len"),
+            "doc_id",
+            "span_start",
+            "span_end",
+        )
+        out = spans if out is None else out.union(spans)
+    return out
 
 
 # registered operator (round 14; the pair below was staged + validated

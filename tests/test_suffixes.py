@@ -194,3 +194,127 @@ def test_q163_registered_pair_parity(spark, sf_small):
     q = all_queries()["q163_suffix_span_dedup"]
     assert q.oracle is not None
     compare(spark, sf_small, q.name, q.fn, q.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Multi-threshold spans off one build (r15-staged candidate) — the
+# structure's differentiator over per-L gram hashing.
+# ---------------------------------------------------------------------------
+
+
+def test_multi_threshold_spans_match_reference(spark):
+    from hadoopwebgraph_spark.functions.suffixes import (
+        duplicated_span_intervals_multi,
+    )
+
+    texts = CORPORA[0] + CORPORA[2] + CORPORA[3]
+    lengths = [2, 3, 5, 8]
+    rows = duplicated_span_intervals_multi(
+        _docs_df(spark, texts), lengths
+    ).collect()
+    got = {
+        L: {(r.doc_id, r.span_start, r.span_end) for r in rows
+            if r.span_len == L}
+        for L in lengths
+    }
+    for L in lengths:
+        assert got[L] == _ref_intervals(texts, L), L
+
+
+def test_multi_threshold_matches_single_threshold(spark, sf_small):
+    """The shared-build path must equal the per-L path row-for-row on
+    the fixture (exact pow-of-two, composed, and doubling-round shapes
+    in one call)."""
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.suffixes import (
+        duplicated_span_intervals,
+        duplicated_span_intervals_multi,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    lengths = [16, 20, 33]
+    rows = duplicated_span_intervals_multi(docs, lengths).collect()
+    for L in lengths:
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in rows
+            if r.span_len == L
+        }
+        want = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_span_intervals(docs, L).collect()
+        }
+        assert got == want, L
+
+
+# r15 registration dry-run: three thresholds (exact-pow, composed, and
+# composed-above-seed) off one build; the oracle unions the q163 shape
+# per threshold.
+_Q166_LENGTHS = (16, 20, 33)
+
+
+def _q166_oracle() -> str:
+    def per_l(L):
+        return f"""
+    SELECT CAST({L} AS BIGINT) AS span_len, doc_id,
+           min(pos) AS span_start, max(pos) + {L} AS span_end
+    FROM (
+        SELECT doc_id, pos,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + {L}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1) THEN 1 ELSE 0 END AS new_island
+            FROM (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                           substr(text, CAST(p AS INTEGER), {L}) AS k
+                    FROM (
+                        SELECT doc_id, text,
+                               unnest(range(1, length(text) - {L} + 2)) AS p
+                        FROM documents
+                    )
+                ) pos_l
+                JOIN (
+                    SELECT k FROM (
+                        SELECT substr(text, CAST(p AS INTEGER), {L}) AS k
+                        FROM (
+                            SELECT text,
+                                   unnest(range(1, length(text) - {L} + 2))
+                                       AS p
+                            FROM documents
+                        )
+                    ) GROUP BY k HAVING count(*) > 1
+                ) dup_l USING (k)
+            )
+        )
+    )
+    GROUP BY doc_id, island
+        """
+
+    return " UNION ALL ".join(per_l(L) for L in _Q166_LENGTHS)
+
+
+def _q166_spans_multi(spark, sf_dir):
+    from hadoopwebgraph_spark.catalog import load
+    from hadoopwebgraph_spark.functions.suffixes import (
+        duplicated_span_intervals_multi,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    df = duplicated_span_intervals_multi(docs, list(_Q166_LENGTHS))
+    return df.select(
+        "span_len",
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+def test_q166_draft_oracle_parity(spark, sf_small):
+    from tests.oracle_util import compare
+
+    compare(spark, sf_small, "q166_draft", _q166_spans_multi, _q166_oracle())
