@@ -100,12 +100,19 @@ HEADLINE = [
 # best-of-2 protocol) WITHOUT joining the stdout line or its total:
 # keeps the driver's cross-round headline total comparable while the
 # r12 additions still get round-over-round numbers the judge can read.
-EXTRA_DETAIL = [
+# The r12 batch keeps its r13 position (BEFORE the gB_hyperanf entry —
+# that entry is preceding-state-sensitive and its cross-round number was
+# measured with these three having just run)...
+EXTRA_DETAIL_PRE = [
     "q160_theta_sketch_setops",
     "q161_substring_search",
     "q162_crossencoder_rerank",
-    # round 14 registrations (stdout line is at its capture budget, so
-    # these join the detail file like the r12 batch above)
+]
+# ...while additions from r14 on run AFTER everything on the stdout
+# line: the checkpoint-heavy q163 right before gB_hyperanf tripled its
+# number (measured r14), and new entries must never perturb the state
+# any cross-round comparable was measured under.
+EXTRA_DETAIL_POST = [
     "q163_suffix_span_dedup",
     "q164_xor_filter_join",
 ]
@@ -377,6 +384,23 @@ def main() -> None:
 
 
 
+    # EXTRA_DETAIL failures stay OUT of the stdout errors dict (ADVICE
+    # r12: they spent the headroom the detail split exists to protect);
+    # they are driver-invisible timings, so their errors are too.
+    # The r12 batch runs HERE, exactly where r13's canonical runs had it.
+    extra_timings = {}
+    extra_errors: dict[str, str] = {}
+    for name in EXTRA_DETAIL_PRE:
+        q = queries.get(name)
+        if q is None:
+            continue
+        _time_best_of_2(
+            name,
+            lambda q=q: q.fn(spark, sf_dir).count(),
+            extra_timings, cold, loads, extra_errors,
+            check=_check_nonneg,
+        )
+
     # HyperANF stays AFTER the query loop deliberately: measured at the
     # head it runs 2x slower (10.5s vs ~4.6s) — its sketch shuffles
     # benefit from the JIT/shuffle machinery the 44 queries warm up;
@@ -413,17 +437,8 @@ def main() -> None:
         check=_check_nf,
     )
 
-    # EXTRA_DETAIL runs LAST (r14): these entries are driver-invisible
-    # diagnostics, and running them before gB_hyperanf changed the JVM
-    # heap/GC state its cross-round number depends on (measured: the
-    # checkpoint-heavy q163 right before it tripled the hyperanf time).
-    # Everything that feeds the stdout total keeps the exact r13 order.
-    # EXTRA_DETAIL failures stay OUT of the stdout errors dict (ADVICE
-    # r12: they spent the headroom the detail split exists to protect);
-    # they are driver-invisible timings, so their errors are too
-    extra_timings = {}
-    extra_errors: dict[str, str] = {}
-    for name in EXTRA_DETAIL:
+    # post-r13 EXTRA_DETAIL additions run LAST (see the list comments)
+    for name in EXTRA_DETAIL_POST:
         q = queries.get(name)
         if q is None:
             continue

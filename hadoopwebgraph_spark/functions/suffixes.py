@@ -162,26 +162,35 @@ def _shifted_rank(cur: DataFrame, step: int) -> DataFrame:
 
 
 def _class_levels(
-    docs: DataFrame, seed_pow: int, max_pow: int
+    docs: DataFrame,
+    seed_pow: int,
+    max_pow: int,
+    keep: set[int] | None = None,
 ) -> dict[int, DataFrame]:
-    """Every power level ``seed_pow..max_pow`` from ONE build. Each
-    level is the checkpointed table the next round consumes anyway, so
-    retaining them all is free — this is what lets one build answer
-    every span length (the structure's advantage over per-L gram
-    hashing). Levels are checkpointed (each is consumed by the next
-    round, per-L composes, and the class groupBy/join-back); the
-    backing RDDs release when the DataFrame refs drop (ContextCleaner),
-    like the other iterative loop sites."""
-    levels = {
-        seed_pow: _materialize_round(_seed_classes(docs, 1 << seed_pow))
-    }
+    """Power levels from ONE doubling chain seeded at ``seed_pow``,
+    returning only the levels in ``keep`` (default: all). Each level is
+    the checkpointed table the next round consumes anyway, so RETURNING
+    a level is free — but PINNING one is not: the chain drops its
+    reference to level k as soon as k+1 exists unless k is kept, so the
+    ContextCleaner can release intermediate checkpoints while the build
+    is still running (review r14: the single-L path was holding every
+    intermediate level for the whole build — ~log2(L) corpus-sized
+    checkpoint RDDs pinned at once instead of ~2)."""
+    if keep is None:
+        keep = set(range(seed_pow, max_pow + 1))
+    out: dict[int, DataFrame] = {}
+    cur = _materialize_round(_seed_classes(docs, 1 << seed_pow))
+    if seed_pow in keep:
+        out[seed_pow] = cur
     for k in range(seed_pow, max_pow):
-        levels[k + 1] = _materialize_round(
+        cur = _materialize_round(
             _representative(
-                _shifted_rank(levels[k], 1 << k), ["r1", "r2"]
+                _shifted_rank(cur, 1 << k), ["r1", "r2"]
             ).withColumnRenamed("cls", "rank")
         )
-    return levels
+        if k + 1 in keep:
+            out[k + 1] = cur
+    return out
 
 
 def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
@@ -190,7 +199,7 @@ def prefix_class_ranks(docs: DataFrame, max_pow: int) -> DataFrame:
     2^max_pow characters at (doc_id, pos); only positions whose full
     window is in-bounds appear."""
     seed_pow = min(_SEED_POW, max_pow)
-    return _class_levels(docs, seed_pow, max_pow)[max_pow]
+    return _class_levels(docs, seed_pow, max_pow, keep={max_pow})[max_pow]
 
 
 def _required_pow(length: int) -> int:
@@ -293,8 +302,23 @@ def duplicated_span_intervals_multi(
     if not uniq or uniq[0] < 1:
         raise ValueError("lengths must be a non-empty list of ints >= 1")
     pows = {length: _required_pow(length) for length in uniq}
-    seed_pow = min(_SEED_POW, min(pows.values()))
-    levels = _class_levels(docs, seed_pow, max(pows.values()))
+    needed = set(pows.values())
+    # the doubling chain starts at the usual wide seed — a small
+    # threshold must NOT drag the whole chain down to near-character
+    # rounds (review r14: lengths=[2, 64] was seeding at 2 chars and
+    # paying 5 rounds where the 16-char seed needs 2). Levels below the
+    # chain seed are direct substring seeds themselves — one extra
+    # explode+groupBy each, no extra rounds.
+    chain_seed = min(_SEED_POW, max(needed))
+    levels = _class_levels(
+        docs,
+        chain_seed,
+        max(needed),
+        keep={k for k in needed if k >= chain_seed},
+    )
+    for k in sorted(needed):
+        if k < chain_seed:
+            levels[k] = _materialize_round(_seed_classes(docs, 1 << k))
     out = None
     for length in uniq:
         spans = _merge_spans(
@@ -314,38 +338,58 @@ def duplicated_span_intervals_multi(
 _SPAN_L = 20
 
 
-@register(
-    "q163_suffix_span_dedup",
-    oracle=f"""
-    WITH pos0 AS (
-        SELECT doc_id, text,
-               unnest(range(1, length(text) - {_SPAN_L} + 2)) AS p
-        FROM documents
-    ),
-    pos AS (
-        SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
-               substr(text, CAST(p AS INTEGER), {_SPAN_L}) AS k
-        FROM pos0
-    ),
-    dup AS (SELECT k FROM pos GROUP BY k HAVING count(*) > 1),
-    starts AS (SELECT doc_id, pos FROM pos JOIN dup USING (k)),
-    isl AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos > coalesce(max(pos + {_SPAN_L}) OVER (
-                   PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                    THEN 1 ELSE 0 END AS new_island
-        FROM starts
-    ),
-    grp AS (
+def span_oracle_sql(length: int, with_len: bool = False) -> str:
+    """DuckDB oracle for the duplicated-span semantics at ONE threshold
+    — the single source both the registered q163 oracle and the staged
+    multi-threshold pair build from (review r14: two hand-kept copies
+    would silently drift). Nested-subquery form so thresholds compose
+    under UNION ALL without CTE-name collisions."""
+    sel_len = f"CAST({length} AS BIGINT) AS span_len, " if with_len else ""
+    return f"""
+    SELECT {sel_len}doc_id,
+           min(pos) AS span_start, max(pos) + {length} AS span_end
+    FROM (
         SELECT doc_id, pos,
                sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
                    AS island
-        FROM isl
+        FROM (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + {length}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1) THEN 1 ELSE 0 END AS new_island
+            FROM (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                           substr(text, CAST(p AS INTEGER), {length}) AS k
+                    FROM (
+                        SELECT doc_id, text,
+                               unnest(range(1, length(text) - {length} + 2))
+                                   AS p
+                        FROM documents
+                    )
+                ) pos_l
+                JOIN (
+                    SELECT k FROM (
+                        SELECT substr(text, CAST(p AS INTEGER), {length}) AS k
+                        FROM (
+                            SELECT text,
+                                   unnest(range(1, length(text) - {length}
+                                                + 2)) AS p
+                            FROM documents
+                        )
+                    ) GROUP BY k HAVING count(*) > 1
+                ) dup_l USING (k)
+            )
+        )
     )
-    SELECT doc_id, min(pos) AS span_start, max(pos) + {_SPAN_L} AS span_end
-    FROM grp GROUP BY doc_id, island
-    """,
+    GROUP BY doc_id, island
+    """
+
+
+@register(
+    "q163_suffix_span_dedup",
+    oracle=span_oracle_sql(_SPAN_L),
     doc="Merged per-document spans covered by a corpus-duplicated "
     f"{_SPAN_L}-char window, computed on the prefix-doubling suffix-class "
     "structure (min-gpos representatives; equality-only, never a global "

@@ -84,7 +84,8 @@ def test_bench_extra_detail_names_resolve():
     from hadoopwebgraph_spark.registry import all_queries
 
     names = set(all_queries())
-    missing = [n for n in bench.EXTRA_DETAIL if n not in names]
+    extra = bench.EXTRA_DETAIL_PRE + bench.EXTRA_DETAIL_POST
+    missing = [n for n in extra if n not in names]
     assert not missing, f"EXTRA_DETAIL references unknown queries: {missing}"
 
 

@@ -254,48 +254,13 @@ _Q166_LENGTHS = (16, 20, 33)
 
 
 def _q166_oracle() -> str:
-    def per_l(L):
-        return f"""
-    SELECT CAST({L} AS BIGINT) AS span_len, doc_id,
-           min(pos) AS span_start, max(pos) + {L} AS span_end
-    FROM (
-        SELECT doc_id, pos,
-               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS island
-        FROM (
-            SELECT doc_id, pos,
-                   CASE WHEN pos > coalesce(max(pos + {L}) OVER (
-                       PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       -1) THEN 1 ELSE 0 END AS new_island
-            FROM (
-                SELECT doc_id, pos FROM (
-                    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
-                           substr(text, CAST(p AS INTEGER), {L}) AS k
-                    FROM (
-                        SELECT doc_id, text,
-                               unnest(range(1, length(text) - {L} + 2)) AS p
-                        FROM documents
-                    )
-                ) pos_l
-                JOIN (
-                    SELECT k FROM (
-                        SELECT substr(text, CAST(p AS INTEGER), {L}) AS k
-                        FROM (
-                            SELECT text,
-                                   unnest(range(1, length(text) - {L} + 2))
-                                       AS p
-                            FROM documents
-                        )
-                    ) GROUP BY k HAVING count(*) > 1
-                ) dup_l USING (k)
-            )
-        )
-    )
-    GROUP BY doc_id, island
-        """
+    # built from the SAME generator as the registered q163 oracle
+    # (review r14: a hand-kept copy would silently drift)
+    from hadoopwebgraph_spark.functions.suffixes import span_oracle_sql
 
-    return " UNION ALL ".join(per_l(L) for L in _Q166_LENGTHS)
+    return " UNION ALL ".join(
+        span_oracle_sql(L, with_len=True) for L in _Q166_LENGTHS
+    )
 
 
 def _q166_spans_multi(spark, sf_dir):
