@@ -92,9 +92,10 @@ def _peel(slots: np.ndarray, n_slots: int):
     counts = np.bincount(flat, minlength=n_slots)
     # CSR inverse index: key_of[starts[s]:starts[s+1]] = keys using slot s
     order = np.argsort(flat, kind="stable")
-    key_of = order // 3
+    key_of = (order // 3).astype(np.int32)  # n <= MAX_BUILD_KEYS < 2^31
+    del order
     starts = np.zeros(n_slots + 1, np.int64)
-    np.cumsum(np.bincount(flat, minlength=n_slots), out=starts[1:])
+    np.cumsum(counts, out=starts[1:])  # counts unmutated until the loop
     alive = np.ones(n, bool)
     sweeps_keys: list[np.ndarray] = []
     sweeps_slots: list[np.ndarray] = []
@@ -116,11 +117,11 @@ def _peel(slots: np.ndarray, n_slots: int):
         dirty = slots[cand].ravel()
         np.subtract.at(counts, dirty, 1)
         # next frontier: every key sharing a just-decremented slot
+        # (total >= 1 always — each dirty slot's CSR range contains at
+        # least the peeled key itself)
         du = np.unique(dirty)
         lens = starts[du + 1] - starts[du]
         total = int(lens.sum())
-        if total == 0:
-            break
         # CSR multi-range expand: positions lo_i..lo_i+len_i per slot
         within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
         frontier = np.unique(key_of[np.repeat(starts[du], lens) + within])
