@@ -79,8 +79,15 @@ def _packing_guard() -> "F.Column":
 
 def _representative(classes: DataFrame, key_cols: list[str]) -> DataFrame:
     """Replace an equality key by its canonical long id: the smallest
-    gpos in the key's class. Injective by content, no ordering pass."""
-    reps = classes.groupBy(*key_cols).agg(F.min("gpos").alias("cls"))
+    gpos in the key's class. Injective by content, no ordering pass.
+    The class SIZE rides along as ``cls_n`` — the aggregation computes
+    it for free, and downstream dup detection then needs no second
+    groupBy+join over the position table (r14: that re-shuffle was
+    ~2 of the gate's shuffles). Doubling rounds drop the column in
+    their explicit projections."""
+    reps = classes.groupBy(*key_cols).agg(
+        F.min("gpos").alias("cls"), F.count(F.lit(1)).alias("cls_n")
+    )
     return classes.join(reps, key_cols).drop(*key_cols)
 
 
@@ -211,27 +218,29 @@ def _required_pow(length: int) -> int:
 
 
 def _classes_from_levels(
-    levels: dict[int, DataFrame], length: int
+    levels: dict[int, DataFrame], length: int, materialize: bool = True
 ) -> DataFrame:
     """Classes of exact ``length``-char substrings off retained levels:
     a power-of-two length IS its level; otherwise compose the largest
     2^k < L with an offset-L-2^k copy (the O(1) LCP-compare trick) —
-    one extra shuffle, never a round."""
+    one extra shuffle, never a round. ``materialize=False`` skips the
+    compose checkpoint for single-consumer callers (the span paths read
+    the classes exactly once now that ``cls_n`` makes dup detection a
+    row-local filter)."""
     k = _required_pow(length)
     if (1 << k) == length:
         return levels[k].withColumnRenamed("rank", "cls")
     off = length - (1 << k)
-    # materialized: span merging consumes the classes twice
-    # (count-per-class, then the membership join back)
-    return _materialize_round(
-        _representative(_shifted_rank(levels[k], off), ["r1", "r2"])
-    )
+    out = _representative(_shifted_rank(levels[k], off), ["r1", "r2"])
+    return _materialize_round(out) if materialize else out
 
 
 def substring_classes(docs: DataFrame, length: int) -> DataFrame:
-    """(doc_id, pos, gpos, cls) where ``cls`` identifies the exact
-    ``length``-character substring at (doc_id, pos): two rows share cls
-    IFF their substrings are equal."""
+    """(doc_id, pos, gpos, cls, cls_n) where ``cls`` identifies the
+    exact ``length``-character substring at (doc_id, pos) — two rows
+    share cls IFF their substrings are equal — and ``cls_n`` is the
+    class size. Materialized: external callers may consume it more
+    than once."""
     if length < 1:
         raise ValueError("length must be >= 1")
     k = _required_pow(length)
@@ -241,19 +250,12 @@ def substring_classes(docs: DataFrame, length: int) -> DataFrame:
 
 def _merge_spans(cls: DataFrame, length: int) -> DataFrame:
     """Merged per-document intervals covered by corpus-duplicated
-    ``length``-char windows, from a class table. Interval merge is a
-    per-document gaps-and-islands window (doc-bounded partitions, the
-    q119 class)."""
-    # groupBy + join rather than a count-over-class window: a stop-word
-    # class holds a large fraction of the corpus, and the partial
-    # aggregate combines map-side where a window partition cannot
-    dup = (
-        cls.groupBy("cls")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .select("cls")
-    )
-    starts = cls.join(dup, "cls").select("doc_id", "pos")
+    ``length``-char windows, from a class table carrying ``cls_n``
+    (the class size ``_representative`` attaches). Dup detection is a
+    row-local filter — no re-aggregation of the position table.
+    Interval merge is a per-document gaps-and-islands window
+    (doc-bounded partitions, the q119 class)."""
+    starts = cls.filter(F.col("cls_n") > 1).select("doc_id", "pos")
     doc_w = W.partitionBy("doc_id").orderBy("pos")
     run_w = doc_w.rowsBetween(W.unboundedPreceding, -1)
     islands = (
@@ -283,7 +285,13 @@ def duplicated_span_intervals(docs: DataFrame, length: int) -> DataFrame:
     some substring of ``length`` chars that occurs more than once in the
     corpus (any document, including the same one) — q119's Lee-et-al
     semantics generalized onto the class structure."""
-    return _merge_spans(substring_classes(docs, length), length)
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    k = _required_pow(length)
+    levels = _class_levels(docs, min(_SEED_POW, k), k, keep={k})
+    return _merge_spans(
+        _classes_from_levels(levels, length, materialize=False), length
+    )
 
 
 def duplicated_span_intervals_multi(
@@ -322,7 +330,7 @@ def duplicated_span_intervals_multi(
     out = None
     for length in uniq:
         spans = _merge_spans(
-            _classes_from_levels(levels, length), length
+            _classes_from_levels(levels, length, materialize=False), length
         ).select(
             F.lit(length).cast("long").alias("span_len"),
             "doc_id",
