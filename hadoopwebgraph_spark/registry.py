@@ -447,6 +447,46 @@ _DRIVER_GREEN.update(
 )
 
 
+# Round 14's driver window: CORRECTNESS_r14.json, 50/50 hash-exact — the
+# first window with ZERO rows-only entries (the two r14 registrations
+# q163/q164 plus the 48 oldest round-10 names). Post-stamp composition
+# (scripts/gen_driver_green_stamp.py): {11: 50} — round 15's window is
+# exactly the 50 round-11 names with zero spare slots, so every r15
+# registration (stamp 0 sorts first) displaces one round-11 name's
+# re-verification by a round. r15 spends exactly two slots on the staged
+# g44/q165 pairs (VERDICT r14 items #2/#4).
+_DRIVER_GREEN.update(
+    {
+        name: 14
+        for name in (
+            "g01_adjacency g02_degree_distribution g03_edges "
+            "g04_indegree_topk g05_two_hop g06_triangle_motif "
+            "g07_graph_counts g08_symmetrize g09_src_range_scan "
+            "g33_random_walks g36_double_sweep_diameter g37_ktruss "
+            "g38_topo_levels g39_weighted_sssp g40_gap_histogram "
+            "g41_subgraph_renumber g42_triad_census "
+            "g43_maximal_independent_set q133_phash_neardup "
+            "q134_dedup_keep_best q135_rh_lsh_embedding "
+            "q136_sessionize q137_inverted_index q138_pmi_cooccur "
+            "q139_leakage_safe_split q140_unigram_logprob "
+            "q141_centrality_weighted_corpus "
+            "q142_prefix_jaccard_join q143_heavy_hitters "
+            "q144_winnow_fingerprint q145_winnow_overlap_pairs "
+            "q146_token_budget_select "
+            "q147_containment_decontaminate q148_audio_fingerprint "
+            "q149_global_sales_opportunity q150_bm25_topk "
+            "q151_waiting_suppliers q152_customer_distribution "
+            "q153_large_volume_customer q154_curation_pipeline "
+            "q163_suffix_span_dedup q164_xor_filter_join "
+            "q48_inmemory_scan q49_collect_agg "
+            "q56_shipping_priority q57_local_supplier_volume "
+            "q58_pure_theta q97_jpeg_decode q98_decontaminate "
+            "q99_pii_scrub"
+        ).split()
+    }
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     # Never-verified first (round 0), then oldest-verified, name as tiebreak.
