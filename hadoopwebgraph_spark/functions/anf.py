@@ -47,6 +47,29 @@ K_DEFAULT = 64
 _SCALE = 1 << 40  # md5 40-bit hash space, the q160 theta discipline
 
 
+class AnfLevels(list):
+    """Sketch levels ``[S_0 .. S_T]`` carrying the ``k`` they were built
+    with. k is a structural parameter of the sketches, not a free query
+    knob: propagating or reading levels at a different k silently
+    truncates at the wrong bound and produces WRONG (not merely less
+    precise) levels and estimates (ADVICE r14) — so every consumer
+    validates its k argument against this attribute."""
+
+    def __init__(self, levels, k: int):
+        super().__init__(levels)
+        self.k = int(k)
+
+
+def _check_k(levels, k: int, where: str) -> None:
+    lk = getattr(levels, "k", None)
+    if lk is not None and lk != k:
+        raise ValueError(
+            f"{where}: levels were built with k={lk}, got k={k} — a "
+            "mismatched truncation bound produces wrong levels, not a "
+            "coarser approximation"
+        )
+
+
 def node_hash(col: Column) -> Column:
     """The member hash: first 40 md5 bits of 'anf-<node>' plus one, as
     a bigint in [1, 2^40] (the +1 keeps the kth-smallest divisor
@@ -112,7 +135,7 @@ def _gather(sketches: DataFrame, edges: DataFrame) -> DataFrame:
 
 def ball_sketches(
     edges: DataFrame, hops: int, k: int = K_DEFAULT
-) -> list[DataFrame]:
+) -> AnfLevels:
     """Batch build: [S_0 .. S_hops], each level checkpointed (levels are
     consumed twice — by the next hop and by the curve read-out — and
     the hop loop is the repo's standard lineage-truncated iteration)."""
@@ -123,7 +146,7 @@ def ball_sketches(
         # S_t(v) = truncate_k(S_{t-1}(v) ∪ ⊔_{u->v} S_{t-1}(u))
         contrib = prev.select("node", "h").union(_gather(prev, e))
         levels.append(_topk(contrib, k).localCheckpoint(eager=True))
-    return levels
+    return AnfLevels(levels, k)
 
 
 def anf_curve_from_levels(
@@ -134,6 +157,7 @@ def anf_curve_from_levels(
     exact-integer KMV estimate (k-1)*2^40 div kth-smallest-hash. All
     arithmetic is int64 on both engines (no float ties by
     construction)."""
+    _check_k(levels, k, "anf_curve_from_levels")
     outs = []
     for t, s in enumerate(levels):
         per_node = s.groupBy("node").agg(
@@ -168,7 +192,7 @@ def anf_delta_update(
     old_edges: DataFrame,
     new_edges: DataFrame,
     k: int = K_DEFAULT,
-) -> list[DataFrame]:
+) -> AnfLevels:
     """Exact incremental update of [S_0 .. S_T] after adding
     ``new_edges`` to ``old_edges``: returns the levels of the UNION
     graph without re-running the full hop loop.
@@ -222,6 +246,7 @@ def anf_delta_update(
     through the candidate union. At scale, keep the accumulated edges
     as a bucketed-by-src table so that semi-join co-locates.
     """
+    _check_k(levels_old, k, "anf_delta_update")
     e_old = old_edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -270,12 +295,12 @@ def anf_delta_update(
                 levels_old[t].join(touched, "node", "left_anti")
             ).localCheckpoint(eager=True)
         )
-    return levels_new
+    return AnfLevels(levels_new, k)
 
 
 def anf_over_batches(
     batches: list[DataFrame], hops: int, k: int = K_DEFAULT
-) -> list[DataFrame]:
+) -> AnfLevels:
     """Fold :func:`anf_delta_update` over edge batches (the streaming
     twin's per-micro-batch body): batch 0 seeds the levels with a full
     build, every later batch delta-propagates. The result levels are

@@ -335,8 +335,18 @@ def compact_snapshot(
         "overwrite"
     ).parquet(stage)
     rows = spark.read.parquet(stage).count()
+    # marker = TRANSITIVE closure (ADVICE r14): a fold that folds a prior
+    # fold deletes that fold's dir below, so naming only its negative id
+    # would drop the positive ids IT covered from _all_covered_ids — and
+    # publish_partition's checkpoint-reset guard would silently stop
+    # catching resets to those oldest ids (the reset batch would publish,
+    # be read alongside the fold, and double-count partials).
+    covers: set[int] = set(fold_ids)
+    for i in fold_ids:
+        if i < 0:
+            covers.update(_covered_ids(by_id[i]) or [])
     with open(os.path.join(stage, _COVERS), "w") as f:
-        json.dump({"covers": fold_ids}, f)
+        json.dump({"covers": sorted(covers)}, f)
     os.rename(stage, os.path.join(snapshot_dir, f"batch_id={new_id}"))
     for path in live:
         shutil.rmtree(path, ignore_errors=True)

@@ -144,6 +144,21 @@ def test_delta_update_equals_recompute(spark, seed, k):
     assert _levels_as_sets(got) == _levels_as_sets(want)
 
 
+def test_mismatched_k_raises(spark):
+    """ADVICE r14: levels carry their build k (AnfLevels.k); consuming
+    them at a different k would truncate at the wrong bound and produce
+    WRONG levels/estimates — it must fail loudly, not approximate."""
+    e = _edges_df(spark, GRAPHS["star"])
+    levels = ball_sketches(e, 2, 64)
+    assert levels.k == 64
+    with pytest.raises(ValueError, match="built with k=64"):
+        anf_delta_update(levels, e, e, k=32)
+    with pytest.raises(ValueError, match="built with k=64"):
+        anf_curve_from_levels(levels, k=32)
+    # delta-updated levels inherit the stamp
+    assert anf_delta_update(levels, e, e, k=64).k == 64
+
+
 def test_delta_update_new_nodes_appear_mid_stream(spark):
     """Nodes first seen in a later batch get seeded and propagate —
     the changed_0 = fresh-nodes path."""

@@ -43,6 +43,31 @@ def test_checkpoint_reset_into_compacted_snapshot_raises(spark, tmp_path):
     assert got == [1, 2, 3, 4, 5]
 
 
+def test_reset_guard_survives_fold_of_fold(spark, tmp_path):
+    """ADVICE r14: the SECOND compaction folds the first fold's negative
+    dir and deletes it — the new marker must carry the positive ids that
+    fold covered (transitive closure), or a checkpoint reset to the
+    OLDEST ids slips past the guard, publishes, and double-counts."""
+    from hadoopwebgraph_spark.functions.snapshot_util import (
+        _all_covered_ids,
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    for i, v in enumerate([1, 2, 3]):
+        _publish(spark, snap, i, [v])
+    compact_snapshot(spark, snap)  # folds 0,1 -> batch_id=-1
+    _publish(spark, snap, 3, [4])
+    compact_snapshot(spark, snap)  # folds -1,2 -> -2; deletes -1's dir
+    assert _all_covered_ids(snap) == {-1, 0, 1, 2}
+    for stale in (0, 1, 2):
+        with pytest.raises(ValueError, match="checkpoint was reset"):
+            _publish(spark, snap, stale, [99])
+    got = sorted(r.v for r in read_snapshot(spark, snap).collect())
+    assert got == [1, 2, 3, 4]
+
+
 def test_tail_batch_crash_replay_survives_compaction(spark, tmp_path):
     """The legitimate replay: publish(N) landed but the checkpoint
     never committed N, the operator compacts during the downtime, the
