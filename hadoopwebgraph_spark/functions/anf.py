@@ -40,8 +40,10 @@ full hop loop per micro-batch re-shuffles every sketch ever built.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+from ..registry import register
 
 K_DEFAULT = 64
 _SCALE = 1 << 40  # md5 40-bit hash space, the q160 theta discipline
@@ -319,3 +321,79 @@ def anf_over_batches(
         # avoid (review r14)
         acc = acc.union(nb).localCheckpoint(eager=True)
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Registered driver gate (round 15; the pair was staged + validated as
+# tests/test_anf.py's dry-run in round 14). Same <400-node fixture
+# subgraph as g26/g27, but unlike those HLL gates — which are
+# hash-exact only in the sparse-exact sketch regime — the bottom-k
+# estimator is exact-INTEGER at every regime: exactly |ball| below k,
+# else (k-1)*2^40 div kth-smallest-hash, bit-identical in DuckDB. Both
+# estimator branches are exercised at hops=3 (max in-ball 385 > k=64).
+# hops=3 rather than 4 budgets the gate (VERDICT r14 #2): the curve at
+# 400 nodes is stage-floor-bound, ~16s cold / ~6s warm at sf0.01.
+# ---------------------------------------------------------------------------
+
+_G44_CAP = 400
+_G44_HOPS = 3
+_G44_K = 64
+
+
+def _g44_oracle() -> str:
+    from ..queries.graph import _T
+
+    return f"""
+    WITH RECURSIVE
+    e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    f AS (SELECT DISTINCT src, dst FROM e0
+          WHERE src < {_G44_CAP} AND dst < {_G44_CAP} AND src <> dst),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM f UNION SELECT dst FROM f)),
+    reach(root, node, d) AS MATERIALIZED (
+        SELECT node, node, 0 FROM n
+        UNION
+        SELECT r.root, f.dst, r.d + 1 FROM reach r
+        JOIN f ON f.src = r.node WHERE r.d < {_G44_HOPS}
+    ),
+    md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node),
+    hh AS (SELECT root, node, d, {_hash_sql('root')} AS h FROM md),
+    ts AS (SELECT unnest(range(0, {_G44_HOPS + 1})) AS t),
+    memb AS (SELECT ts.t, hh.node AS v, hh.h FROM hh JOIN ts ON hh.d <= ts.t),
+    rk AS (SELECT t, v, h,
+                  row_number() OVER (PARTITION BY t, v ORDER BY h) AS r,
+                  count(*) OVER (PARTITION BY t, v) AS cnt
+           FROM memb),
+    pn AS (SELECT t, v, max(cnt) AS cnt,
+                  max(CASE WHEN r = {_G44_K} THEN h END) AS kth
+           FROM rk GROUP BY t, v)
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(sum(CASE WHEN cnt < {_G44_K} THEN cnt
+                         ELSE ({_G44_K} - 1) * {_SCALE} // kth END)
+                AS BIGINT) AS n_scaled
+    FROM pn GROUP BY t
+    """
+
+
+@register(
+    "g44_anf_curve",
+    oracle=_g44_oracle(),
+    doc="Bottom-k (KMV) approximate neighborhood function N(t) "
+    "(Palmer-Gibbons-Faloutsos ANF 2002, bottom-k estimator per "
+    "Cohen-Kaplan 2007) on the <400-node fixture subgraph: ball "
+    "sketches as plain (node, h) rows — the k smallest distinct member "
+    "hashes — grown one edge join + per-node top-k per hop. Exact "
+    "integer estimates on BOTH engines (exactly |ball| below k, else "
+    "the exact-integer KMV formula), so the gate hash-matches a "
+    "recursive-CTE BFS oracle at EVERY sketch regime, unlike the HLL "
+    "gates g26/g27 which need the sparse-exact restriction. The same "
+    "module's anf_delta_update gives this operator an exactly- "
+    "incremental streaming twin under edge additions (tests/test_anf).",
+)
+def g44_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph import edges_df
+
+    e = edges_df(spark).filter(
+        (F.col("src") < _G44_CAP) & (F.col("dst") < _G44_CAP)
+    )
+    return anf_curve(e, _G44_HOPS, _G44_K)

@@ -447,3 +447,29 @@ def q164_xor_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
     return xor_filter_join(li, "l_suppkey", sup, "s_suppkey")
+
+
+# registered operator (round 15; the pair below was staged + validated
+# as tests/test_filters.py::Q165_ORACLE in round 14). Same contract as
+# q164 — oracle = the PLAIN semi-join — on a different fact/build pair
+# so the two succinct-filter gates don't share a cached scan.
+@register(
+    "q165_fuse_filter_join",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    )
+    """,
+    doc="Semi-join of orders to high-balance customers through a "
+    "broadcast 8-bit binary fuse filter (Graf-Lemire JEA 2022; ~9.1 "
+    "bits/key at 100k keys vs the xor filter's ~9.84+, same ~0.39% FP "
+    "and the same three-XOR membership probe): non-matching fact rows "
+    "drop at the scan site via an Arrow-batched numpy probe BEFORE the "
+    "shuffle, then the exact semi-join removes false positives on the "
+    "survivors — the filter can never change the answer.",
+)
+def q165_fuse_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000)
+    return fuse_filter_join(o, "o_custkey", c, "c_custkey")

@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
     from .functions import search  # noqa: F401
     from .functions import suffixes  # noqa: F401
     from .functions import filters  # noqa: F401
+    from .functions import anf  # noqa: F401
 
 
 # Queries with a green driver CORRECTNESS row in a past round, by round.

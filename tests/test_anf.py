@@ -274,66 +274,16 @@ def test_anf_single_partition_parents_are_final_aggregates(spark):
     assert all(p in aggs for p in parents), (parents, plan)
 
 
-# ---------------------------------------------------------------------------
-# r15 registration dry-run: the exact (query_fn, oracle_sql) pair a
-# future @register("g44_anf_curve", ...) would use, validated through
-# the same compare harness the driver's t2 loop replicates. Runs on the
-# <400-node fixture subgraph (the g26/g27 cap) with k=64 < max ball
-# size, so BOTH estimator branches (exact-below-k and the KMV integer
-# estimate) are exercised and hash-matched.
-# ---------------------------------------------------------------------------
+# The r14-staged dry-run pair was promoted to @register("g44_anf_curve")
+# in round 15 (functions/anf.py, hops=3 to budget the gate — both
+# estimator branches still exercised: max in-ball 385 > k=64). The
+# registry entry is the single source of truth; the full-registry
+# parity sweep and the driver's t2 loop run it.
+def test_g44_registered_pair_parity(spark, sf_small):
+    from hadoopwebgraph_spark.registry import all_queries
 
-_CAP = 400
-_T_HOPS = 4
-_K = 64
-
-
-def _g44_oracle() -> str:
-    from hadoopwebgraph_spark.functions.anf import _SCALE, _hash_sql
-    from hadoopwebgraph_spark.queries.graph import _T
-
-    return f"""
-    WITH RECURSIVE
-    e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
-    f AS (SELECT DISTINCT src, dst FROM e0
-          WHERE src < {_CAP} AND dst < {_CAP} AND src <> dst),
-    n AS (SELECT DISTINCT node FROM
-          (SELECT src AS node FROM f UNION SELECT dst FROM f)),
-    reach(root, node, d) AS MATERIALIZED (
-        SELECT node, node, 0 FROM n
-        UNION
-        SELECT r.root, f.dst, r.d + 1 FROM reach r
-        JOIN f ON f.src = r.node WHERE r.d < {_T_HOPS}
-    ),
-    md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node),
-    hh AS (SELECT root, node, d, {_hash_sql('root')} AS h FROM md),
-    ts AS (SELECT unnest(range(0, {_T_HOPS + 1})) AS t),
-    memb AS (SELECT ts.t, hh.node AS v, hh.h FROM hh JOIN ts ON hh.d <= ts.t),
-    rk AS (SELECT t, v, h,
-                  row_number() OVER (PARTITION BY t, v ORDER BY h) AS r,
-                  count(*) OVER (PARTITION BY t, v) AS cnt
-           FROM memb),
-    pn AS (SELECT t, v, max(cnt) AS cnt,
-                  max(CASE WHEN r = {_K} THEN h END) AS kth
-           FROM rk GROUP BY t, v)
-    SELECT CAST(t AS BIGINT) AS t,
-           CAST(sum(CASE WHEN cnt < {_K} THEN cnt
-                         ELSE ({_K} - 1) * {_SCALE} // kth END) AS BIGINT)
-               AS n_scaled
-    FROM pn GROUP BY t
-    """
-
-
-def _g44_anf_curve(spark, sf_dir):
-    from hadoopwebgraph_spark.queries.graph import edges_df
-
-    e = edges_df(spark).filter(
-        (F.col("src") < _CAP) & (F.col("dst") < _CAP)
-    )
-    return anf_curve(e, _T_HOPS, _K)
-
-
-def test_g44_draft_oracle_parity(spark, sf_small):
     from tests.oracle_util import compare
 
-    compare(spark, sf_small, "g44_draft", _g44_anf_curve, _g44_oracle())
+    q = all_queries()["g44_anf_curve"]
+    assert q.oracle is not None
+    compare(spark, sf_small, q.name, q.fn, q.oracle)

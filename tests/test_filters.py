@@ -209,26 +209,36 @@ def test_fuse_filter_join_equals_plain_semijoin(spark, sf_small):
     assert got.count() == want.count() > 0
 
 
-# r15 registration dry-run (same contract as q164: the oracle is the
-# PLAIN semi-join — the fuse filter provably cannot change the answer).
-Q165_ORACLE = """
-SELECT * FROM orders
-WHERE o_custkey IN (
-    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
-)
-"""
+# The r14-staged dry-run pair was promoted to
+# @register("q165_fuse_filter_join") in round 15 — the registry entry is
+# the single source of truth (oracle = the PLAIN semi-join).
+def test_q165_registered_pair_parity(spark, sf_small):
+    from hadoopwebgraph_spark.registry import all_queries
 
-
-def _q165_fuse_join(spark, sf_dir):
-    from hadoopwebgraph_spark.catalog import load
-    from hadoopwebgraph_spark.functions.filters import fuse_filter_join
-
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000)
-    return fuse_filter_join(o, "o_custkey", c, "c_custkey")
-
-
-def test_q165_draft_oracle_parity(spark, sf_small):
     from tests.oracle_util import compare
 
-    compare(spark, sf_small, "q165_draft", _q165_fuse_join, Q165_ORACLE)
+    q = all_queries()["q165_fuse_filter_join"]
+    assert q.oracle is not None
+    compare(spark, sf_small, q.name, q.fn, q.oracle)
+
+
+def test_q165_fuse_probe_sits_below_the_join(spark, sf_small):
+    """Census pin for the registered fuse gate (VERDICT r14 #4): the
+    Arrow-batched membership probe runs on the scan side, BELOW the
+    verify semi-join — rows drop before the join's exchange."""
+    from hadoopwebgraph_spark.registry import all_queries
+
+    df = all_queries()["q165_fuse_filter_join"].fn(spark, sf_small)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan
+    head = plan.split("\n\n")[0]
+    join_line = next(
+        i for i, l in enumerate(head.splitlines()) if "LeftSemi" in l
+    )
+    udf_lines = [
+        i for i, l in enumerate(head.splitlines()) if "ArrowEvalPython" in l
+    ]
+    assert udf_lines and all(i > join_line for i in udf_lines)
+    assert "SinglePartition" not in plan
