@@ -115,8 +115,49 @@ EXTRA_DETAIL_PRE = [
 EXTRA_DETAIL_POST = [
     "q163_suffix_span_dedup",
     "q164_xor_filter_join",
+    "q165_fuse_filter_join",
 ]
 
+# Low-variance cross-round anchor (VERDICT r14 #3a): the entries whose
+# best-of-2 numbers stayed within ~1.25x across BENCH_r12-r14 — three
+# rounds in which the loaded host flipped other entries 2-5x on
+# untouched code. Their subtotal is printed as stable_block_sec on the
+# stdout line so cross-round grading has a burst-resistant signal even
+# when a steal burst contaminates individual entries. FROZEN list: the
+# anchor is only comparable across rounds if its membership never
+# chases later variance measurements.
+STABLE_BLOCK = [
+    "gXL_graph_scan",
+    "gXL_degree_hist",
+    "gXL_sink_write",
+    "g25_host_graph",
+    "q03_join_inner",
+    "q20_window_topk_per_group",
+    "q36_array_fns",
+    "q37_json_fns",
+    "q50_tumbling_window",
+    "q52_session_window",
+    "q55_asof_join",
+    "q56_shipping_priority",
+    "q76_sim_opq_topk",
+    "q97_jpeg_decode",
+    "q102_stream_stream_join",
+    "q105_quality_filter",
+    "q108_gif_frame_sample",
+    "q109_zorder_curve",
+    "q118_bloom_filter_join",
+    "q119_substring_dedup",
+    "q121_weighted_sample",
+    "q130_ngram_counts",
+    "q132_chunk_documents",
+]
+
+# The two >5s graph entries get one extra attempt (VERDICT r14 #3b):
+# each is the single largest variance exposure in the headline total
+# (gB_hyperanf swung 7.8->47s between judge runs on identical code) and
+# one steal burst otherwise dominates the cross-round comparison.
+# Bounded cost: ~25s worst-case added on a quiet host.
+BEST_OF_3 = {"gB_hyperanf_3hop", "g33_random_walks"}
 
 
 def _check_nonneg(n):
@@ -125,14 +166,15 @@ def _check_nonneg(n):
 
 def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
     """The one measurement protocol (review r12: three near-copies had
-    drifted): record loadavg, run twice taking the min, capture the
-    first run as cold, record after EACH success (a transient retry
-    failure must not discard a measurement we already have), and skip
-    the second run past 10s so an expensive query doesn't double the
-    bench budget. ``check(result)`` may assert sanity on each run."""
+    drifted): record loadavg, run twice (three times for the BEST_OF_3
+    long graph entries) taking the min, capture the first run as cold,
+    record after EACH success (a transient retry failure must not
+    discard a measurement we already have), and skip further runs past
+    10s so an expensive query doesn't double the bench budget.
+    ``check(result)`` may assert sanity on each run."""
     try:
         loads[name] = round(os.getloadavg()[0], 1)
-        for run in range(2):
+        for run in range(3 if name in BEST_OF_3 else 2):
             t0 = time.perf_counter()
             result = run_once()
             dt = time.perf_counter() - t0
@@ -462,6 +504,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        # burst-resistant cross-round anchor: subtotal of the frozen
+        # STABLE_BLOCK entries. null when ANY block entry failed to
+        # measure — a silently-shrunken subtotal would read as a perf
+        # win exactly when something broke
+        "stable_block_sec": (
+            round(sum(timings[n] for n in STABLE_BLOCK), 3)
+            if all(n in timings for n in STABLE_BLOCK)
+            else None
+        ),
         **scan_stats,
     }
     if errors:

@@ -42,6 +42,7 @@ def _worst_case_line(n_failed: int = 0) -> str:
         "unit": "sec",
         "queries": queries,
         "sf": 0.1,
+        "stable_block_sec": 99999.999,
         "graph_scan_arcs_per_sec": 999_999_999,
         "graph_scan_partition_invariant": False,
     }
@@ -64,6 +65,14 @@ def test_bench_stdout_line_fits_driver_capture():
         "move fields to bench_detail.json or trim HEADLINE before adding "
         "more entries"
     )
+
+
+def test_stable_block_members_are_measured_entries():
+    """Every STABLE_BLOCK name must be an entry bench.py actually times
+    (HEADLINE or the scan/sink scalars) — a stale member would make
+    stable_block_sec permanently null, killing the cross-round anchor."""
+    measured = set(bench.HEADLINE) | set(_NON_REGISTRY_ENTRIES)
+    assert set(bench.STABLE_BLOCK) <= measured
 
 
 def test_bench_stdout_line_with_errors_stays_parseable():
