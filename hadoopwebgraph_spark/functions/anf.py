@@ -300,6 +300,101 @@ def anf_delta_update(
     return AnfLevels(levels_new, k)
 
 
+def anf_streaming_curve(
+    edges: DataFrame,
+    hops: int,
+    k: int = K_DEFAULT,
+    n_batches: int = 3,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """The ANF curve computed by DRIVING a real Structured Streaming
+    query: the edge set is carved into ``n_batches`` deterministic
+    micro-batches (xxhash64 partition — any carve is correct, see
+    below), staged as parquet files under a watch dir, and ingested by
+    a file-source ``readStream`` whose ``foreachBatch`` body is exactly
+    :func:`anf_over_batches`' fold — full build on the first batch,
+    :func:`anf_delta_update` on every later one.
+
+    Correctness does not depend on the carve or on micro-batch
+    boundaries: the delta update is row-identical to a full rebuild
+    over the union graph (the semilattice argument in
+    :func:`anf_delta_update`), so ANY partition of the edges — however
+    Spark's file source groups them — yields the same final levels.
+    That is what makes this registrable as a hash-oracled gate even
+    though it drives a stream: the oracle is the same recursive-CTE
+    BFS the batch gate uses.
+
+    The returned curve reads only the localCheckpoint'ed final levels,
+    so it stays valid after the temp watch dir is removed (the caller
+    collects AFTER this function returns)."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = edges.sparkSession
+    e = _norm_edges(edges).localCheckpoint(eager=True)
+    own = work_dir is None
+    work = work_dir or tempfile.mkdtemp(prefix="anf-stream-")
+    inc = os.path.join(work, "incoming")
+    os.makedirs(inc, exist_ok=True)
+    try:
+        # one parquet file per logical batch so maxFilesPerTrigger=1
+        # gives exactly n_batches micro-batches (boundaries don't
+        # affect the answer, but the gate should exercise >1 delta)
+        for i in range(n_batches):
+            e.filter(
+                F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches)) == i
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(work, f"stage{i}")
+            )
+            part = [
+                f
+                for f in os.listdir(os.path.join(work, f"stage{i}"))
+                if f.endswith(".parquet")
+            ]
+            for j, f in enumerate(sorted(part)):
+                shutil.copy(
+                    os.path.join(work, f"stage{i}", f),
+                    os.path.join(inc, f"b{i}-{j}.parquet"),
+                )
+
+        state: dict = {}
+
+        def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+            nb = _norm_edges(batch_df).localCheckpoint(eager=True)
+            if "levels" not in state:
+                state["levels"] = ball_sketches(nb, hops, k)
+                state["acc"] = nb
+            else:
+                state["levels"] = anf_delta_update(
+                    state["levels"], state["acc"], nb, k
+                )
+                # no distinct: anf_delta_update tolerates duplicate old
+                # edges (see anf_over_batches)
+                state["acc"] = (
+                    state["acc"].union(nb).localCheckpoint(eager=True)
+                )
+
+        q = (
+            spark.readStream.schema("src long, dst long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inc)
+            .writeStream.foreachBatch(one_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if "levels" not in state:
+            raise RuntimeError(
+                "anf_streaming_curve: the stream ingested no batches"
+            )
+        return anf_curve_from_levels(state["levels"], k)
+    finally:
+        if own:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def anf_over_batches(
     batches: list[DataFrame], hops: int, k: int = K_DEFAULT
 ) -> AnfLevels:
@@ -397,3 +492,26 @@ def g44_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("src") < _G44_CAP) & (F.col("dst") < _G44_CAP)
     )
     return anf_curve(e, _G44_HOPS, _G44_K)
+
+
+# ---------------------------------------------------------------------------
+# STAGED for round 16 (the r15 window had zero spare slots; registering
+# displaces a stale name's re-verification — VERDICT r14's rotation
+# note). g45 is g44's streaming twin as a GATE: the query fn itself
+# drives a real foreachBatch stream over a temp watch dir — a shape no
+# current gate has — yet stays fully hash-oracled because the delta
+# update is row-identical to the batch rebuild, so the SAME recursive-
+# CTE oracle certifies it. Dry-run pair validated in
+# tests/test_anf.py::test_g45_staged_streaming_gate_pair.
+# ---------------------------------------------------------------------------
+
+_G45_BATCHES = 3
+
+
+def g45_anf_stream_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph import edges_df
+
+    e = edges_df(spark).filter(
+        (F.col("src") < _G44_CAP) & (F.col("dst") < _G44_CAP)
+    )
+    return anf_streaming_curve(e, _G44_HOPS, _G44_K, _G45_BATCHES)

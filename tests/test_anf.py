@@ -237,6 +237,36 @@ def test_streaming_foreachbatch_twin(spark, tmp_path):
     assert got == want
 
 
+def test_g45_staged_streaming_gate_pair(spark, sf_small):
+    """Dry-run oracle pair for the STAGED r16 gate (VERDICT r14 #8):
+    g45 drives a real foreachBatch stream inside the query fn and must
+    hash-match the SAME recursive-CTE oracle as the batch gate g44 —
+    the delta update's rebuild-identity makes micro-batch boundaries
+    invisible to the result."""
+    from hadoopwebgraph_spark.functions.anf import (
+        _g44_oracle,
+        g45_anf_stream_curve,
+    )
+    from tests.oracle_util import compare
+
+    compare(
+        spark, sf_small, "g45_anf_stream_curve",
+        g45_anf_stream_curve, _g44_oracle(),
+    )
+
+
+def test_anf_streaming_curve_carve_independence(spark):
+    """anf_streaming_curve at a different batch count returns the same
+    rows — the carve-independence claim its docstring registers on."""
+    from hadoopwebgraph_spark.functions.anf import anf_streaming_curve
+
+    e = _edges_df(spark, GRAPHS["chain+cycle"] + [(5, 2), (0, 4)])
+    got2 = sorted(map(tuple, anf_streaming_curve(e, 2, 64, 2).collect()))
+    got5 = sorted(map(tuple, anf_streaming_curve(e, 2, 64, 5).collect()))
+    want = sorted(map(tuple, anf_curve(e, 2, 64).collect()))
+    assert got2 == want and got5 == want
+
+
 def test_anf_single_partition_parents_are_final_aggregates(spark):
     """The q77-class scale pin, done the audit script's way (the naive
     'no SinglePartition in the tree slice' assertion was vacuous —
