@@ -170,7 +170,9 @@ def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
     long graph entries) taking the min, capture the first run as cold,
     record after EACH success (a transient retry failure must not
     discard a measurement we already have), and skip further runs past
-    10s so an expensive query doesn't double the bench budget.
+    10s so an expensive query doesn't double the bench budget —
+    except that a BEST_OF_3 entry gets one retry after a >10s run 0
+    (a burst-inflated first run was the motivating scenario).
     ``check(result)`` may assert sanity on each run."""
     try:
         loads[name] = round(os.getloadavg()[0], 1)
@@ -184,7 +186,15 @@ def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
                 cold[name] = round(dt, 3)
             timings[name] = round(min(dt, timings.get(name, dt)), 3)
             if dt > 10.0:
-                break
+                # BEST_OF_3 exists precisely because a steal burst can
+                # inflate run 0 past 10s (review r15: exiting on run 0
+                # gave those entries zero retries in exactly the
+                # scenario the extra attempt was added for) — allow ONE
+                # retry so a transient burst gets a second chance, but
+                # never a third slow run (bounded budget on a genuinely
+                # loaded host: 2 runs max once any run exceeds 10s).
+                if run >= 1 or name not in BEST_OF_3:
+                    break
     except Exception as exc:  # noqa: BLE001 — record and continue
         if name not in timings:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]

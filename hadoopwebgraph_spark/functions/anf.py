@@ -61,8 +61,19 @@ class AnfLevels(list):
         super().__init__(levels)
         self.k = int(k)
 
+    def __getitem__(self, item):
+        # slices keep the stamp (plain list slicing would strip the
+        # subclass and silently bypass _check_k — review r15); scalar
+        # indexing returns the DataFrame as usual
+        out = super().__getitem__(item)
+        return AnfLevels(out, self.k) if isinstance(item, slice) else out
+
 
 def _check_k(levels, k: int, where: str) -> None:
+    """Best-effort: a plain list (no ``k`` attribute) passes unchecked —
+    the guard protects the in-repo paths, which always carry AnfLevels
+    (and slices preserve the stamp); hand-built level lists are the
+    caller's contract."""
     lk = getattr(levels, "k", None)
     if lk is not None and lk != k:
         raise ValueError(
@@ -300,6 +311,24 @@ def anf_delta_update(
     return AnfLevels(levels_new, k)
 
 
+def _fold_batch(
+    state: dict, batch: DataFrame, hops: int, k: int
+) -> None:
+    """The ONE per-batch fold body (seed-on-first, else delta-update
+    then accumulate without a distinct — see :func:`anf_over_batches`),
+    shared by the list fold and the foreachBatch streaming gate so the
+    rebuild-identity invariant lives in one place (review r15)."""
+    nb = _norm_edges(batch).localCheckpoint(eager=True)
+    if "levels" not in state:
+        state["levels"] = ball_sketches(nb, hops, k)
+        state["acc"] = nb
+    else:
+        state["levels"] = anf_delta_update(
+            state["levels"], state["acc"], nb, k
+        )
+        state["acc"] = state["acc"].union(nb).localCheckpoint(eager=True)
+
+
 def anf_streaming_curve(
     edges: DataFrame,
     hops: int,
@@ -325,16 +354,22 @@ def anf_streaming_curve(
     BFS the batch gate uses.
 
     The returned curve reads only the localCheckpoint'ed final levels,
-    so it stays valid after the temp watch dir is removed (the caller
-    collects AFTER this function returns)."""
+    so it stays valid after the workspace is removed (the caller
+    collects AFTER this function returns). ``work_dir`` is only the
+    PARENT to allocate the private workspace under (e.g. a test's
+    tmp_path); the workspace itself is always fresh and always removed."""
     import os
     import shutil
     import tempfile
 
     spark = edges.sparkSession
     e = _norm_edges(edges).localCheckpoint(eager=True)
-    own = work_dir is None
-    work = work_dir or tempfile.mkdtemp(prefix="anf-stream-")
+    # ALWAYS a fresh private dir (under work_dir if given): the file
+    # source tracks seen files by PATH in the checkpoint, so reusing a
+    # dir would silently skip overwritten batch files and ingest any
+    # leftovers as edges (review r15) — a stale workspace must be
+    # impossible, not merely documented against.
+    work = tempfile.mkdtemp(prefix="anf-stream-", dir=work_dir)
     inc = os.path.join(work, "incoming")
     os.makedirs(inc, exist_ok=True)
     try:
@@ -361,19 +396,7 @@ def anf_streaming_curve(
         state: dict = {}
 
         def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-            nb = _norm_edges(batch_df).localCheckpoint(eager=True)
-            if "levels" not in state:
-                state["levels"] = ball_sketches(nb, hops, k)
-                state["acc"] = nb
-            else:
-                state["levels"] = anf_delta_update(
-                    state["levels"], state["acc"], nb, k
-                )
-                # no distinct: anf_delta_update tolerates duplicate old
-                # edges (see anf_over_batches)
-                state["acc"] = (
-                    state["acc"].union(nb).localCheckpoint(eager=True)
-                )
+            _fold_batch(state, batch_df, hops, k)
 
         q = (
             spark.readStream.schema("src long, dst long")
@@ -391,8 +414,7 @@ def anf_streaming_curve(
             )
         return anf_curve_from_levels(state["levels"], k)
     finally:
-        if own:
-            shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def anf_over_batches(
@@ -405,17 +427,14 @@ def anf_over_batches(
     (equivalence pinned in tests/test_anf.py)."""
     if not batches:
         raise ValueError("anf_over_batches needs at least one batch")
-    acc = _norm_edges(batches[0]).localCheckpoint(eager=True)
-    levels = ball_sketches(acc, hops, k)
-    for b in batches[1:]:
-        nb = _norm_edges(b).localCheckpoint(eager=True)
-        levels = anf_delta_update(levels, acc, nb, k)
-        # accumulate WITHOUT a distinct: anf_delta_update tolerates
-        # duplicate old edges (no-op contributions), and a full-history
-        # dedup shuffle per batch is the cost this operator exists to
-        # avoid (review r14)
-        acc = acc.union(nb).localCheckpoint(eager=True)
-    return levels
+    # accumulation is WITHOUT a distinct: anf_delta_update tolerates
+    # duplicate old edges (no-op contributions), and a full-history
+    # dedup shuffle per batch is the cost this operator exists to
+    # avoid (review r14)
+    state: dict = {}
+    for b in batches:
+        _fold_batch(state, b, hops, k)
+    return state["levels"]
 
 
 # ---------------------------------------------------------------------------

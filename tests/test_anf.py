@@ -157,6 +157,11 @@ def test_mismatched_k_raises(spark):
         anf_curve_from_levels(levels, k=32)
     # delta-updated levels inherit the stamp
     assert anf_delta_update(levels, e, e, k=64).k == 64
+    # slices keep the stamp too (plain list slicing would strip the
+    # subclass and bypass the guard — review r15)
+    assert levels[:2].k == 64
+    with pytest.raises(ValueError, match="built with k=64"):
+        anf_curve_from_levels(levels[:2], k=32)
 
 
 def test_delta_update_new_nodes_appear_mid_stream(spark):
