@@ -200,6 +200,60 @@ def anf_curve(
     return anf_curve_from_levels(ball_sketches(edges, hops, k), k)
 
 
+def harmonic_from_levels(
+    levels: list[DataFrame], k: int = K_DEFAULT
+) -> DataFrame:
+    """(node, h_scaled): truncated harmonic in-centrality off the SAME
+    ball-sketch levels the ANF curve reads — H(v) = Σ_{u≠v} 1/d(u,v)
+    over distances ≤ T, estimated per node as Σ_t (est_t − est_{t−1})/t
+    (Boldi–Vigna's HyperBall centrality read-out, on bottom-k sketches).
+
+    Integer-exact on both engines: the per-level estimates are the
+    exact-integer KMV values (exactly |ball| below k), the level
+    differences are NON-NEGATIVE because the balls are nested and the
+    KMV estimate is monotone in the set (kth-smallest hash can only
+    shrink as the ball grows), and 1/t is cleared by scaling every term
+    with lcm(1..T) — ``h_scaled = Σ_t (est_t − est_{t−1}) · lcm/t``,
+    all int64. Unlike the HLL-based g26 read-out (hash-exact only in
+    the sparse-exact regime), this is hash-oracleable at EVERY sketch
+    regime.
+
+    Plan shape: one groupBy per (node, t) over the tagged level union
+    (bounded by nodes × levels — every node carries its own hash at
+    every level, so the table is dense), then one per-node window for
+    the consecutive-level differences. No corpus-wide sort, no
+    SinglePartition above partial aggregates."""
+    import math
+
+    _check_k(levels, k, "harmonic_from_levels")
+    hops = len(levels) - 1
+    if hops < 1:
+        raise ValueError("harmonic_from_levels needs at least one hop")
+    lcm = math.lcm(*range(1, hops + 1))
+    tagged = None
+    for t, s in enumerate(levels):
+        cur = s.select(F.lit(t).cast("int").alias("t"), "node", "h")
+        tagged = cur if tagged is None else tagged.union(cur)
+    per = tagged.groupBy("node", "t").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("kth")
+    )
+    est = F.when(F.col("cnt") < k, F.col("cnt")).otherwise(
+        F.expr(f"({k} - 1) * {_SCALE} div kth")
+    )
+    w = W.partitionBy("node").orderBy("t")
+    diffs = (
+        per.select("node", "t", est.cast("long").alias("e"))
+        .withColumn("de", F.col("e") - F.lag("e").over(w))
+        .filter(F.col("t") >= 1)
+    )
+    # integer weight: every t in 1..hops divides lcm(1..hops) exactly
+    return diffs.groupBy("node").agg(
+        F.sum(F.col("de") * F.expr(f"{lcm} div t"))
+        .cast("long")
+        .alias("h_scaled")
+    )
+
+
 def anf_delta_update(
     levels_old: list[DataFrame],
     old_edges: DataFrame,
@@ -534,3 +588,64 @@ def g45_anf_stream_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("src") < _G44_CAP) & (F.col("dst") < _G44_CAP)
     )
     return anf_streaming_curve(e, _G44_HOPS, _G44_K, _G45_BATCHES)
+
+
+# ---------------------------------------------------------------------------
+# STAGED for round 16: per-node truncated harmonic in-centrality off the
+# same ball-sketch levels — the bottom-k counterpart of the HLL-based
+# g26 hyperball read-out, hash-oracleable at EVERY sketch regime where
+# g26 needs the sparse-exact restriction. Dry-run pair validated in
+# tests/test_anf.py::test_g46_staged_harmonic_pair.
+# ---------------------------------------------------------------------------
+
+
+def _g46_oracle() -> str:
+    import math
+
+    from ..queries.graph import _T
+
+    lcm = math.lcm(*range(1, _G44_HOPS + 1))
+    return f"""
+    WITH RECURSIVE
+    e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
+    f AS (SELECT DISTINCT src, dst FROM e0
+          WHERE src < {_G44_CAP} AND dst < {_G44_CAP} AND src <> dst),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM f UNION SELECT dst FROM f)),
+    reach(root, node, d) AS MATERIALIZED (
+        SELECT node, node, 0 FROM n
+        UNION
+        SELECT r.root, f.dst, r.d + 1 FROM reach r
+        JOIN f ON f.src = r.node WHERE r.d < {_G44_HOPS}
+    ),
+    md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node),
+    hh AS (SELECT root, node, d, {_hash_sql('root')} AS h FROM md),
+    ts AS (SELECT unnest(range(0, {_G44_HOPS + 1})) AS t),
+    memb AS (SELECT ts.t, hh.node AS v, hh.h FROM hh JOIN ts ON hh.d <= ts.t),
+    rk AS (SELECT t, v, h,
+                  row_number() OVER (PARTITION BY t, v ORDER BY h) AS r,
+                  count(*) OVER (PARTITION BY t, v) AS cnt
+           FROM memb),
+    pn AS (SELECT t, v, max(cnt) AS cnt,
+                  max(CASE WHEN r = {_G44_K} THEN h END) AS kth
+           FROM rk GROUP BY t, v),
+    est AS (SELECT t, v,
+                   CASE WHEN cnt < {_G44_K} THEN cnt
+                        ELSE ({_G44_K} - 1) * {_SCALE} // kth END AS e
+            FROM pn),
+    dd AS (SELECT t, v, e - lag(e) OVER (PARTITION BY v ORDER BY t) AS de
+           FROM est)
+    SELECT v AS node,
+           CAST(sum(de * ({lcm} // t)) AS BIGINT) AS h_scaled
+    FROM dd WHERE t >= 1 GROUP BY v
+    """
+
+
+def g46_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph import edges_df
+
+    e = edges_df(spark).filter(
+        (F.col("src") < _G44_CAP) & (F.col("dst") < _G44_CAP)
+    )
+    levels = ball_sketches(e, _G44_HOPS, _G44_K)
+    return harmonic_from_levels(levels, _G44_K)

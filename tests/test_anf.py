@@ -272,6 +272,73 @@ def test_anf_streaming_curve_carve_independence(spark):
     assert got2 == want and got5 == want
 
 
+def test_g46_staged_harmonic_pair(spark, sf_small):
+    """Dry-run oracle pair for the STAGED r16 harmonic-centrality gate:
+    per-node truncated harmonic in-centrality off the ball-sketch
+    levels, integer-exact against the recursive-CTE BFS oracle at every
+    sketch regime (the HLL g26 read-out needs sparse-exact)."""
+    from hadoopwebgraph_spark.functions.anf import (
+        _g46_oracle,
+        g46_harmonic_centrality,
+    )
+    from tests.oracle_util import compare
+
+    compare(
+        spark, sf_small, "g46_harmonic_centrality",
+        g46_harmonic_centrality, _g46_oracle(),
+    )
+
+
+def test_harmonic_exact_below_k(spark):
+    """With k larger than any ball, h_scaled is EXACTLY
+    lcm(1..T) * Σ_{u reaches v in d<=T hops} 1/d(u,v) — checked against
+    a driver-side BFS on a small graph."""
+    import math
+
+    from hadoopwebgraph_spark.functions.anf import (
+        ball_sketches,
+        harmonic_from_levels,
+    )
+
+    edges = GRAPHS["chain+cycle"] + [(5, 2), (0, 4)]
+    hops, k = 3, 1024
+    got = {
+        r.node: r.h_scaled
+        for r in harmonic_from_levels(
+            ball_sketches(_edges_df(spark, edges), hops, k), k
+        ).collect()
+    }
+    # driver-side truncated BFS over the reverse graph (in-centrality)
+    nodes = sorted({u for e in edges for u in e})
+    adj: dict[int, set[int]] = {u: set() for u in nodes}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+    lcm = math.lcm(*range(1, hops + 1))
+    want = {}
+    for v in nodes:
+        # d(u, v) for all u via BFS from every u (graphs are tiny)
+        total = 0
+        for u in nodes:
+            if u == v:
+                continue
+            frontier, seen, d = {u}, {u}, 0
+            dist = None
+            while frontier and d < hops:
+                d += 1
+                frontier = {
+                    w for x in frontier for w in adj[x] if w not in seen
+                }
+                seen |= frontier
+                if v in frontier:
+                    dist = d
+                    break
+            if dist is not None:
+                total += lcm // dist
+        want[v] = total
+    assert got == want
+
+
 def test_anf_single_partition_parents_are_final_aggregates(spark):
     """The q77-class scale pin, done the audit script's way (the naive
     'no SinglePartition in the tree slice' assertion was vacuous —
