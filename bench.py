@@ -176,6 +176,7 @@ def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
     ``check(result)`` may assert sanity on each run."""
     try:
         loads[name] = round(os.getloadavg()[0], 1)
+        slow = False
         for run in range(3 if name in BEST_OF_3 else 2):
             t0 = time.perf_counter()
             result = run_once()
@@ -185,16 +186,16 @@ def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
             if run == 0:
                 cold[name] = round(dt, 3)
             timings[name] = round(min(dt, timings.get(name, dt)), 3)
-            if dt > 10.0:
+            slow = slow or dt > 10.0
+            if slow and (run >= 1 or name not in BEST_OF_3):
                 # BEST_OF_3 exists precisely because a steal burst can
                 # inflate run 0 past 10s (review r15: exiting on run 0
                 # gave those entries zero retries in exactly the
                 # scenario the extra attempt was added for) — allow ONE
-                # retry so a transient burst gets a second chance, but
-                # never a third slow run (bounded budget on a genuinely
-                # loaded host: 2 runs max once any run exceeds 10s).
-                if run >= 1 or name not in BEST_OF_3:
-                    break
+                # retry after a >10s run, but cap the entry at 2 runs
+                # once ANY run exceeded 10s (bounded budget on a
+                # genuinely loaded host).
+                break
     except Exception as exc:  # noqa: BLE001 — record and continue
         if name not in timings:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]

@@ -427,23 +427,27 @@ def anf_streaming_curve(
     inc = os.path.join(work, "incoming")
     os.makedirs(inc, exist_ok=True)
     try:
-        # one parquet file per logical batch so maxFilesPerTrigger=1
-        # gives exactly n_batches micro-batches (boundaries don't
-        # affect the answer, but the gate should exercise >1 delta)
+        # ONE partitioned write carves every batch (review r15: the
+        # first cut ran n_batches filter+coalesce jobs, rescanning the
+        # edges per batch): repartition('b') lands each batch value on
+        # one task, so partitionBy gives one file per batch dir, copied
+        # flat because file streams don't recurse. maxFilesPerTrigger=1
+        # then yields one micro-batch per file (boundaries don't affect
+        # the answer, but the gate should exercise >1 delta).
+        stage = os.path.join(work, "stage")
+        e.withColumn(
+            "b", F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches))
+        ).repartition("b").write.partitionBy("b").parquet(stage)
         for i in range(n_batches):
-            e.filter(
-                F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches)) == i
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(work, f"stage{i}")
+            bdir = os.path.join(stage, f"b={i}")
+            if not os.path.isdir(bdir):
+                continue  # an empty carve bucket writes no dir
+            part = sorted(
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
             )
-            part = [
-                f
-                for f in os.listdir(os.path.join(work, f"stage{i}"))
-                if f.endswith(".parquet")
-            ]
-            for j, f in enumerate(sorted(part)):
+            for j, f in enumerate(part):
                 shutil.copy(
-                    os.path.join(work, f"stage{i}", f),
+                    os.path.join(bdir, f),
                     os.path.join(inc, f"b{i}-{j}.parquet"),
                 )
 
@@ -508,7 +512,12 @@ _G44_HOPS = 3
 _G44_K = 64
 
 
-def _g44_oracle() -> str:
+def _ball_ctes() -> str:
+    """The shared recursive-CTE chain both staged/registered bottom-k
+    gates read from (review r15: g44 and g46 duplicated it verbatim —
+    a fix applied to one would silently desynchronize the other):
+    fixture subgraph -> truncated BFS -> per-(t, v) ball members ->
+    per-(t, v) count + kth-smallest member hash (``pn``)."""
     from ..queries.graph import _T
 
     return f"""
@@ -534,7 +543,11 @@ def _g44_oracle() -> str:
            FROM memb),
     pn AS (SELECT t, v, max(cnt) AS cnt,
                   max(CASE WHEN r = {_G44_K} THEN h END) AS kth
-           FROM rk GROUP BY t, v)
+           FROM rk GROUP BY t, v)"""
+
+
+def _g44_oracle() -> str:
+    return f"""{_ball_ctes()}
     SELECT CAST(t AS BIGINT) AS t,
            CAST(sum(CASE WHEN cnt < {_G44_K} THEN cnt
                          ELSE ({_G44_K} - 1) * {_SCALE} // kth END)
@@ -602,33 +615,8 @@ def g45_anf_stream_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _g46_oracle() -> str:
     import math
 
-    from ..queries.graph import _T
-
     lcm = math.lcm(*range(1, _G44_HOPS + 1))
-    return f"""
-    WITH RECURSIVE
-    e0 AS (SELECT src, unnest(adj) AS dst FROM {_T}),
-    f AS (SELECT DISTINCT src, dst FROM e0
-          WHERE src < {_G44_CAP} AND dst < {_G44_CAP} AND src <> dst),
-    n AS (SELECT DISTINCT node FROM
-          (SELECT src AS node FROM f UNION SELECT dst FROM f)),
-    reach(root, node, d) AS MATERIALIZED (
-        SELECT node, node, 0 FROM n
-        UNION
-        SELECT r.root, f.dst, r.d + 1 FROM reach r
-        JOIN f ON f.src = r.node WHERE r.d < {_G44_HOPS}
-    ),
-    md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node),
-    hh AS (SELECT root, node, d, {_hash_sql('root')} AS h FROM md),
-    ts AS (SELECT unnest(range(0, {_G44_HOPS + 1})) AS t),
-    memb AS (SELECT ts.t, hh.node AS v, hh.h FROM hh JOIN ts ON hh.d <= ts.t),
-    rk AS (SELECT t, v, h,
-                  row_number() OVER (PARTITION BY t, v ORDER BY h) AS r,
-                  count(*) OVER (PARTITION BY t, v) AS cnt
-           FROM memb),
-    pn AS (SELECT t, v, max(cnt) AS cnt,
-                  max(CASE WHEN r = {_G44_K} THEN h END) AS kth
-           FROM rk GROUP BY t, v),
+    return f"""{_ball_ctes()},
     est AS (SELECT t, v,
                    CASE WHEN cnt < {_G44_K} THEN cnt
                         ELSE ({_G44_K} - 1) * {_SCALE} // kth END AS e

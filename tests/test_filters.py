@@ -86,22 +86,17 @@ def test_xor_filter_join_string_keys(spark, sf_small):
     assert got.count() == want.count() > 0
 
 
-def test_xor_prefilter_sits_below_the_join(spark, sf_small):
-    """Census pin (r14-ready): the Arrow-batched membership filter runs
-    directly above the fact scan, BELOW the verify semi-join — rows drop
-    before any join exchange, which is the entire point of the op."""
-    from hadoopwebgraph_spark.catalog import load
-
-    li = load(spark, sf_small, "lineitem")
-    sup = load(spark, sf_small, "supplier").filter(F.col("s_acctbal") > 5000)
-    df = xor_filter_join(li, "l_suppkey", sup, "s_suppkey")
+def _assert_probe_below_join(df):
+    """The shared census pin for every succinct-filter join gate: the
+    Arrow-batched membership probe runs directly above the fact scan,
+    BELOW the verify semi-join — rows drop before any join exchange,
+    which is the entire point of the op. In the formatted tree outline
+    every ArrowEvalPython must render below the LeftSemi node (review
+    r15: the xor and fuse pins had copy-pasted this body)."""
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
     assert "LeftSemi" in plan
-    # in the tree outline every ArrowEvalPython renders BELOW the join
-    # node — the membership filter runs on the scan side, never above
-    # the join
     head = plan.split("\n\n")[0]
     join_line = next(
         i for i, l in enumerate(head.splitlines()) if "LeftSemi" in l
@@ -111,6 +106,14 @@ def test_xor_prefilter_sits_below_the_join(spark, sf_small):
     ]
     assert udf_lines and all(i > join_line for i in udf_lines)
     assert "SinglePartition" not in plan
+
+
+def test_xor_prefilter_sits_below_the_join(spark, sf_small):
+    from hadoopwebgraph_spark.catalog import load
+
+    li = load(spark, sf_small, "lineitem")
+    sup = load(spark, sf_small, "supplier").filter(F.col("s_acctbal") > 5000)
+    _assert_probe_below_join(xor_filter_join(li, "l_suppkey", sup, "s_suppkey"))
 
 
 def test_mixed_integral_key_types_widen(spark):
@@ -223,22 +226,9 @@ def test_q165_registered_pair_parity(spark, sf_small):
 
 
 def test_q165_fuse_probe_sits_below_the_join(spark, sf_small):
-    """Census pin for the registered fuse gate (VERDICT r14 #4): the
-    Arrow-batched membership probe runs on the scan side, BELOW the
-    verify semi-join — rows drop before the join's exchange."""
+    """Census pin for the registered fuse gate (VERDICT r14 #4), via
+    the shared succinct-filter census helper."""
     from hadoopwebgraph_spark.registry import all_queries
 
     df = all_queries()["q165_fuse_filter_join"].fn(spark, sf_small)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "LeftSemi" in plan
-    head = plan.split("\n\n")[0]
-    join_line = next(
-        i for i, l in enumerate(head.splitlines()) if "LeftSemi" in l
-    )
-    udf_lines = [
-        i for i, l in enumerate(head.splitlines()) if "ArrowEvalPython" in l
-    ]
-    assert udf_lines and all(i > join_line for i in udf_lines)
-    assert "SinglePartition" not in plan
+    _assert_probe_below_join(df)
