@@ -467,9 +467,12 @@ def anf_streaming_curve(
         )
         q.awaitTermination()
         if "levels" not in state:
-            raise RuntimeError(
-                "anf_streaming_curve: the stream ingested no batches"
-            )
+            # An empty (post-normalization) edge set stages no files, so
+            # no micro-batch ever fires. The batch twin anf_curve returns
+            # a valid all-zero curve for the same input — match it
+            # (ADVICE r15) instead of raising, so the rebuild-identity
+            # claim covers the empty-graph edge case too.
+            return anf_curve_from_levels(ball_sketches(e, hops, k), k)
         return anf_curve_from_levels(state["levels"], k)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -517,7 +520,11 @@ def _ball_ctes() -> str:
     gates read from (review r15: g44 and g46 duplicated it verbatim —
     a fix applied to one would silently desynchronize the other):
     fixture subgraph -> truncated BFS -> per-(t, v) ball members ->
-    per-(t, v) count + kth-smallest member hash (``pn``)."""
+    per-(t, v) count + kth-smallest member hash (``pn``). ``memb``
+    dedups on (t, v, h) — the Spark sketch dedups member HASHES via
+    _topk's distinct(), so a 40-bit md5 collision between two roots
+    must collapse on the oracle side too for the two to agree by
+    construction rather than by probability (ADVICE r15)."""
     from ..queries.graph import _T
 
     return f"""
@@ -536,7 +543,8 @@ def _ball_ctes() -> str:
     md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node),
     hh AS (SELECT root, node, d, {_hash_sql('root')} AS h FROM md),
     ts AS (SELECT unnest(range(0, {_G44_HOPS + 1})) AS t),
-    memb AS (SELECT ts.t, hh.node AS v, hh.h FROM hh JOIN ts ON hh.d <= ts.t),
+    memb AS (SELECT DISTINCT ts.t, hh.node AS v, hh.h
+             FROM hh JOIN ts ON hh.d <= ts.t),
     rk AS (SELECT t, v, h,
                   row_number() OVER (PARTITION BY t, v ORDER BY h) AS r,
                   count(*) OVER (PARTITION BY t, v) AS cnt
@@ -581,19 +589,33 @@ def g44_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED for round 16 (the r15 window had zero spare slots; registering
-# displaces a stale name's re-verification — VERDICT r14's rotation
-# note). g45 is g44's streaming twin as a GATE: the query fn itself
-# drives a real foreachBatch stream over a temp watch dir — a shape no
-# current gate has — yet stays fully hash-oracled because the delta
-# update is row-identical to the batch rebuild, so the SAME recursive-
-# CTE oracle certifies it. Dry-run pair validated in
-# tests/test_anf.py::test_g45_staged_streaming_gate_pair.
+# Registered round 16 (staged + dry-run-validated in r15; VERDICT r15
+# item #2). g45 is g44's streaming twin as a GATE: the query fn itself
+# drives a real foreachBatch stream over a temp watch dir — the first
+# registered gate with that shape — yet stays fully hash-oracled
+# because the delta update is row-identical to the batch rebuild, so
+# the SAME recursive-CTE oracle certifies it (carve-independence pinned
+# 2-vs-5 batches in tests/test_anf.py).
 # ---------------------------------------------------------------------------
 
 _G45_BATCHES = 3
 
 
+@register(
+    "g45_anf_stream_curve",
+    oracle=_g44_oracle(),
+    doc="The bottom-k ANF curve computed by DRIVING a real Structured "
+    "Streaming foreachBatch job inside the query body: the <400-node "
+    "fixture edges are carved into 3 deterministic micro-batches "
+    "(xxhash64 partition), staged under a fresh private watch dir, and "
+    "ingested by a file-source readStream (availableNow + "
+    "maxFilesPerTrigger=1) whose fold is full-build-then-"
+    "anf_delta_update. Hash-oracled by the SAME recursive-CTE BFS as "
+    "g44 because the delta update is exactly row-identical to a batch "
+    "rebuild over the union graph (semilattice argument in "
+    "anf_delta_update's docstring) — micro-batch boundaries are "
+    "invisible to the result.",
+)
 def g45_anf_stream_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.graph import edges_df
 
@@ -604,11 +626,15 @@ def g45_anf_stream_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED for round 16: per-node truncated harmonic in-centrality off the
-# same ball-sketch levels — the bottom-k counterpart of the HLL-based
-# g26 hyperball read-out, hash-oracleable at EVERY sketch regime where
-# g26 needs the sparse-exact restriction. Dry-run pair validated in
-# tests/test_anf.py::test_g46_staged_harmonic_pair.
+# Registered round 16 (staged + dry-run-validated in r15; VERDICT r15
+# item #3 took g46 over q166 for the second window slot): per-node
+# truncated harmonic in-centrality off the same ball-sketch levels —
+# the bottom-k counterpart of the HLL-based g26 hyperball read-out,
+# hash-oracleable at EVERY sketch regime where g26 needs the
+# sparse-exact restriction. Registration cost (NOTES r15 note): one
+# extra ball_sketches build per driver run while g44 is also
+# registered — levels are not shared across gates; g44 rotates out of
+# the driver window naturally (stamp 15) and neither gate is benched.
 # ---------------------------------------------------------------------------
 
 
@@ -629,6 +655,17 @@ def _g46_oracle() -> str:
     """
 
 
+@register(
+    "g46_harmonic_centrality",
+    oracle=_g46_oracle(),
+    doc="Per-node truncated harmonic in-centrality via the HyperBall "
+    "read-out (Boldi-Vigna) on bottom-k ball sketches: h_scaled = "
+    "sum_t (est_t - est_{t-1}) * lcm(1..T)/t, all int64 — the level "
+    "estimates are exact-integer KMV values, nested balls make the "
+    "diffs non-negative, and lcm-clearing removes the 1/t float. "
+    "Shares _ball_ctes() with g44 so the two oracles cannot drift; "
+    "hash-exact at every sketch regime, unlike HLL-based g26.",
+)
 def g46_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.graph import edges_df
 

@@ -488,6 +488,48 @@ _DRIVER_GREEN.update(
 )
 
 
+# Round 15's driver window: CORRECTNESS_r15.json, 50/50 hash-exact — the
+# second consecutive all-hash window (the two r15 registrations g44/q165
+# plus 48 rotated round-11 names). Post-stamp composition
+# (scripts/gen_driver_green_stamp.py): {11: 2, 12: 48} — round 16's window
+# is the 2 round-11 stragglers (q93/q94, displaced by g44/q165) plus the
+# 48 oldest round-12 names. r16 spends exactly two slots on the staged
+# g45/g46 pairs (VERDICT r15 items #2/#3), displacing two round-12 names'
+# re-verification by one round.
+_DRIVER_GREEN.update(
+    {
+        name: 15
+        for name in (
+            "g10_point_lookup g11_pagerank "
+            "g12_connected_components "
+            "g13_reachability_recursive_cte g14_motif_open_triad "
+            "g15_label_propagation g25_host_graph "
+            "g26_hyperball_harmonic g27_hyperanf_neighborhood "
+            "g44_anf_curve q01_pricing_summary q02_filter_project "
+            "q03_join_inner q04_join_broadcast "
+            "q05_join_left_histogram q119_substring_dedup "
+            "q129_partitioned_layout q130_ngram_counts "
+            "q131_disjunctive_predicate_join "
+            "q155_curation_neardup_pipeline "
+            "q156_late_priority_lines q157_promo_revenue "
+            "q158_top_supplier q159_small_quantity_revenue "
+            "q165_fuse_filter_join q42_scalar_subquery "
+            "q59_merge_upsert q60_dedup_exact "
+            "q61_dedup_content_hash q62_dedup_minhash "
+            "q63_ngram_jaccard q64_dedup_simhash q65_simhash_pairs "
+            "q66_dedup_clusters q70_sim_bruteforce_topk "
+            "q71_sim_ivf_topk q72_dedup_embedding "
+            "q73_sim_ivf_kmeans_topk q74_sim_pq_topk "
+            "q76_sim_opq_topk q77_sim_knn_graph_topk "
+            "q80_text_quality q81_lang_id q82_token_stats "
+            "q83_fingerprint q84_tfidf_top_terms q85_bm25_ranking "
+            "q90_multimodal_meta q91_grouped_map_regression "
+            "q92_udtf_tokenize"
+        ).split()
+    }
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     # Never-verified first (round 0), then oldest-verified, name as tiebreak.

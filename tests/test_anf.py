@@ -243,7 +243,7 @@ def test_streaming_foreachbatch_twin(spark, tmp_path):
 
 
 def test_g45_staged_streaming_gate_pair(spark, sf_small):
-    """Dry-run oracle pair for the STAGED r16 gate (VERDICT r14 #8):
+    """Oracle pair for the g45 gate (REGISTERED in r16; staged r15):
     g45 drives a real foreachBatch stream inside the query fn and must
     hash-match the SAME recursive-CTE oracle as the batch gate g44 —
     the delta update's rebuild-identity makes micro-batch boundaries
@@ -273,7 +273,8 @@ def test_anf_streaming_curve_carve_independence(spark):
 
 
 def test_g46_staged_harmonic_pair(spark, sf_small):
-    """Dry-run oracle pair for the STAGED r16 harmonic-centrality gate:
+    """Oracle pair for the g46 harmonic-centrality gate (REGISTERED in
+    r16; staged r15):
     per-node truncated harmonic in-centrality off the ball-sketch
     levels, integer-exact against the recursive-CTE BFS oracle at every
     sketch regime (the HLL g26 read-out needs sparse-exact)."""
@@ -389,3 +390,36 @@ def test_g44_registered_pair_parity(spark, sf_small):
     q = all_queries()["g44_anf_curve"]
     assert q.oracle is not None
     compare(spark, sf_small, q.name, q.fn, q.oracle)
+
+
+def test_g45_g46_registered_pair_parity(spark, sf_small):
+    """The r16 registrations: the registry entries (not the module
+    functions) are the single source of truth — both carry full hash
+    oracles (no rows-only fallback)."""
+    from hadoopwebgraph_spark.registry import all_queries
+
+    from tests.oracle_util import compare
+
+    qs = all_queries()
+    for name in ("g45_anf_stream_curve", "g46_harmonic_centrality"):
+        q = qs[name]
+        assert q.oracle is not None
+        compare(spark, sf_small, q.name, q.fn, q.oracle)
+
+
+def test_streaming_curve_empty_edges_matches_batch_twin(spark):
+    """An empty (post-normalization) edge set stages no files and fires
+    no micro-batch; the streaming gate must return the batch twin's
+    all-zero curve instead of raising (ADVICE r15): the rebuild-identity
+    claim covers the empty-graph edge case."""
+    from hadoopwebgraph_spark.functions.anf import (
+        anf_curve,
+        anf_streaming_curve,
+    )
+
+    # only self-loops -> empty after normalization
+    e = _edges_df(spark, [(3, 3), (7, 7)])
+    got = sorted(map(tuple, anf_streaming_curve(e, 2, 64, 3).collect()))
+    want = sorted(map(tuple, anf_curve(e, 2, 64).collect()))
+    assert got == want
+    assert got == [(0, 0), (1, 0), (2, 0)]
