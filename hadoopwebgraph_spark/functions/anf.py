@@ -411,71 +411,29 @@ def anf_streaming_curve(
     so it stays valid after the workspace is removed (the caller
     collects AFTER this function returns). ``work_dir`` is only the
     PARENT to allocate the private workspace under (e.g. a test's
-    tmp_path); the workspace itself is always fresh and always removed."""
-    import os
-    import shutil
-    import tempfile
+    tmp_path); the workspace itself is always fresh and always removed
+    (carve/workspace/stream discipline lives in
+    :func:`..streaming.file_fold.drive_file_stream_fold`, extracted in
+    r16 for the staged incremental-index gate)."""
+    from ..streaming.file_fold import drive_file_stream_fold
 
-    spark = edges.sparkSession
     e = _norm_edges(edges).localCheckpoint(eager=True)
-    # ALWAYS a fresh private dir (under work_dir if given): the file
-    # source tracks seen files by PATH in the checkpoint, so reusing a
-    # dir would silently skip overwritten batch files and ingest any
-    # leftovers as edges (review r15) — a stale workspace must be
-    # impossible, not merely documented against.
-    work = tempfile.mkdtemp(prefix="anf-stream-", dir=work_dir)
-    inc = os.path.join(work, "incoming")
-    os.makedirs(inc, exist_ok=True)
-    try:
-        # ONE partitioned write carves every batch (review r15: the
-        # first cut ran n_batches filter+coalesce jobs, rescanning the
-        # edges per batch): repartition('b') lands each batch value on
-        # one task, so partitionBy gives one file per batch dir, copied
-        # flat because file streams don't recurse. maxFilesPerTrigger=1
-        # then yields one micro-batch per file (boundaries don't affect
-        # the answer, but the gate should exercise >1 delta).
-        stage = os.path.join(work, "stage")
-        e.withColumn(
-            "b", F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches))
-        ).repartition("b").write.partitionBy("b").parquet(stage)
-        for i in range(n_batches):
-            bdir = os.path.join(stage, f"b={i}")
-            if not os.path.isdir(bdir):
-                continue  # an empty carve bucket writes no dir
-            part = sorted(
-                f for f in os.listdir(bdir) if f.endswith(".parquet")
-            )
-            for j, f in enumerate(part):
-                shutil.copy(
-                    os.path.join(bdir, f),
-                    os.path.join(inc, f"b{i}-{j}.parquet"),
-                )
-
-        state: dict = {}
-
-        def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-            _fold_batch(state, batch_df, hops, k)
-
-        q = (
-            spark.readStream.schema("src long, dst long")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(inc)
-            .writeStream.foreachBatch(one_batch)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        if "levels" not in state:
-            # An empty (post-normalization) edge set stages no files, so
-            # no micro-batch ever fires. The batch twin anf_curve returns
-            # a valid all-zero curve for the same input — match it
-            # (ADVICE r15) instead of raising, so the rebuild-identity
-            # claim covers the empty-graph edge case too.
-            return anf_curve_from_levels(ball_sketches(e, hops, k), k)
-        return anf_curve_from_levels(state["levels"], k)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    state = drive_file_stream_fold(
+        e,
+        "src long, dst long",
+        ["src", "dst"],
+        n_batches,
+        lambda st, b: _fold_batch(st, b, hops, k),
+        work_dir,
+    )
+    if "levels" not in state:
+        # An empty (post-normalization) edge set stages no files, so
+        # no micro-batch ever fires. The batch twin anf_curve returns
+        # a valid all-zero curve for the same input — match it
+        # (ADVICE r15) instead of raising, so the rebuild-identity
+        # claim covers the empty-graph edge case too.
+        return anf_curve_from_levels(ball_sketches(e, hops, k), k)
+    return anf_curve_from_levels(state["levels"], k)
 
 
 def anf_over_batches(

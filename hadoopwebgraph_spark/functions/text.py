@@ -341,9 +341,11 @@ def q130_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q137_inverted_index",
-    oracle="""
+# Shared by the registered batch gate q137 AND the r17-staged streaming
+# gate q167 (the g44/g45 shared-oracle pattern: the incremental index's
+# rebuild identity makes it answerable by the batch oracle verbatim, and
+# sharing the string means a fix to one cannot desynchronize the other).
+_Q137_ORACLE = """
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
@@ -370,35 +372,34 @@ def q130_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.term, s.df, s.total_tf, p.postings
     FROM stats s JOIN postings p USING (term)
-    """,
-    doc="Inverted-index construction: term -> document frequency, corpus "
-    "term frequency, and a bounded posting list (top-5 docs by tf, "
-    "rendered 'doc:tf,...' so the artifact is hashable cross-engine). "
-    "Scale shape: the (term, doc_id) pre-aggregation absorbs hot-term "
-    "skew via map-side partial aggregation BEFORE any term-only "
-    "grouping sees a stopword's full row stream; the posting list is "
-    "rank-capped per term (never collect_list of an unbounded group); "
-    "stats and postings are both term-partitioned after their aggs, so "
-    "the final join needs no extra exchange under AQE.",
-)
-def q137_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    # tf feeds BOTH the stats and the postings branch; without persist the
-    # physical plan re-scans and re-aggregates the full token stream twice
-    # (Python DataFrame reuse does not dedupe subtrees). The cached (term,
-    # doc_id, tf) table is counts-only — far smaller than the corpus.
-    tf = (
-        toks.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    """
+
+
+def _tf_of(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) from (doc_id, text): whitespace tokenize +
+    map-side-combining count — the index's base aggregation."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-    )
+    return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _top5(tf: DataFrame) -> DataFrame:
+    """The 5 highest-tf docs per term (doc_id ascending ties) — the
+    bounded posting list. Per-term window partitions (never
+    corpus-wide)."""
     wr = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
-    top = tf.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 5)
-    postings = top.groupBy("term").agg(
+    return (
+        tf.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+def _render_postings(top: DataFrame) -> DataFrame:
+    """(term, postings): render capped (term, doc_id, tf) rows as the
+    hashable 'doc:tf,...' string, ordered tf desc then doc_id."""
+    return top.groupBy("term").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -417,7 +418,131 @@ def q137_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings")
     )
+
+
+@register(
+    "q137_inverted_index",
+    oracle=_Q137_ORACLE,
+    doc="Inverted-index construction: term -> document frequency, corpus "
+    "term frequency, and a bounded posting list (top-5 docs by tf, "
+    "rendered 'doc:tf,...' so the artifact is hashable cross-engine). "
+    "Scale shape: the (term, doc_id) pre-aggregation absorbs hot-term "
+    "skew via map-side partial aggregation BEFORE any term-only "
+    "grouping sees a stopword's full row stream; the posting list is "
+    "rank-capped per term (never collect_list of an unbounded group); "
+    "stats and postings are both term-partitioned after their aggs, so "
+    "the final join needs no extra exchange under AQE.",
+)
+def q137_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # tf feeds BOTH the stats and the postings branch; without persist the
+    # physical plan re-scans and re-aggregates the full token stream twice
+    # (Python DataFrame reuse does not dedupe subtrees). The cached (term,
+    # doc_id, tf) table is counts-only — far smaller than the corpus.
+    tf = _tf_of(d).persist()
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    postings = _render_postings(_top5(tf))
     return stats.join(postings, "term").select("term", "df", "total_tf", "postings")
+
+
+# ---------------------------------------------------------------------------
+# STAGED for round 17 (VERDICT r15 #7: the g45 pattern applied to an
+# existing index build — registration deferred so the r16 window budget
+# stays at the two ANF gates). q167 maintains the q137 inverted index
+# INCREMENTALLY over a real foreachBatch stream: state is the bounded
+# index itself — (term, df, total_tf) stats plus the capped top-5
+# posting rows per term — never the raw token history, so per-batch
+# cost is proportional to the batch's terms, not the corpus (the 100 TB
+# property: an index over a growing corpus updates in O(batch), and
+# untouched terms pass through an anti-join, never a re-aggregation).
+#
+# Rebuild identity (what makes it hash-oracleable by _Q137_ORACLE):
+# the carve is on doc_id, so every document lands whole in exactly one
+# micro-batch and the per-batch (term, doc_id, tf) tables are
+# doc-disjoint. df/total_tf are additive over doc-disjoint parts, so
+# the touched-term merge is exact. The top-5 posting list survives
+# truncation by the monotone top-k argument (the ANF sketch argument's
+# top-k instance): rows are only ever ADDED, so a (tf, doc_id) pair's
+# per-term rank only degrades as batches arrive — if its final rank is
+# <= 5 its rank was <= 5 at every prefix, so it was never evicted.
+# Dry-run pair + carve-independence pinned in tests/test_round16_ops.py.
+# ---------------------------------------------------------------------------
+
+_Q167_BATCHES = 3
+
+
+def _index_fold_batch(state: dict, batch: DataFrame) -> None:
+    """One incremental index-maintenance step: merge a document batch's
+    (term, doc_id, tf) rows into the bounded index state, touching only
+    the batch's terms."""
+    tf_b = _tf_of(batch).localCheckpoint(eager=True)
+    st_b = tf_b.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    if "stats" not in state:
+        state["stats"] = st_b.localCheckpoint(eager=True)
+        state["post"] = _top5(tf_b).localCheckpoint(eager=True)
+        return
+    touched = tf_b.select("term").distinct()
+    stats, post = state["stats"], state["post"]
+    merged_stats = (
+        stats.join(touched, "term")
+        .unionByName(st_b)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("total_tf").alias("total_tf"))
+    )
+    state["stats"] = (
+        merged_stats.unionByName(stats.join(touched, "term", "left_anti"))
+        .localCheckpoint(eager=True)
+    )
+    merged_post = _top5(
+        post.join(touched, "term").select("term", "doc_id", "tf")
+        .unionByName(tf_b)
+    )
+    state["post"] = (
+        merged_post.unionByName(post.join(touched, "term", "left_anti"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def stream_inverted_index(
+    docs: DataFrame, n_batches: int = _Q167_BATCHES,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """The q137 inverted index computed by DRIVING a file-source
+    foreachBatch stream over a doc_id carve of ``docs`` (the g45 gate
+    shape; machinery in streaming/file_fold.py). Row-identical to the
+    batch build for ANY carve — see the rebuild-identity note above."""
+    from ..streaming.file_fold import drive_file_stream_fold
+
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    state = drive_file_stream_fold(
+        d, "doc_id long, text string", ["doc_id"], n_batches,
+        _index_fold_batch, work_dir,
+    )
+    if "stats" not in state:
+        # empty corpus: no files staged, no micro-batch fires — return
+        # the batch twin's (empty) result shape (the g45 empty rule)
+        empty_tf = _tf_of(d)
+        state = {"stats": empty_tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+        ), "post": empty_tf}
+    postings = _render_postings(state["post"])
+    return (
+        state["stats"].join(postings, "term")
+        .select("term", "df", "total_tf", "postings")
+    )
+
+
+def q167_stream_inverted_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return stream_inverted_index(d, _Q167_BATCHES)
 
 
 PMI_MIN_COUNT = 5
