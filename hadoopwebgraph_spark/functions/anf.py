@@ -431,8 +431,11 @@ def anf_streaming_curve(
         # no micro-batch ever fires. The batch twin anf_curve returns
         # a valid all-zero curve for the same input — match it
         # (ADVICE r15) instead of raising, so the rebuild-identity
-        # claim covers the empty-graph edge case too.
-        return anf_curve_from_levels(ball_sketches(e, hops, k), k)
+        # claim covers the empty-graph edge case too. This branch is
+        # REACHABLE ONLY on empty input: drive_file_stream_fold raises
+        # when the carve stages nothing for a non-empty input (review
+        # r16), so the streaming path cannot be silently skipped.
+        return anf_curve(e, hops, k)
     return anf_curve_from_levels(state["levels"], k)
 
 

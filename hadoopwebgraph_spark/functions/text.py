@@ -384,6 +384,15 @@ def _tf_of(docs: DataFrame) -> DataFrame:
     return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def _stats_of(tf: DataFrame) -> DataFrame:
+    """(term, df, total_tf) from (term, doc_id, tf) rows — the index's
+    per-term statistics (one helper so the batch gate, the incremental
+    fold, and the empty fallback cannot drift — review r16)."""
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+
+
 def _top5(tf: DataFrame) -> DataFrame:
     """The 5 highest-tf docs per term (doc_id ascending ties) — the
     bounded posting list. Per-term window partitions (never
@@ -440,9 +449,7 @@ def q137_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Python DataFrame reuse does not dedupe subtrees). The cached (term,
     # doc_id, tf) table is counts-only — far smaller than the corpus.
     tf = _tf_of(d).persist()
-    stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-    )
+    stats = _stats_of(tf)
     postings = _render_postings(_top5(tf))
     return stats.join(postings, "term").select("term", "df", "total_tf", "postings")
 
@@ -478,9 +485,7 @@ def _index_fold_batch(state: dict, batch: DataFrame) -> None:
     (term, doc_id, tf) rows into the bounded index state, touching only
     the batch's terms."""
     tf_b = _tf_of(batch).localCheckpoint(eager=True)
-    st_b = tf_b.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-    )
+    st_b = _stats_of(tf_b)
     if "stats" not in state:
         state["stats"] = st_b.localCheckpoint(eager=True)
         state["post"] = _top5(tf_b).localCheckpoint(eager=True)
@@ -525,12 +530,12 @@ def stream_inverted_index(
         _index_fold_batch, work_dir,
     )
     if "stats" not in state:
-        # empty corpus: no files staged, no micro-batch fires — return
-        # the batch twin's (empty) result shape (the g45 empty rule)
+        # Empty corpus: no files staged, no micro-batch fires — return
+        # the batch twin's (empty) result shape (the g45 empty rule).
+        # Reachable ONLY on empty input: drive_file_stream_fold raises
+        # when the carve stages nothing for a non-empty input.
         empty_tf = _tf_of(d)
-        state = {"stats": empty_tf.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-        ), "post": empty_tf}
+        state = {"stats": _stats_of(empty_tf), "post": empty_tf}
     postings = _render_postings(state["post"])
     return (
         state["stats"].join(postings, "term")

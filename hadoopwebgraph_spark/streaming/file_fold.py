@@ -60,21 +60,27 @@ def drive_file_stream_fold(
     os.makedirs(inc, exist_ok=True)
     try:
         # ONE partitioned write carves every batch (the g45 one-pass
-        # carve: repartition('b') lands each batch value on one task, so
-        # partitionBy yields one file per batch dir), copied flat
-        # because file streams don't recurse. maxFilesPerTrigger=1 then
-        # gives one micro-batch per file.
+        # carve: repartition on the carve column lands each batch value
+        # on one task, so partitionBy yields one file per batch dir),
+        # copied flat because file streams don't recurse.
+        # maxFilesPerTrigger=1 then gives one micro-batch per file. The
+        # carve column name is collision-proofed (review r16: a plain
+        # 'b' would silently clobber a caller column of that name and
+        # corrupt the staged data).
+        bcol = "__carve_b"
+        while bcol in df.columns:
+            bcol += "_"
         stage = os.path.join(work, "stage")
         (
             df.withColumn(
-                "b", F.pmod(F.xxhash64(*carve_cols), F.lit(n_batches))
+                bcol, F.pmod(F.xxhash64(*carve_cols), F.lit(n_batches))
             )
-            .repartition("b")
-            .write.partitionBy("b")
+            .repartition(bcol)
+            .write.partitionBy(bcol)
             .parquet(stage)
         )
         for i in range(n_batches):
-            bdir = os.path.join(stage, f"b={i}")
+            bdir = os.path.join(stage, f"{bcol}={i}")
             if not os.path.isdir(bdir):
                 continue  # an empty carve bucket writes no dir
             part = sorted(
@@ -85,6 +91,18 @@ def drive_file_stream_fold(
                     os.path.join(bdir, f),
                     os.path.join(inc, f"b{i}-{j}.parquet"),
                 )
+        if not os.listdir(inc) and not df.isEmpty():
+            # Review r16: zero staged files for a NON-empty input means
+            # the carve/staging broke (e.g. a layout change moved the
+            # partition dirs or file suffix out from under the copy
+            # loop) — raising here keeps the callers' empty-state
+            # fallback an EMPTY-INPUT rule, never a silent batch-twin
+            # substitute for the streaming path the gates exist to
+            # exercise.
+            raise RuntimeError(
+                "drive_file_stream_fold: carve staged no files for a "
+                "non-empty input"
+            )
 
         state: dict = {}
 

@@ -6,7 +6,6 @@ the empty-corpus edge rule."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 
@@ -56,18 +55,16 @@ def test_stream_inverted_index_carve_independence(spark):
     d = _docs_df(spark, rows)
     got2 = _index_rows(stream_inverted_index(d, 2))
     got5 = _index_rows(stream_inverted_index(d, 5))
-    d.createOrReplaceTempView("__q167_docs")
     # batch twin over the same rows via the shared helpers
     from hadoopwebgraph_spark.functions.text import (
         _render_postings,
+        _stats_of,
         _tf_of,
         _top5,
     )
 
     tf = _tf_of(d)
-    stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-    )
+    stats = _stats_of(tf)
     want = _index_rows(
         stats.join(_render_postings(_top5(tf)), "term")
         .select("term", "df", "total_tf", "postings")
@@ -83,6 +80,7 @@ def test_index_fold_matches_batch_on_tie_heavy_corpus(spark):
     from hadoopwebgraph_spark.functions.text import (
         _index_fold_batch,
         _render_postings,
+        _stats_of,
         _tf_of,
         _top5,
     )
@@ -101,11 +99,8 @@ def test_index_fold_matches_batch_on_tie_heavy_corpus(spark):
         .select("term", "df", "total_tf", "postings")
     )
     tf = _tf_of(d)
-    stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-    )
     want = _index_rows(
-        stats.join(_render_postings(_top5(tf)), "term")
+        _stats_of(tf).join(_render_postings(_top5(tf)), "term")
         .select("term", "df", "total_tf", "postings")
     )
     assert got == want
@@ -132,3 +127,25 @@ def test_q167_not_registered_yet():
     from hadoopwebgraph_spark.registry import all_queries
 
     assert "q167_stream_inverted_index" not in all_queries()
+
+
+def test_file_fold_preserves_caller_carve_named_columns(spark):
+    """The carve helper must not clobber caller columns named like its
+    internal bucket column (review r16): rows with columns 'b' and
+    '__carve_b' round-trip through the staged files intact."""
+    from hadoopwebgraph_spark.streaming.file_fold import (
+        drive_file_stream_fold,
+    )
+
+    rows = [(i, i * 10, i * 100) for i in range(1, 9)]
+    d = spark.createDataFrame(rows, "k long, b long, __carve_b long")
+    seen: list = []
+
+    def fold(state, batch):
+        seen.extend(map(tuple, batch.select("k", "b", "__carve_b").collect()))
+
+    state = drive_file_stream_fold(
+        d, "k long, b long, __carve_b long", ["k"], 3, fold
+    )
+    assert state == {}
+    assert sorted(seen) == sorted(rows)
