@@ -460,10 +460,15 @@ def q137_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays at the two ANF gates). q167 maintains the q137 inverted index
 # INCREMENTALLY over a real foreachBatch stream: state is the bounded
 # index itself — (term, df, total_tf) stats plus the capped top-5
-# posting rows per term — never the raw token history, so per-batch
-# cost is proportional to the batch's terms, not the corpus (the 100 TB
-# property: an index over a growing corpus updates in O(batch), and
-# untouched terms pass through an anti-join, never a re-aggregation).
+# posting rows per term — never the raw token history. Per-batch
+# RE-AGGREGATION cost is proportional to the batch's terms (untouched
+# terms pass through an anti-join, never a re-aggregation); the local
+# gate's eager localCheckpoint does still MATERIALIZE the full merged
+# state each batch (review r16: an O(|index|) sequential rewrite, not
+# O(batch)). At 100 TB the same fold writes its passthrough/merge as a
+# partitioned state-table MERGE (only changed term partitions rewrite),
+# which is exactly what the touched-terms anti-join shape enables —
+# the local materialization is a gate artifact, not the design.
 #
 # Rebuild identity (what makes it hash-oracleable by _Q137_ORACLE):
 # the carve is on doc_id, so every document lands whole in exactly one

@@ -64,11 +64,14 @@ def drive_file_stream_fold(
         # on one task, so partitionBy yields one file per batch dir),
         # copied flat because file streams don't recurse.
         # maxFilesPerTrigger=1 then gives one micro-batch per file. The
-        # carve column name is collision-proofed (review r16: a plain
-        # 'b' would silently clobber a caller column of that name and
-        # corrupt the staged data).
+        # carve column name is collision-proofed CASE-INSENSITIVELY
+        # (review r16, twice: a plain 'b' would silently clobber a
+        # caller column of that name, and Spark's default
+        # case-insensitive resolution means withColumn replaces any
+        # case-variant too).
+        taken = {c.lower() for c in df.columns}
         bcol = "__carve_b"
-        while bcol in df.columns:
+        while bcol.lower() in taken:
             bcol += "_"
         stage = os.path.join(work, "stage")
         (
@@ -91,22 +94,29 @@ def drive_file_stream_fold(
                     os.path.join(bdir, f),
                     os.path.join(inc, f"b{i}-{j}.parquet"),
                 )
-        if not os.listdir(inc) and not df.isEmpty():
+        if not os.listdir(inc):
             # Review r16: zero staged files for a NON-empty input means
             # the carve/staging broke (e.g. a layout change moved the
             # partition dirs or file suffix out from under the copy
             # loop) — raising here keeps the callers' empty-state
             # fallback an EMPTY-INPUT rule, never a silent batch-twin
             # substitute for the streaming path the gates exist to
-            # exercise.
+            # exercise. Genuinely-empty input returns {} without paying
+            # the multi-second stream start/teardown for zero batches
+            # (review r16, pass 2).
+            if df.isEmpty():
+                return {}
             raise RuntimeError(
                 "drive_file_stream_fold: carve staged no files for a "
                 "non-empty input"
             )
 
         state: dict = {}
+        fired = 0
 
         def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+            nonlocal fired
+            fired += 1
             fold(state, batch_df)
 
         q = (
@@ -119,6 +129,16 @@ def drive_file_stream_fold(
             .start()
         )
         q.awaitTermination()
+        if fired == 0:
+            # Files were staged but the stream fired no micro-batch —
+            # the other half of the broken-staging guard (review r16,
+            # pass 2: a watch-path/schema/option regression would
+            # otherwise return {} and let the callers' empty fallback
+            # certify the gate without the streaming path ever running).
+            raise RuntimeError(
+                "drive_file_stream_fold: files staged but the stream "
+                "fired no micro-batch"
+            )
         return state
     finally:
         shutil.rmtree(work, ignore_errors=True)
