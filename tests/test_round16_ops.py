@@ -149,3 +149,126 @@ def test_file_fold_preserves_caller_carve_named_columns(spark):
     )
     assert state == {}
     assert sorted(seen) == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# g47 incremental connected components (STAGED r17 candidate #3)
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_g47_staged_stream_cc_pair(spark, sf_small):
+    """Dry-run oracle pair for the STAGED g47 gate: component-size
+    histogram through the streaming min-label fold must hash-match the
+    g12-shape recursive-CTE oracle on the <400-node fixture subgraph
+    (rebuild identity: the min-label fixpoint over a fixed edge set is
+    unique, so any carve folds to the same labels)."""
+    from hadoopwebgraph_spark.functions.ccstream import (
+        _g47_oracle,
+        g47_stream_connected_components,
+    )
+    from tests.oracle_util import compare
+
+    compare(
+        spark, sf_small, "g47_stream_connected_components",
+        g47_stream_connected_components, _g47_oracle(),
+    )
+
+
+def test_cc_fold_matches_batch_on_chain_merge(spark):
+    """The adversarial delta case: two long chains (components 0.. and
+    100..) merged by ONE late edge — the quotient sees a single
+    (0, 100) component pair and the relabel must rewrite every node of
+    the absorbed chain WITHOUT touching old edges. Also checks a batch
+    that merges nothing (replayed edges) changes nothing."""
+    from hadoopwebgraph_spark.functions.ccstream import cc_over_batches
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        connected_components,
+    )
+
+    chain_a = [(i, i + 1) for i in range(0, 12)]
+    chain_b = [(100 + i, 101 + i) for i in range(0, 12)]
+    bridge = [(12, 100)]
+    noop = [(3, 4), (105, 106)]  # replayed edges: semantic no-ops
+    batches = [chain_a + chain_b, noop, bridge]
+    got = sorted(
+        map(tuple, cc_over_batches([_edges(spark, b) for b in batches]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            connected_components(
+                _edges(spark, chain_a + chain_b + bridge)
+            ).collect(),
+        )
+    )
+    assert got == want
+    # everything merged into the single component labeled 0
+    assert set(c for _, c in got) == {0}
+
+
+def test_cc_stream_carve_independence(spark):
+    """Different batch counts give identical histograms."""
+    from hadoopwebgraph_spark.functions.ccstream import cc_streaming_sizes
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 8)]
+        + [(20, 21), (21, 22), (40, 41)]
+        + [(8, 20)]
+    )
+    e = _edges(spark, pairs)
+    got2 = sorted(map(tuple, cc_streaming_sizes(e, 2).collect()))
+    got5 = sorted(map(tuple, cc_streaming_sizes(e, 5).collect()))
+    assert got2 == got5
+    # components: {0..8,20,21,22} = 12 nodes, {40,41} size 2
+    assert got2 == [(2, 1), (12, 1)]
+
+
+def test_cc_stream_empty_edges(spark):
+    from hadoopwebgraph_spark.functions.ccstream import cc_streaming_sizes
+
+    e = _edges(spark, [(5, 5)])  # only a self-loop -> empty after norm
+    out = cc_streaming_sizes(e, 3)
+    assert out.columns == ["size", "n_components"]
+    assert out.count() == 0
+
+
+def test_g47_not_registered_yet():
+    from hadoopwebgraph_spark.registry import all_queries
+
+    assert "g47_stream_connected_components" not in all_queries()
+
+
+def test_cc_distributed_quotient_path(spark, monkeypatch):
+    """Force the over-cap branch: with _QUOTIENT_CAP=0 every merging
+    batch routes through the distributed connected_components on the
+    quotient instead of the driver union-find — results must be
+    identical (the cap only picks the engine)."""
+    import hadoopwebgraph_spark.functions.ccstream as cc
+    from hadoopwebgraph_spark.queries.graph_algos import (
+        connected_components,
+    )
+
+    monkeypatch.setattr(cc, "_QUOTIENT_CAP", 0)
+    chain_a = [(i, i + 1) for i in range(0, 6)]
+    chain_b = [(100 + i, 101 + i) for i in range(0, 6)]
+    got = sorted(
+        map(
+            tuple,
+            cc.cc_over_batches(
+                [_edges(spark, chain_a + chain_b), _edges(spark, [(6, 100)])]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            connected_components(
+                _edges(spark, chain_a + chain_b + [(6, 100)])
+            ).collect(),
+        )
+    )
+    assert got == want
