@@ -39,11 +39,18 @@ groups them.
 
 Scale shape (the 100 TB property): per batch the big table is touched
 by exactly two endpoint-label joins (hash joins on node id — at scale
-keep labels bucketed by node so they co-locate) and one broadcast
-relabel join; there is NO per-batch iteration over the graph, NO
-accumulated edge state, and the only data-dependent loop runs on the
-contracted quotient. An earlier draft used a worklist flood from the
-batch endpoints instead (the anf_delta_update shape); it was exact but
+keep labels bucketed by node so they co-locate) and one relabel join
+(broadcast below the quotient cap, a plain shuffled join on the
+distributed branch); there is NO per-batch iteration over the graph,
+NO accumulated edge state, and the only data-dependent loop runs on
+the contracted quotient. Like the q167 index fold, the LOCAL gate's
+eager localCheckpoint still MATERIALIZES the full label table per
+batch (an O(|labels|) sequential rewrite, even for a no-op batch) —
+a gate artifact, not the design: at scale the relabel writes as a
+partitioned state-table MERGE touching only the merged components'
+partitions, which is exactly what the old-component -> root mapping
+shape enables. An earlier draft used a worklist flood from the batch
+endpoints instead (the anf_delta_update shape); it was exact but
 O(merged-region diameter) iterations per batch — the quotient
 formulation replaces the flood outright.
 """
@@ -61,6 +68,10 @@ _QUOTIENT_CAP = 1_000_000
 
 
 def _norm(edges: DataFrame) -> DataFrame:
+    """Cast + self-loop filter WITHOUT a distinct: cc_delta_update
+    tolerates replayed edges (no-ops through the quotient), and a
+    per-batch dedup shuffle is cost for nothing. The distinct variant
+    is anf._norm_edges — cc_streaming_sizes reuses it (review r16)."""
     return (
         edges.select(
             F.col("src").cast("long").alias("src"),
@@ -197,8 +208,9 @@ def cc_streaming_sizes(
     machinery in streaming/file_fold.py). Returns
     DataFrame[size, n_components]."""
     from ..streaming.file_fold import drive_file_stream_fold
+    from .anf import _norm_edges
 
-    e = _norm(edges).distinct().localCheckpoint(eager=True)
+    e = _norm_edges(edges).localCheckpoint(eager=True)
     state = drive_file_stream_fold(
         e, "src long, dst long", ["src", "dst"], n_batches,
         _cc_fold_batch, work_dir,
