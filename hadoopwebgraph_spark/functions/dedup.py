@@ -1304,3 +1304,100 @@ def q147_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("containment_bp") >= CONTAIN_TAU_BP)
         .select("doc_eval", "doc_train", "containment_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for round 17+ (fourth staged candidate, r16): q168 — the
+# MinHash-LSH near-dup operator maintained INCREMENTALLY over a real
+# document stream (the g45 gate shape). q128 already covers streaming
+# EXACT dedup (content-hash anti-join); this is its near-dup
+# counterpart, the recurring production shape where today's crawl must
+# be deduped against the whole corpus without recomputing a single old
+# signature.
+#
+# State is the signature store itself — the accumulated (doc_id, band,
+# sig) table (N_HASHES/BAND_SIZE rows per doc, independent of text
+# size) plus the pairs found so far. Per batch:
+#   1. signatures for the NEW docs only (minhash_signatures — q62's
+#      exact operator, shared so the twin cannot drift);
+#   2. new-vs-old pairs: ONE equi-join of the batch's bands against the
+#      store on (band, sig) — at scale the store is bucketed by
+#      (band, sig) so the probe co-locates; shuffle volume is the
+#      batch's bands, never the corpus;
+#   3. new-vs-new pairs: the shared intra-batch bucket expansion
+#      (_pairs_from_bands);
+#   4. append the batch's bands to the store.
+#
+# Rebuild identity (what makes it hash-oracleable by q62's oracle
+# VERBATIM): the carve is on doc_id, so a doc's full signature lands in
+# one batch. For any pair (a, b) sharing a bucket, let b arrive in the
+# later (or same) batch: if same batch the intra stage emits it; else
+# a's bands are already ALL in the store when b's batch probes, so the
+# cross join emits it. A pair is never emitted twice across batches
+# (its partner is old XOR new), and never missed — so the accumulated
+# set equals the batch operator's pair set exactly, for ANY carve.
+# ---------------------------------------------------------------------------
+
+_Q168_BATCHES = 3
+
+
+def _minhash_fold_batch(state: dict, batch: DataFrame) -> None:
+    """One incremental near-dup step: probe the signature store with the
+    batch's bands, emit new pairs, append the bands."""
+    bands_b = minhash_signatures(batch).localCheckpoint(eager=True)
+    intra = _pairs_from_bands(bands_b)
+    if "bands" not in state:
+        state["bands"] = bands_b
+        state["pairs"] = intra.localCheckpoint(eager=True)
+        return
+    old = state["bands"]
+    cross = (
+        bands_b.alias("n")
+        .join(old.alias("o"), ["band", "sig"])
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    state["pairs"] = (
+        state["pairs"]
+        .union(intra.union(cross).distinct())
+        .localCheckpoint(eager=True)
+    )
+    state["bands"] = old.union(bands_b).localCheckpoint(eager=True)
+
+
+def stream_minhash_pairs(
+    docs: DataFrame, n_batches: int = _Q168_BATCHES,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """q62's candidate pairs computed by DRIVING a file-source
+    foreachBatch stream over a doc_id carve of ``docs`` (machinery in
+    streaming/file_fold.py). Row-identical to the batch operator for
+    ANY carve — see the rebuild-identity note above."""
+    from ..streaming.file_fold import drive_file_stream_fold
+
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    state = drive_file_stream_fold(
+        d, "doc_id long, text string", ["doc_id"], n_batches,
+        _minhash_fold_batch, work_dir,
+    )
+    if "pairs" not in state:
+        # empty corpus: no files staged, no micro-batch fires — the
+        # batch twin's (empty) pair set (the g45 empty rule; reachable
+        # only on empty input, file_fold raises otherwise)
+        return minhash_candidate_pairs(d)
+    # cross-batch duplicates are impossible by construction (partner is
+    # old xor new); the final distinct only collapses same-batch
+    # multi-band hits already collapsed per stage — kept as a cheap
+    # safety net on the accumulated union
+    return state["pairs"].distinct()
+
+
+def q168_stream_minhash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return stream_minhash_pairs(load(spark, sf_dir, "documents"))

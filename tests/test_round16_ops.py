@@ -272,3 +272,70 @@ def test_cc_distributed_quotient_path(spark, monkeypatch):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q168 streaming MinHash dedup (STAGED r17+ candidate #4)
+# ---------------------------------------------------------------------------
+
+
+def test_q168_staged_stream_minhash_pair(spark, sf_small):
+    """Dry-run oracle pair for the STAGED q168 gate: the incrementally-
+    maintained MinHash-LSH pair set must hash-match q62's oracle
+    VERBATIM (rebuild identity: doc-complete carve + probe-then-append
+    emits every bucket-sharing pair exactly once)."""
+    from hadoopwebgraph_spark.functions.dedup import (
+        _MINHASH_CTE,
+        q168_stream_minhash_dedup,
+    )
+    from tests.oracle_util import compare
+
+    compare(
+        spark, sf_small, "q168_stream_minhash_dedup",
+        q168_stream_minhash_dedup,
+        _MINHASH_CTE + "SELECT doc_a, doc_b FROM cand",
+    )
+
+
+def test_stream_minhash_carve_independence_and_cross_batch(spark):
+    """Identical long documents forced into DIFFERENT micro-batches must
+    pair via the store probe (the cross stage), and any batch count
+    yields the batch operator's exact pair set."""
+    from hadoopwebgraph_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        stream_minhash_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, base + " extra tail words here"),  # near dup
+        (4, "completely different words with no shared shingles at all ok"),
+        (5, base),                      # third copy
+        (6, "another unrelated document text body with many words inside"),
+    ]
+    d = _docs_df(spark, rows)
+    want = sorted(map(tuple, minhash_candidate_pairs(d).collect()))
+    got2 = sorted(map(tuple, stream_minhash_pairs(d, 2).collect()))
+    got5 = sorted(map(tuple, stream_minhash_pairs(d, 5).collect()))
+    # with 5 batches the three copies of `base` are (almost surely)
+    # split across batches, exercising the store probe
+    assert got2 == want and got5 == want
+    pairs = set(got2)
+    assert {(1, 2), (1, 5), (2, 5)} <= pairs
+
+
+def test_stream_minhash_empty_corpus(spark):
+    from hadoopwebgraph_spark.functions.dedup import stream_minhash_pairs
+
+    d = _docs_df(spark, []).filter(F.lit(False))
+    out = stream_minhash_pairs(d, 3)
+    assert out.columns == ["doc_a", "doc_b"]
+    assert out.count() == 0
+
+
+def test_q168_not_registered_yet():
+    from hadoopwebgraph_spark.registry import all_queries
+
+    assert "q168_stream_minhash_dedup" not in all_queries()
