@@ -1378,9 +1378,16 @@ def stream_minhash_pairs(
     ANY carve — see the rebuild-identity note above."""
     from ..streaming.file_fold import drive_file_stream_fold
 
-    d = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    ).localCheckpoint(eager=True)
+    # NULL doc_ids are dropped up front: the batch operator silently
+    # drops them too (collect_list in the bucket expansion skips
+    # nulls), but the cross-stage's least/greatest would resolve a
+    # null-vs-x probe hit to a bogus (x, x) self-pair and break the
+    # row-identical contract (review r16, pass 4).
+    d = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("doc_id").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     state = drive_file_stream_fold(
         d, "doc_id long, text string", ["doc_id"], n_batches,
         _minhash_fold_batch, work_dir,

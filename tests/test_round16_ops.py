@@ -339,3 +339,19 @@ def test_q168_not_registered_yet():
     from hadoopwebgraph_spark.registry import all_queries
 
     assert "q168_stream_minhash_dedup" not in all_queries()
+
+
+def test_stream_minhash_null_doc_id_matches_batch(spark):
+    """A NULL doc_id must not fabricate a self-pair through the cross
+    stage's least/greatest (review r16 pass 4): both the stream and the
+    batch operator drop null-id docs."""
+    from hadoopwebgraph_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        stream_minhash_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = _docs_df(spark, [(None, base), (1, base), (2, base)])
+    want = sorted(map(tuple, minhash_candidate_pairs(d).collect()))
+    got = sorted(map(tuple, stream_minhash_pairs(d, 3).collect()))
+    assert got == want == [(1, 2)]
