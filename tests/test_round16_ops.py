@@ -355,3 +355,47 @@ def test_stream_minhash_null_doc_id_matches_batch(spark):
     want = sorted(map(tuple, minhash_candidate_pairs(d).collect()))
     got = sorted(map(tuple, stream_minhash_pairs(d, 3).collect()))
     assert got == want == [(1, 2)]
+
+
+def test_union_find_min_property():
+    """_union_find_min vs a brute-force transitive closure on random
+    pair lists (hypothesis): the mapping must send every merged id to
+    the minimum id of its class and omit ids that are their own root."""
+    from hypothesis import given, settings, strategies as st
+
+    from hadoopwebgraph_spark.functions.ccstream import _union_find_min
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            max_size=40,
+        )
+    )
+    def check(pairs):
+        mapping = _union_find_min(pairs)
+        # brute force: iterate merges to fixpoint
+        comp = {}
+        for a, b in pairs:
+            comp.setdefault(a, a)
+            comp.setdefault(b, b)
+        changed = True
+        while changed:
+            changed = False
+            for a, b in pairs:
+                lo = min(comp[a], comp[b])
+                if comp[a] != lo or comp[b] != lo:
+                    comp[a] = comp[b] = lo
+                    changed = True
+            # propagate through representatives too
+            for x in comp:
+                if comp[comp[x]] < comp[x] if comp[x] in comp else False:
+                    comp[x] = comp[comp[x]]
+                    changed = True
+        want = {x: r for x, r in comp.items() if r != x}
+        assert mapping == want, (pairs, mapping, want)
+
+    check()
