@@ -1,0 +1,72 @@
+"""Central inventory of STAGED gate candidates — validated (query fn,
+oracle SQL) pairs that are NOT yet registered (each registration
+spends one driver-window slot; see registry.py's rotation notes).
+
+Kept as code, not prose, so the next round's registration is
+mechanical: pick entries by the recorded cost, move the @register
+decorator onto the fn (or re-point the registry), and delete the entry
+here. scripts/staged_sim.py runs every entry against its oracle at
+sf0.01 on a vanilla driver-style session — the same gate driver_sim
+applies to registered names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def staged_queries() -> dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str, str]
+]:
+    """name -> (fn, oracle_sql, cost_note). Import-light: resolved
+    lazily so this module never forces the whole package graph."""
+    from .functions.ccstream import (
+        _g47_oracle,
+        g47_stream_connected_components,
+    )
+    from .functions.dedup import _MINHASH_CTE, q168_stream_minhash_dedup
+    from .functions.suffixes import span_oracle_sql
+    from .functions.text import _Q137_ORACLE, q167_stream_inverted_index
+
+    def q166_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .catalog import load
+        from .functions.suffixes import duplicated_span_intervals_multi
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        df = duplicated_span_intervals_multi(docs, [16, 20, 33])
+        return df.select(
+            "span_len",
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+        )
+
+    q166_oracle = " UNION ALL ".join(
+        span_oracle_sql(L, with_len=True) for L in (16, 20, 33)
+    )
+    return {
+        "q168_stream_minhash_dedup": (
+            q168_stream_minhash_dedup,
+            _MINHASH_CTE + "SELECT doc_a, doc_b FROM cand",
+            "~4.1s warm / 13.4s cold at sf0.01 (r16)",
+        ),
+        "q167_stream_inverted_index": (
+            q167_stream_inverted_index,
+            _Q137_ORACLE,
+            "~5s at sf0.01 (r16)",
+        ),
+        "q166_multi_threshold_spans": (
+            q166_fn,
+            q166_oracle,
+            "~7.4s warm / 18.2s cold at sf0.01 (r16; 10.3s at sf0.1 r14)",
+        ),
+        "g47_stream_connected_components": (
+            g47_stream_connected_components,
+            _g47_oracle(),
+            "~9s warm / 27s cold at sf0.01 (r16)",
+        ),
+    }

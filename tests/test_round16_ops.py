@@ -399,3 +399,19 @@ def test_union_find_min_property():
         assert mapping == want, (pairs, mapping, want)
 
     check()
+
+
+def test_staged_inventory_consistent():
+    """The central staged inventory must (a) resolve every entry to a
+    callable + non-empty oracle, and (b) contain NO name that is
+    already registered — a stale entry after an r17 registration would
+    double-run the gate."""
+    from hadoopwebgraph_spark.registry import all_queries
+    from hadoopwebgraph_spark.staged import staged_queries
+
+    staged = staged_queries()
+    assert len(staged) == 4
+    registered = set(all_queries())
+    for name, (fn, oracle, cost) in staged.items():
+        assert callable(fn) and oracle.strip() and cost
+        assert name not in registered, name
