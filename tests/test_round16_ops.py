@@ -415,3 +415,22 @@ def test_staged_inventory_consistent():
     for name, (fn, oracle, cost) in staged.items():
         assert callable(fn) and oracle.strip() and cost
         assert name not in registered, name
+
+
+def test_file_fold_single_batch_degenerate(spark):
+    """n_batches=1 is the degenerate carve (one file, one micro-batch):
+    the fold must fire exactly once and see every row."""
+    from hadoopwebgraph_spark.streaming.file_fold import (
+        drive_file_stream_fold,
+    )
+
+    rows = [(i, i * 2) for i in range(1, 7)]
+    d = spark.createDataFrame(rows, "a long, c long")
+    calls: list[int] = []
+
+    def fold(state, batch):
+        calls.append(batch.count())
+        state["n"] = state.get("n", 0) + batch.count()
+
+    state = drive_file_stream_fold(d, "a long, c long", ["a"], 1, fold)
+    assert calls == [6] and state["n"] == 6
