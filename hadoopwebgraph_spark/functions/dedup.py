@@ -218,11 +218,14 @@ def _minhash_cte(src: str = "documents") -> str:
 
 
 _MINHASH_CTE = _minhash_cte()
+# the full q62 oracle, shared with the staged streaming twin q168
+# (hadoopwebgraph_spark/staged.py) so the two cannot drift (review r16)
+_Q62_ORACLE = _MINHASH_CTE + "SELECT doc_a, doc_b FROM cand"
 
 
 @register(
     "q62_dedup_minhash",
-    oracle=_MINHASH_CTE + "SELECT doc_a, doc_b FROM cand",
+    oracle=_Q62_ORACLE,
     doc="MinHash-LSH near-dup candidates: 8 md5 min-hashes, 4 bands of 2; "
     "pairs sharing any band signature. Candidate generation is an equi-join "
     "on the band bucket (shuffle-bounded, cross-join-free).",

@@ -26,7 +26,7 @@ def staged_queries() -> dict[
         _g47_oracle,
         g47_stream_connected_components,
     )
-    from .functions.dedup import _MINHASH_CTE, q168_stream_minhash_dedup
+    from .functions.dedup import _Q62_ORACLE, q168_stream_minhash_dedup
     from .functions.suffixes import span_oracle_sql
     from .functions.text import _Q137_ORACLE, q167_stream_inverted_index
 
@@ -51,7 +51,7 @@ def staged_queries() -> dict[
     return {
         "q168_stream_minhash_dedup": (
             q168_stream_minhash_dedup,
-            _MINHASH_CTE + "SELECT doc_a, doc_b FROM cand",
+            _Q62_ORACLE,
             "~4.1s warm / 13.4s cold at sf0.01 (r16)",
         ),
         "q167_stream_inverted_index": (

