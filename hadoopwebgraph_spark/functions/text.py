@@ -1049,69 +1049,33 @@ def _bm25_oracle_sql() -> str:
     """
 
 
-@register(
-    "q150_bm25_topk",
-    oracle=_bm25_oracle_sql(),
-    doc="Okapi BM25 ranked RETRIEVAL (k1=1.2, b=0.75): the global top-20 "
-    "documents for a fixed multi-term query — the lexical retrieval "
-    "stage of a RAG / training-data curation pipeline. Distinct from "
-    "q85 (per-document BM25 scores, rounded for comparison): this is "
-    "the top-k cut itself, which demands a BIT-IDENTICAL score so the "
-    "ranking boundary transfers across engines with no rounding. Float discipline (the repo's cross-engine contract): idf "
-    "is quantized ONCE per query term to integer micro-nats "
-    "(round(ln(...)*1e6)); the tf normalization is cross-multiplied to "
-    "an exact integer ratio (k1=6/5, b=3/4, avgdl=n_toks/n_docs give "
-    "contrib = idf_micro*22*tf*T / (10*tf*T + 3*T + 9*dl*N)). Both "
-    "sides are computed EXACTLY in int64 and cast to double with the "
-    "same IEEE rounding in both engines, so the division is one "
-    "correctly-rounded op on identical operands — bit-identity needs "
-    "only that the int64 products never overflow: idf_micro*22*tf*T < "
-    "2^63, which holds to T ~ 1e10 corpus tokens at per-doc query-term "
-    "tf <= 15 and to T ~ 2e7 at tf ~ 1e3 (the fixture is orders of "
-    "magnitude inside the bound). Past it, rescale idf to milli-nats "
-    "or divide both ratio sides by a common power of ten — same "
-    "contract, smaller operands. The per-document sum adds the "
-    "per-term doubles in a fixed syntactic order, so the "
-    "ranking and the hashed values both transfer exactly. Scale: tf "
-    "candidates come from one explode+filter (predicate on the 4 query "
-    "terms prunes the token stream before the doc_id aggregation); "
-    "corpus stats and idf are a broadcast 1-row table; the top-20 is "
-    "TakeOrderedAndProject (per-partition heap + driver merge), never "
-    "a global sort or single-partition window.",
-)
-def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    base = d.select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
-    # per-doc term frequencies for the query terms only: explode is
-    # filtered to the 4-term IN-list before anything shuffles, so the
-    # aggregation input is bounded by query-term occurrences, not corpus
-    # token count
+def _bm25_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, w) — tokenized docs with length."""
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return d.select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
+
+
+def _bm25_tf(base: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf_<term>...) for candidate docs only: explode is
+    filtered to the query-term IN-list before anything shuffles, so the
+    aggregation input is bounded by query-term occurrences, not corpus
+    token count."""
     toks = base.select(
         "doc_id", "dl", F.explode("w").alias("term")
     ).filter(F.col("term").isin(*Q150_QUERY_TERMS))
-    # tf feeds BOTH the df-statistics branch and the final scorer:
-    # persist, or the explode+aggregate subtree (and its corpus scan)
-    # runs twice (the q137/q142 subtree-duplication note; the cached
-    # table is one narrow row per candidate document)
-    tf = (
-        toks.groupBy("doc_id", "dl")
-        .agg(
-            *[
-                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"tf_{t}")
-                for t in Q150_QUERY_TERMS
-            ]
-        )
-        .persist()
+    return toks.groupBy("doc_id", "dl").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in Q150_QUERY_TERMS
+        ]
     )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("n_toks"),
-    )
-    dfs = tf.agg(
+
+
+def _bm25_dfs_of(tf: DataFrame) -> DataFrame:
+    """1-row (df_<term>...) from candidate tf rows."""
+    return tf.agg(
         *[
             F.sum((F.col(f"tf_{t}") > 0).cast("bigint"))
             .cast("bigint")
@@ -1119,6 +1083,16 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in Q150_QUERY_TERMS
         ]
     )
+
+
+def _bm25_rank(
+    tf: DataFrame, stats: DataFrame, dfs: DataFrame
+) -> DataFrame:
+    """Shared consts + fixed-order scorer + top-k (the q150 arithmetic,
+    extracted verbatim in r16 so the staged streaming twin q169 cannot
+    drift — bit-identity depends on IDENTICAL Spark expressions, not
+    merely the same formula). ``stats`` is 1-row (n_docs, n_toks);
+    ``dfs`` is 1-row (df_<term>...)."""
     consts = stats.crossJoin(dfs).select(
         "n_docs",
         "n_toks",
@@ -1161,6 +1135,144 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(Q150_TOP_N)
     )
+
+
+@register(
+    "q150_bm25_topk",
+    oracle=_bm25_oracle_sql(),
+    doc="Okapi BM25 ranked RETRIEVAL (k1=1.2, b=0.75): the global top-20 "
+    "documents for a fixed multi-term query — the lexical retrieval "
+    "stage of a RAG / training-data curation pipeline. Distinct from "
+    "q85 (per-document BM25 scores, rounded for comparison): this is "
+    "the top-k cut itself, which demands a BIT-IDENTICAL score so the "
+    "ranking boundary transfers across engines with no rounding. Float discipline (the repo's cross-engine contract): idf "
+    "is quantized ONCE per query term to integer micro-nats "
+    "(round(ln(...)*1e6)); the tf normalization is cross-multiplied to "
+    "an exact integer ratio (k1=6/5, b=3/4, avgdl=n_toks/n_docs give "
+    "contrib = idf_micro*22*tf*T / (10*tf*T + 3*T + 9*dl*N)). Both "
+    "sides are computed EXACTLY in int64 and cast to double with the "
+    "same IEEE rounding in both engines, so the division is one "
+    "correctly-rounded op on identical operands — bit-identity needs "
+    "only that the int64 products never overflow: idf_micro*22*tf*T < "
+    "2^63, which holds to T ~ 1e10 corpus tokens at per-doc query-term "
+    "tf <= 15 and to T ~ 2e7 at tf ~ 1e3 (the fixture is orders of "
+    "magnitude inside the bound). Past it, rescale idf to milli-nats "
+    "or divide both ratio sides by a common power of ten — same "
+    "contract, smaller operands. The per-document sum adds the "
+    "per-term doubles in a fixed syntactic order, so the "
+    "ranking and the hashed values both transfer exactly. Scale: tf "
+    "candidates come from one explode+filter (predicate on the 4 query "
+    "terms prunes the token stream before the doc_id aggregation); "
+    "corpus stats and idf are a broadcast 1-row table; the top-20 is "
+    "TakeOrderedAndProject (per-partition heap + driver merge), never "
+    "a global sort or single-partition window.",
+)
+def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _bm25_base(load(spark, sf_dir, "documents"))
+    # tf feeds BOTH the df-statistics branch and the final scorer:
+    # persist, or the explode+aggregate subtree (and its corpus scan)
+    # runs twice (the q137/q142 subtree-duplication note; the cached
+    # table is one narrow row per candidate document)
+    tf = _bm25_tf(base).persist()
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_toks"),
+    )
+    return _bm25_rank(tf, stats, _bm25_dfs_of(tf))
+
+
+# ---------------------------------------------------------------------------
+# STAGED for round 17+ (fifth staged candidate, r16): q169 — q150's
+# BM25 ranked retrieval computed over a LIVE index maintained by a real
+# foreachBatch stream (the index family's capstone: q167 maintains the
+# posting structure; this maintains the ranking statistics and answers
+# a query from them).
+#
+# State per batch (all doc-disjoint, hence exactly additive):
+#   - the batch's candidate tf rows (a doc's tf vector is computed
+#     whole in its own batch — the doc_id carve guarantees it);
+#   - ONE 1-row stats record (n_docs_b, n_toks_b, df_<term>_b...).
+# The read-out aggregates the stats rows with plain sums (fully
+# distributed, no driver collect) and scores the accumulated tf rows
+# through the SAME _bm25_rank expressions q150 uses — bit-identity
+# needs identical Spark expressions, which sharing the helper
+# guarantees. Hash-oracled by q150's oracle VERBATIM.
+#
+# Scale: per batch the corpus is touched once (the batch's own rows);
+# the ranking state is one narrow row per CANDIDATE doc plus one
+# 1-row stats record per batch; answering a query is a broadcast of
+# the folded consts + a TakeOrderedAndProject over the candidate rows.
+# ---------------------------------------------------------------------------
+
+_Q169_BATCHES = 3
+
+
+def _bm25_fold_batch(state: dict, batch: DataFrame) -> None:
+    base = _bm25_base(batch)
+    tf_b = _bm25_tf(base).localCheckpoint(eager=True)
+    stat_b = (
+        base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("n_toks"),
+        )
+        .crossJoin(_bm25_dfs_of(tf_b))
+        .localCheckpoint(eager=True)
+    )
+    if "tf" not in state:
+        state["tf"], state["stat"] = tf_b, stat_b
+    else:
+        state["tf"] = state["tf"].union(tf_b).localCheckpoint(eager=True)
+        state["stat"] = (
+            state["stat"].union(stat_b).localCheckpoint(eager=True)
+        )
+
+
+def stream_bm25_topk(
+    docs: DataFrame, n_batches: int = _Q169_BATCHES,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """q150's top-k computed by DRIVING a file-source foreachBatch
+    stream over a doc_id carve of ``docs`` (machinery in
+    streaming/file_fold.py). Row-identical to the batch operator for
+    ANY carve — every state component is doc-disjoint-additive and the
+    read-out reuses q150's exact expressions."""
+    from ..streaming.file_fold import drive_file_stream_fold
+
+    d = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("doc_id").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    state = drive_file_stream_fold(
+        d, "doc_id long, text string", ["doc_id"], n_batches,
+        _bm25_fold_batch, work_dir,
+    )
+    if "tf" not in state:
+        # empty corpus (the g45 empty rule): the batch pipeline over the
+        # empty checkpointed input yields the correctly-shaped empty
+        # top-k
+        base = _bm25_base(d)
+        tf = _bm25_tf(base)
+        stats = base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("n_toks"),
+        )
+        return _bm25_rank(tf, stats, _bm25_dfs_of(tf))
+    stats = state["stat"].agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_toks"),
+    )
+    dfs = state["stat"].agg(
+        *[
+            F.sum(f"df_{t}").cast("bigint").alias(f"df_{t}")
+            for t in Q150_QUERY_TERMS
+        ]
+    )
+    return _bm25_rank(state["tf"], stats, dfs)
+
+
+def q169_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_bm25_topk(load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

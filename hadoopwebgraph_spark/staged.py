@@ -28,7 +28,12 @@ def staged_queries() -> dict[
     )
     from .functions.dedup import _Q62_ORACLE, q168_stream_minhash_dedup
     from .functions.suffixes import span_oracle_sql
-    from .functions.text import _Q137_ORACLE, q167_stream_inverted_index
+    from .functions.text import (
+        _Q137_ORACLE,
+        _bm25_oracle_sql,
+        q167_stream_inverted_index,
+        q169_stream_bm25_topk,
+    )
 
     def q166_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -58,6 +63,11 @@ def staged_queries() -> dict[
             q167_stream_inverted_index,
             _Q137_ORACLE,
             "~5s at sf0.01 (r16)",
+        ),
+        "q169_stream_bm25_topk": (
+            q169_stream_bm25_topk,
+            _bm25_oracle_sql(),
+            "~4s at sf0.01 (r16)",
         ),
         "q166_multi_threshold_spans": (
             q166_fn,

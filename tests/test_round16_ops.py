@@ -430,3 +430,79 @@ def test_file_fold_single_batch_degenerate(spark):
 
     state = drive_file_stream_fold(d, "a long, c long", ["a"], 1, fold)
     assert calls == [6] and state["n"] == 6
+
+
+# ---------------------------------------------------------------------------
+# q169 streaming BM25 top-k (STAGED r17+ candidate #5)
+# ---------------------------------------------------------------------------
+
+
+def test_q169_staged_stream_bm25_pair(spark, sf_small):
+    """Dry-run oracle pair for the STAGED q169 gate: BM25 top-k over a
+    live streamed index must hash-match q150's oracle VERBATIM —
+    bit-identical scores via the shared _bm25_rank expressions over
+    exactly-additive folded statistics."""
+    from hadoopwebgraph_spark.functions.text import (
+        _bm25_oracle_sql,
+        q169_stream_bm25_topk,
+    )
+    from tests.oracle_util import compare
+
+    compare(
+        spark, sf_small, "q169_stream_bm25_topk",
+        q169_stream_bm25_topk, _bm25_oracle_sql(),
+    )
+
+
+def test_stream_bm25_carve_independence(spark):
+    """Any batch count yields the batch operator's exact ranking —
+    including tie regions (docs with identical scores order by doc_id)
+    and idf sensitivity to the FULL corpus stats (docs with no query
+    term still change n_docs/n_toks and therefore every score)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hadoopwebgraph_spark.functions.text import (
+        _bm25_base,
+        _bm25_dfs_of,
+        _bm25_rank,
+        _bm25_tf,
+        stream_bm25_topk,
+    )
+
+    rows = [
+        (1, "spark stream window hash join"),
+        (2, "spark spark spark filler filler filler filler"),
+        (3, "no query terms at all in this document body"),
+        (4, "window window hash"),
+        (5, "stream"),
+        (6, "hash spark"),
+        (7, "another term free document padding the corpus statistics"),
+        (8, "hash spark"),  # same text as 6 -> same score, doc_id tie-break
+    ]
+    d = _docs_df(spark, rows)
+    base = _bm25_base(d)
+    tf = _bm25_tf(base)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_toks"),
+    )
+    want = [tuple(r) for r in _bm25_rank(tf, stats, _bm25_dfs_of(tf)).collect()]
+    got2 = [tuple(r) for r in stream_bm25_topk(d, 2).collect()]
+    got5 = [tuple(r) for r in stream_bm25_topk(d, 5).collect()]
+    assert got2 == want and got5 == want  # ORDERED compare: ranking too
+    assert [r[0] for r in want if r[0] in (6, 8)] == [6, 8]  # tie-break
+
+
+def test_stream_bm25_empty_corpus(spark):
+    from hadoopwebgraph_spark.functions.text import stream_bm25_topk
+
+    d = _docs_df(spark, []).filter(F.lit(False))
+    out = stream_bm25_topk(d, 3)
+    assert out.columns == ["doc_id", "n_match", "score"]
+    assert out.count() == 0
+
+
+def test_q169_not_registered_yet():
+    from hadoopwebgraph_spark.registry import all_queries
+
+    assert "q169_stream_bm25_topk" not in all_queries()
