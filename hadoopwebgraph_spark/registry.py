@@ -530,6 +530,41 @@ _DRIVER_GREEN.update(
 )
 
 
+# Round 16's driver window: CORRECTNESS_r16.json, 48/50 hash-exact +
+# q12/q45 rows-only by design — the two r16 registrations g45/g46 plus
+# the 2 round-11 stragglers (q93/q94) and 46 rotated round-12 names.
+# Post-stamp composition (scripts/gen_driver_green_stamp.py):
+# {12: 4, 13: 46} — round 17's window is the 4 round-12 stragglers
+# displaced by r15/r16 registrations plus the 46 oldest round-13 names.
+# r17 spends slots on the staged q168/q169 pairs (VERDICT r16 items
+# #2/#3), each displacing one round-13 name's re-verification by a round.
+_DRIVER_GREEN.update(
+    {
+        name: 16
+        for name in (
+            "g28_scc g29_bowtie g30_condensation "
+            "g31_permute_roundtrip g32_neighbor_sample "
+            "g45_anf_stream_curve g46_harmonic_centrality "
+            "q06_join_semi q07_join_anti q08_join_theta "
+            "q09_self_join q10_agg_stats q11_count_distinct "
+            "q12_approx_distinct q132_chunk_documents q13_rollup "
+            "q14_cube q15_grouping_sets q160_theta_sketch_setops "
+            "q161_substring_search q162_crossencoder_rerank "
+            "q16_topk_global q17_having q18_join_right "
+            "q19_join_full q20_window_topk_per_group "
+            "q21_window_rank q22_window_running_sum q23_window_lag "
+            "q24_window_range_frame q25_window_ntile_first_last "
+            "q26_window_distribution q30_union q31_intersect "
+            "q32_except q33_string_fns q34_date_fns q35_math_fns "
+            "q36_array_fns q37_json_fns q38_case_coalesce "
+            "q39_pivot q40_distinct q41_in_subquery q43_join_cross "
+            "q44_percentiles q45_approx_percentiles q46_map_fns "
+            "q93_image_decode q94_audio_decode"
+        ).split()
+    }
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     # Never-verified first (round 0), then oldest-verified, name as tiebreak.
