@@ -1310,9 +1310,9 @@ def q147_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
-# STAGED for round 17+ (fourth staged candidate, r16): q168 — the
-# MinHash-LSH near-dup operator maintained INCREMENTALLY over a real
-# document stream (the g45 gate shape). q128 already covers streaming
+# Registered round 17 (staged + dry-run-validated in r16; VERDICT r16
+# item #3): q168 — the MinHash-LSH near-dup operator maintained
+# INCREMENTALLY over a real document stream (the g45 gate shape). q128 already covers streaming
 # EXACT dedup (content-hash anti-join); this is its near-dup
 # counterpart, the recurring production shape where today's crawl must
 # be deduped against the whole corpus without recomputing a single old
@@ -1407,6 +1407,27 @@ def stream_minhash_pairs(
     return state["pairs"].distinct()
 
 
+@register(
+    "q168_stream_minhash_dedup",
+    oracle=_Q62_ORACLE,
+    doc="MinHash-LSH near-dup detection maintained INCREMENTALLY over "
+    "a real foreachBatch document stream (registered r17; staged + "
+    "validated r16) — the near-dup counterpart of q128's streaming "
+    "exact dedup, and the recurring production shape where today's "
+    "crawl is deduped against the whole corpus without recomputing a "
+    "single old signature. State is the accumulated (doc_id, band, "
+    "sig) signature store (N_HASHES/BAND_SIZE rows per doc, "
+    "independent of text size) plus the pairs found so far; per batch "
+    "the NEW docs' signatures probe the store with ONE equi-join on "
+    "(band, sig) — at scale the store is bucketed on the join key so "
+    "the probe co-locates, and shuffle volume is the batch's bands, "
+    "never the corpus. Hash-oracled by q62's oracle VERBATIM via "
+    "rebuild identity: the doc_id carve lands a doc's full signature "
+    "in one batch, a bucket-sharing pair's partner is old XOR new "
+    "(cross-probe XOR intra-batch), so the accumulated pair set "
+    "equals the batch operator's exactly, for ANY carve "
+    "(carve-independence pinned 2-vs-5 batches in test_round16_ops).",
+)
 def q168_stream_minhash_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1182,11 +1182,11 @@ def q150_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED for round 17+ (fifth staged candidate, r16): q169 — q150's
-# BM25 ranked retrieval computed over a LIVE index maintained by a real
-# foreachBatch stream (the index family's capstone: q167 maintains the
-# posting structure; this maintains the ranking statistics and answers
-# a query from them).
+# Registered round 17 (staged + dry-run-validated in r16; VERDICT r16
+# item #2): q169 — q150's BM25 ranked retrieval computed over a LIVE
+# index maintained by a real foreachBatch stream (the index family's
+# capstone: q167 maintains the posting structure; this maintains the
+# ranking statistics and answers a query from them).
 #
 # State per batch (all doc-disjoint, hence exactly additive):
 #   - the batch's candidate tf rows (a doc's tf vector is computed
@@ -1235,14 +1235,19 @@ def stream_bm25_topk(
     stream over a doc_id carve of ``docs`` (machinery in
     streaming/file_fold.py). Row-identical to the batch operator for
     ANY carve — every state component is doc-disjoint-additive and the
-    read-out reuses q150's exact expressions."""
+    read-out reuses q150's exact expressions. NULL doc_ids are kept,
+    matching q150 and the shared oracle exactly (ADVICE r16): q150's
+    corpus stats (n_docs, n_toks) count every row, and the carve's
+    ``xxhash64(doc_id)`` sends every null row to ONE deterministic
+    batch (xxhash64 skips null inputs, leaving the seed), so the null
+    doc-group is batch-complete and groups into the same tf rows the
+    batch build produces. (On the fixtures this is moot anyway —
+    documents.doc_id is the table's PK, verified non-null.)"""
     from ..streaming.file_fold import drive_file_stream_fold
 
-    d = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-        .filter(F.col("doc_id").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
     state = drive_file_stream_fold(
         d, "doc_id long, text string", ["doc_id"], n_batches,
         _bm25_fold_batch, work_dir,
@@ -1271,6 +1276,28 @@ def stream_bm25_topk(
     return _bm25_rank(state["tf"], stats, dfs)
 
 
+@register(
+    "q169_stream_bm25_topk",
+    oracle=_bm25_oracle_sql(),
+    doc="q150's BM25 ranked retrieval answered from a LIVE index "
+    "maintained by a real foreachBatch stream (registered r17; staged "
+    "+ validated r16) — the index family's capstone: q167 maintains "
+    "the posting structure, this maintains the ranking statistics and "
+    "answers a top-k query from them. State per batch is doc-disjoint "
+    "and hence exactly additive: the batch's candidate tf rows (a "
+    "doc's tf vector is computed whole in its own batch — the doc_id "
+    "carve guarantees it, nulls included: xxhash64 skips the null "
+    "input so every null-id row lands in one deterministic batch) "
+    "plus ONE 1-row stats record (n_docs, n_toks, df_<term>...). The "
+    "read-out sums the stats rows distributedly and scores the "
+    "accumulated tf rows through q150's EXACT shared _bm25_rank "
+    "expressions — bit-identity is by construction, so q150's integer-"
+    "micro-nat oracle certifies this gate VERBATIM. Scale: per batch "
+    "the corpus is touched once (the batch's own rows); the ranking "
+    "state is one narrow row per CANDIDATE doc plus one stats row per "
+    "batch; answering is a broadcast of the folded consts + "
+    "TakeOrderedAndProject over the candidates.",
+)
 def q169_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_bm25_topk(load(spark, sf_dir, "documents"))
 

@@ -26,14 +26,8 @@ def staged_queries() -> dict[
         _g47_oracle,
         g47_stream_connected_components,
     )
-    from .functions.dedup import _Q62_ORACLE, q168_stream_minhash_dedup
     from .functions.suffixes import span_oracle_sql
-    from .functions.text import (
-        _Q137_ORACLE,
-        _bm25_oracle_sql,
-        q167_stream_inverted_index,
-        q169_stream_bm25_topk,
-    )
+    from .functions.text import _Q137_ORACLE, q167_stream_inverted_index
 
     def q166_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -54,20 +48,10 @@ def staged_queries() -> dict[
         span_oracle_sql(L, with_len=True) for L in (16, 20, 33)
     )
     return {
-        "q168_stream_minhash_dedup": (
-            q168_stream_minhash_dedup,
-            _Q62_ORACLE,
-            "~4.1s warm / 13.4s cold at sf0.01 (r16)",
-        ),
         "q167_stream_inverted_index": (
             q167_stream_inverted_index,
             _Q137_ORACLE,
             "~5s at sf0.01 (r16)",
-        ),
-        "q169_stream_bm25_topk": (
-            q169_stream_bm25_topk,
-            _bm25_oracle_sql(),
-            "~4s at sf0.01 (r16)",
         ),
         "q166_multi_threshold_spans": (
             q166_fn,

@@ -334,12 +334,6 @@ def test_stream_minhash_empty_corpus(spark):
     assert out.count() == 0
 
 
-def test_q168_not_registered_yet():
-    from hadoopwebgraph_spark.registry import all_queries
-
-    assert "q168_stream_minhash_dedup" not in all_queries()
-
-
 def test_stream_minhash_null_doc_id_matches_batch(spark):
     """A NULL doc_id must not fabricate a self-pair through the cross
     stage's least/greatest (review r16 pass 4): both the stream and the
@@ -502,7 +496,38 @@ def test_stream_bm25_empty_corpus(spark):
     assert out.count() == 0
 
 
-def test_q169_not_registered_yet():
-    from hadoopwebgraph_spark.registry import all_queries
+def test_stream_bm25_null_doc_id_matches_batch(spark):
+    """NULL doc_ids are KEPT (ADVICE r16): q150's corpus stats count
+    every row and its tf grouping keys on (doc_id, dl), so null-id docs
+    shift idf and can themselves rank. The carve's xxhash64(doc_id)
+    skips the null input (leaving the seed), landing every null row in
+    ONE deterministic batch — the null doc-group is batch-complete and
+    the stream is row-identical to the batch build, including the
+    merge of same-(null, dl) rows into one tf group."""
+    from hadoopwebgraph_spark.functions.text import (
+        _bm25_base,
+        _bm25_dfs_of,
+        _bm25_rank,
+        _bm25_tf,
+        stream_bm25_topk,
+    )
 
-    assert "q169_stream_bm25_topk" not in all_queries()
+    rows = [
+        (None, "spark hash stream window spark"),  # null-id candidate
+        (None, "no query terms at all here ok"),   # null-id, stats-only
+        (None, "spark hash stream window spark"),  # same (null, dl) group
+        (1, "spark stream window hash join"),
+        (2, "window window hash"),
+        (3, "term free document padding corpus statistics"),
+    ]
+    d = _docs_df(spark, rows)
+    base = _bm25_base(d)
+    tf = _bm25_tf(base)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_toks"),
+    )
+    want = [tuple(r) for r in _bm25_rank(tf, stats, _bm25_dfs_of(tf)).collect()]
+    got = [tuple(r) for r in stream_bm25_topk(d, 3).collect()]
+    assert got == want  # ORDERED: the ranking transfers, nulls included
+    assert any(r[0] is None for r in want)  # the null group actually ranks
