@@ -157,21 +157,30 @@ def _stats(sketch: DataFrame, tag: str, k: int = K) -> DataFrame:
 )
 def q160_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-
-    def year_hashes(y: int) -> DataFrame:
-        return (
-            o.filter(
-                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
-                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
-            ).select(F.col("o_custkey").cast("string").alias("key"))
-        )
-
     # session-retained cache; contract in queries/graph._materialize —
     # each <=K-row sketch feeds several consumers below, and an
     # unpersisted Python-free subtree would still re-scan orders per use
-    sa = track(theta_sketch(year_hashes(1995)).persist())
-    sb = track(theta_sketch(year_hashes(1996)).persist())
+    sa = track(theta_sketch(_year_custkeys(o, 1995)).persist())
+    sb = track(theta_sketch(_year_custkeys(o, 1996)).persist())
     sa.count(), sb.count()
+    return _theta_setops_readout(sa, sb)
+
+
+def _year_custkeys(orders: DataFrame, y: int) -> DataFrame:
+    """The q160 cohort: customer keys of orders placed in year ``y``
+    (extracted r17 so the staged streaming twin shares the exact
+    cohort predicate and key casting)."""
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+    ).select(F.col("o_custkey").cast("string").alias("key"))
+
+
+def _theta_setops_readout(sa: DataFrame, sb: DataFrame) -> DataFrame:
+    """q160's set algebra over two built sketches (extracted verbatim
+    r17 so the staged streaming twin q170 cannot drift — hash-identity
+    of the five estimate rows depends on IDENTICAL Spark expressions,
+    the _bm25_rank rule)."""
     su = sa.union(sb).distinct().orderBy("h").limit(K)
 
     ast, bst, ust = _stats(sa, "a"), _stats(sb, "b"), _stats(su, "u")
@@ -325,3 +334,88 @@ def theta_snapshot_estimate(
     was built with — the drift-proof consumer path."""
     k = resolve_k(snapshot_dir, "theta_sketch", None)
     return theta_estimate(theta_sketch_snapshot(spark, snapshot_dir, k), k)
+
+
+# ---------------------------------------------------------------------------
+# STAGED for round 18+ (r17; VERDICT r16 item #7): q170 — q160's theta
+# set algebra answered from sketches maintained by a LIVE foreachBatch
+# stream over the orders table (the g45 gate shape via file_fold).
+#
+# Rebuild identity (what makes q160's oracle certify this VERBATIM):
+# take-k-smallest-distinct is a bounded join-semilattice — for any
+# partition of a cohort into batches,
+#   kmin_K(distinct(U_i H_i)) == kmin_K(distinct(U_i kmin_K(H_i)))
+# because every hash in the global k-smallest is necessarily in its own
+# batch's k-smallest (anything that displaced it there would also
+# displace it globally), and distinct absorbs re-deliveries. So the
+# fold may truncate to K rows per cohort after EVERY batch, the carve
+# can be ANY row partition (o_orderkey — no entity-completeness needed,
+# unlike the doc_id carves), and the folded sketches are row-identical
+# to the batch build's. The read-out then runs through the SAME
+# _theta_setops_readout expressions q160 uses.
+#
+# Scale: per batch only <=K 8-byte hashes per cohort leave the batch's
+# scan (TakeOrderedAndProject, never a global sort); state is 2*K rows
+# TOTAL regardless of corpus size — the cheapest state of the whole
+# incremental family. This is the always-on ingestion counterpart of
+# incremental_theta_sketch above with the snapshot replaced by in-fold
+# truncation, plus the full q160 set-algebra read-out.
+# ---------------------------------------------------------------------------
+
+_Q170_BATCHES = 3
+
+
+def _theta_fold_batch(state: dict, batch: DataFrame) -> None:
+    """One ingestion step: sketch each year cohort of the batch and
+    semilattice-merge (union + distinct + k-truncate) into the state."""
+    for tag, year in (("sa", 1995), ("sb", 1996)):
+        sk_b = theta_sketch(_year_custkeys(batch, year))
+        if tag not in state:
+            state[tag] = sk_b.localCheckpoint(eager=True)
+        else:
+            state[tag] = (
+                state[tag]
+                .union(sk_b)
+                .distinct()
+                .orderBy("h")
+                .limit(K)
+                .localCheckpoint(eager=True)
+            )
+
+
+def stream_theta_setops(
+    orders: DataFrame, n_batches: int = _Q170_BATCHES,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """q160's five estimate rows computed by DRIVING a file-source
+    foreachBatch stream over an o_orderkey carve of ``orders``
+    (machinery in streaming/file_fold.py). Row-identical to the batch
+    operator for ANY carve — the KMV semilattice argument above."""
+    from ..streaming.file_fold import drive_file_stream_fold
+
+    d = orders.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    ).localCheckpoint(eager=True)
+    state = drive_file_stream_fold(
+        d,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        ["o_orderkey"],
+        n_batches,
+        _theta_fold_batch,
+        work_dir,
+    )
+    if "sa" not in state:
+        # empty corpus (the g45 empty rule; reachable only on empty
+        # input, file_fold raises otherwise): the batch pipeline over
+        # the empty checkpointed input yields the five zero-estimate
+        # rows
+        sa = theta_sketch(_year_custkeys(d, 1995))
+        sb = theta_sketch(_year_custkeys(d, 1996))
+        return _theta_setops_readout(sa, sb)
+    return _theta_setops_readout(state["sa"], state["sb"])
+
+
+def q170_stream_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_theta_setops(load(spark, sf_dir, "orders"))

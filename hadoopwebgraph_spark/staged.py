@@ -26,8 +26,12 @@ def staged_queries() -> dict[
         _g47_oracle,
         g47_stream_connected_components,
     )
+    from .functions.sketches import q170_stream_theta_setops
     from .functions.suffixes import span_oracle_sql
     from .functions.text import _Q137_ORACLE, q167_stream_inverted_index
+    from .registry import all_queries
+
+    q160_oracle = all_queries()["q160_theta_sketch_setops"].oracle
 
     def q166_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -48,6 +52,12 @@ def staged_queries() -> dict[
         span_oracle_sql(L, with_len=True) for L in (16, 20, 33)
     )
     return {
+        "q170_stream_theta_setops": (
+            q170_stream_theta_setops,
+            q160_oracle,
+            "~15.6s cold at sf0.01 (r17 staged_sim; 2*K-row state, "
+            "the cheapest of the family — cost is stream start/teardown)",
+        ),
         "q167_stream_inverted_index": (
             q167_stream_inverted_index,
             _Q137_ORACLE,
