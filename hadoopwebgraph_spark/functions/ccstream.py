@@ -1,7 +1,7 @@
-"""Incremental weakly-connected components under edge additions —
-STAGED in round 16 for a round-17 window slot (the third staged
-candidate alongside q167 and q166; VERDICT r15 #7's direction of
-gate-shaped streaming twins continued).
+"""Incremental graph operators over edge streams: weakly-connected
+components under edge additions (g47, STAGED r16) and host-graph
+aggregate maintenance (g48, STAGED r17 — see its section at the end).
+The rest of this docstring describes g47.
 
 The batch operator (queries/graph_algos.py::connected_components,
 g12) computes the min-label fixpoint: component(v) = min node id
@@ -278,3 +278,83 @@ def g47_stream_connected_components(
         (F.col("src") < _G47_CAP) & (F.col("dst") < _G47_CAP)
     )
     return cc_streaming_sizes(e, _G47_BATCHES)
+
+
+# ---------------------------------------------------------------------------
+# STAGED for round 18+ (r17; VERDICT r16 item #7's second direction):
+# g48 — g25's host-graph contraction maintained INCREMENTALLY over an
+# edge stream. This is incremental MATERIALIZED-VIEW maintenance of a
+# quotient aggregate — the simplest state merge in the whole family
+# (pure addition), included precisely because it is the everyday
+# production shape: a crawl streams in, the site-level link graph
+# stays current without ever re-contracting old arcs.
+#
+# Rebuild identity (what makes g25's oracle certify this VERBATIM):
+# weight(host_src, host_dst) = count of arcs mapping to the pair, and
+# counts are additive over ANY arc-disjoint carve — the (src, dst)
+# carve trivially is one. No entity-completeness requirement at all,
+# unlike the doc_id carves. The contraction expressions are shared
+# with g25 (queries/graph.py::host_contract) so the twin cannot drift.
+#
+# Scale: per batch the only work is the batch's own contraction
+# (map-side combine collapses duplicate host pairs before the shuffle)
+# plus a merge whose width is the TOUCHED host pairs — at 1000
+# executors the state lives as a table bucketed by (host_src,
+# host_dst) and the merge is a partitioned MERGE touching only those
+# buckets; the local gate's full-state localCheckpoint is the
+# documented local artifact (SCALE.md "Incremental operators").
+# ---------------------------------------------------------------------------
+
+_G48_BATCHES = 3
+
+
+def _host_fold_batch(state: dict, batch: DataFrame) -> None:
+    """One maintenance step: contract the batch's arcs and ADD into the
+    accumulated host-pair weights."""
+    from ..queries.graph import host_contract
+
+    hw_b = host_contract(batch)
+    if "hw" not in state:
+        state["hw"] = hw_b.localCheckpoint(eager=True)
+    else:
+        state["hw"] = (
+            state["hw"]
+            .union(hw_b)
+            .groupBy("host_src", "host_dst")
+            .agg(F.sum("weight").cast("long").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+
+
+def stream_host_graph(
+    edges: DataFrame, n_batches: int = _G48_BATCHES,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """g25's weighted host graph computed by DRIVING a file-source
+    foreachBatch stream over a (src, dst) carve of ``edges`` (machinery
+    in streaming/file_fold.py). Row-identical to the batch contraction
+    for ANY carve — counts are additive over arc-disjoint batches."""
+    from ..queries.graph import host_contract
+    from ..streaming.file_fold import drive_file_stream_fold
+
+    d = edges.select(
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+    ).localCheckpoint(eager=True)
+    state = drive_file_stream_fold(
+        d, "src int, dst int", ["src", "dst"], n_batches,
+        _host_fold_batch, work_dir,
+    )
+    if "hw" not in state:
+        # empty graph (the g45 empty rule; reachable only on empty
+        # input, file_fold raises otherwise): the batch contraction of
+        # the empty checkpointed input is the correctly-shaped 0-row
+        # result
+        return host_contract(d)
+    return state["hw"]
+
+
+def g48_stream_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.graph import edges_df
+
+    return stream_host_graph(edges_df(spark))

@@ -601,9 +601,15 @@ def g24_transpose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition's duplicate host pairs.",
 )
 def g25_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = edges_df(spark)
+    return host_contract(edges_df(spark))
+
+
+def host_contract(edges: DataFrame) -> DataFrame:
+    """g25's contraction over an edge list (extracted r17 so the staged
+    streaming twin g48 shares the exact endpoint mapping and aggregate
+    expressions — the _bm25_rank rule)."""
     return (
-        e.select(
+        edges.select(
             F.expr("CAST(src div 50 AS BIGINT)").alias("host_src"),
             F.expr("CAST(dst div 50 AS BIGINT)").alias("host_dst"),
         )

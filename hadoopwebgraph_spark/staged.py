@@ -25,13 +25,16 @@ def staged_queries() -> dict[
     from .functions.ccstream import (
         _g47_oracle,
         g47_stream_connected_components,
+        g48_stream_host_graph,
     )
     from .functions.sketches import q170_stream_theta_setops
     from .functions.suffixes import span_oracle_sql
     from .functions.text import _Q137_ORACLE, q167_stream_inverted_index
     from .registry import all_queries
 
-    q160_oracle = all_queries()["q160_theta_sketch_setops"].oracle
+    reg = all_queries()
+    q160_oracle = reg["q160_theta_sketch_setops"].oracle
+    g25_oracle = reg["g25_host_graph"].oracle
 
     def q166_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -52,11 +55,16 @@ def staged_queries() -> dict[
         span_oracle_sql(L, with_len=True) for L in (16, 20, 33)
     )
     return {
+        "g48_stream_host_graph": (
+            g48_stream_host_graph,
+            g25_oracle,
+            "~15.1s cold / warm in the q170 class at sf0.01 (r17 staged_sim)",
+        ),
         "q170_stream_theta_setops": (
             q170_stream_theta_setops,
             q160_oracle,
-            "~15.6s cold at sf0.01 (r17 staged_sim; 2*K-row state, "
-            "the cheapest of the family — cost is stream start/teardown)",
+            "~6.7s warm / 15.6s cold at sf0.01 (r17 staged_sim; 2*K-row "
+            "state, the cheapest of the family)",
         ),
         "q167_stream_inverted_index": (
             q167_stream_inverted_index,

@@ -100,3 +100,67 @@ def test_q170_not_registered_yet():
     from hadoopwebgraph_spark.registry import all_queries
 
     assert "q170_stream_theta_setops" not in all_queries()
+
+
+# ---------------------------------------------------------------------------
+# g48 streaming host-graph maintenance (STAGED r18 candidate)
+# ---------------------------------------------------------------------------
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(rows, "src int, dst int")
+
+
+def test_g48_staged_stream_host_graph_pair(spark, sf_small):
+    """Dry-run oracle pair for the STAGED g48 gate: the host graph
+    maintained over a real edge stream must hash-match g25's oracle
+    VERBATIM (weights are additive over the arc-disjoint carve; the
+    contraction shares g25's exact expressions)."""
+    from hadoopwebgraph_spark.functions.ccstream import g48_stream_host_graph
+    from hadoopwebgraph_spark.registry import all_queries
+    from tests.oracle_util import compare
+
+    oracle = all_queries()["g25_host_graph"].oracle
+    compare(
+        spark, sf_small, "g48_stream_host_graph",
+        g48_stream_host_graph, oracle,
+    )
+
+
+def test_stream_host_graph_carve_independence(spark):
+    """Any batch count yields the batch contraction's exact weighted
+    host graph — arcs of one host pair scattered across batches must
+    re-merge additively (hosts here are node div 50, so arcs from
+    nodes 0..49 all hit host 0)."""
+    from hadoopwebgraph_spark.functions.ccstream import stream_host_graph
+    from hadoopwebgraph_spark.queries.graph import host_contract
+
+    rows = []
+    # host 0 -> host 1 from many distinct arcs, plus self-loop weight
+    # (intra-host arcs), plus a sparse far pair
+    for s in range(0, 40):
+        rows.append((s, 50 + (s % 30)))   # host 0 -> 1
+        rows.append((s, (s + 1) % 50))    # host 0 -> 0 self-loop weight
+    rows += [(250, 307), (251, 308), (990, 12)]
+    d = _edges_df(spark, rows)
+    want = sorted(map(tuple, host_contract(d).collect()))
+    got2 = sorted(map(tuple, stream_host_graph(d, 2).collect()))
+    got5 = sorted(map(tuple, stream_host_graph(d, 5).collect()))
+    assert got2 == want and got5 == want
+    w = {(a, b): c for a, b, c in want}
+    assert w[(0, 1)] == 40 and w[(0, 0)] == 40 and w[(19, 0)] == 1
+
+
+def test_stream_host_graph_empty(spark):
+    from hadoopwebgraph_spark.functions.ccstream import stream_host_graph
+
+    d = _edges_df(spark, []).filter(F.lit(False))
+    out = stream_host_graph(d, 3)
+    assert out.columns == ["host_src", "host_dst", "weight"]
+    assert out.count() == 0
+
+
+def test_g48_not_registered_yet():
+    from hadoopwebgraph_spark.registry import all_queries
+
+    assert "g48_stream_host_graph" not in all_queries()
