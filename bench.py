@@ -214,18 +214,12 @@ def main() -> None:
 
     # Warm up the JVM + parquet footers + the Python worker pool (the
     # bvgraph source and pandas UDFs run in python workers whose first
-    # spawn costs seconds; that's pool startup, not query time).
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    from pyspark.sql import functions as F
+    # spawn costs seconds; that's pool startup, not query time). Body
+    # shared with scripts/profile_one.py (review r17) so the arbitration
+    # profiler warms exactly what the bench warms.
+    from hadoopwebgraph_spark.benchlib import generic_warmup
 
-    # warm whole-stage-codegen + scan machinery on the fact table (first
-    # query in a fresh JVM otherwise pays ~1s of compile)
-    (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_linestatus")
-        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
-        .collect()
-    )
+    generic_warmup(spark, sf_dir)
     try:
         from hadoopwebgraph_spark.queries.graph import graph_df
 
@@ -310,24 +304,19 @@ def main() -> None:
     scan_stats = {}
     detail_stats = {}
     try:
-        from pyspark.sql import functions as F  # noqa: F811
-
+        from hadoopwebgraph_spark.benchlib import (
+            xl_degree_hist_count,
+            xl_scan_agg,
+        )
         from hadoopwebgraph_spark.bvgraph.benchgen import ensure_xl_fixture
-        from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
 
         xl = ensure_xl_fixture(spark)
 
+        # measured body shared with scripts/profile_one.py (review r17)
         def scan(splits):
             t0 = time.perf_counter()
-            r = (
-                read_bvgraph(spark, xl, num_splits=splits)
-                .select(
-                    F.sum(F.size("adj")).alias("m"),
-                    F.sum(F.col("src") * F.size("adj")).alias("w"),
-                )
-                .collect()[0]
-            )
-            return time.perf_counter() - t0, int(r.m), int(r.w)
+            m, w = xl_scan_agg(spark, xl, splits)
+            return time.perf_counter() - t0, m, w
 
         loads["gXL_graph_scan"] = round(os.getloadavg()[0], 1)
         scan(32)  # worker-pool warm pass for this plan shape
@@ -345,13 +334,7 @@ def main() -> None:
         # degree-distribution shape every graph workload starts with)
         loads["gXL_degree_hist"] = round(os.getloadavg()[0], 1)
         t0 = time.perf_counter()
-        hist_rows = (
-            read_bvgraph(spark, xl, num_splits=32)
-            .select(F.size("adj").alias("deg"))
-            .groupBy("deg")
-            .count()
-            .count()
-        )
+        hist_rows = xl_degree_hist_count(spark, xl)
         timings["gXL_degree_hist"] = round(time.perf_counter() - t0, 3)
         assert hist_rows > 0
         # scan-side stats FIRST: a sink failure below must not drop the
@@ -376,6 +359,7 @@ def main() -> None:
 
         # node count from the fixture's .properties — skips the count()
         # job (a full second decode just to size the segments)
+        from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
         from hadoopwebgraph_spark.bvgraph.properties import parse_properties
 
         with open(xl + ".properties") as f:
@@ -469,19 +453,16 @@ def main() -> None:
     def _run_hyperanf():
         # imports stay INSIDE the measured callable so an import failure
         # is recorded as this entry's error, not a bench crash that
-        # loses every already-collected timing
-        from hadoopwebgraph_spark.queries.graph import edges_df
-        from hadoopwebgraph_spark.queries.graph_algos import (
-            neighborhood_function,
-        )
+        # loses every already-collected timing; body shared with
+        # scripts/profile_one.py (review r17)
+        from hadoopwebgraph_spark.benchlib import hyperanf_3hop
 
-        return neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
+        return hyperanf_3hop(spark)
 
     def _check_nf(nf):
-        # the r7 N(t) tail-trim can legitimately return fewer than
-        # max_hops+1 entries (growth saturates early) — a healthy
-        # run must not be recorded as an error
-        assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
+        from hadoopwebgraph_spark.benchlib import check_nf
+
+        check_nf(nf)
 
     _time_best_of_2(
         "gB_hyperanf_3hop",

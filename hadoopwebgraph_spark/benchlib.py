@@ -1,0 +1,73 @@
+"""Measured bench-entry bodies shared by bench.py and
+scripts/profile_one.py (review r17: the profiler exists to arbitrate
+bench numbers, so its bodies must be THE bench bodies by construction,
+not copies that can drift). Anything here defines what a bench entry
+measures — changing it changes the cross-round comparability of that
+entry, so keep parameters (lg_k, num_splits, warm-up queries) stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def generic_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """JVM + parquet footers + whole-stage-codegen + python worker pool
+    warm-up shared by every timed protocol (first query in a fresh JVM
+    otherwise pays ~1s of compile)."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_linestatus")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+        .collect()
+    )
+
+
+def hyperanf_3hop(spark: SparkSession):
+    """The gB_hyperanf_3hop body: 3 sketch hops at lg_k=11 on the
+    committed bench fixture (see bench.py's entry comment for why it
+    runs after the query loop there)."""
+    from .queries.graph import edges_df
+    from .queries.graph_algos import neighborhood_function
+
+    return neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
+
+
+def check_nf(nf) -> None:
+    """Sanity for hyperanf_3hop: the r7 N(t) tail-trim can legitimately
+    return fewer than max_hops+1 entries (growth saturates early) — a
+    healthy run must not be recorded as an error."""
+    assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
+
+
+def xl_scan_agg(spark: SparkSession, xl: str, splits: int):
+    """The gXL_graph_scan body: full decode + two aggregates whose pair
+    doubles as the partition-invariance checksum. Returns (m, w)."""
+    from .bvgraph.datasource import read_bvgraph
+
+    r = (
+        read_bvgraph(spark, xl, num_splits=splits)
+        .select(
+            F.sum(F.size("adj")).alias("m"),
+            F.sum(F.col("src") * F.size("adj")).alias("w"),
+        )
+        .collect()[0]
+    )
+    return int(r.m), int(r.w)
+
+
+def xl_degree_hist_count(spark: SparkSession, xl: str) -> int:
+    """The gXL_degree_hist body: decode + explode-free size() + two-level
+    aggregate (the degree-distribution shape every graph workload starts
+    with)."""
+    from .bvgraph.datasource import read_bvgraph
+
+    return (
+        read_bvgraph(spark, xl, num_splits=32)
+        .select(F.size("adj").alias("deg"))
+        .groupBy("deg")
+        .count()
+        .count()
+    )

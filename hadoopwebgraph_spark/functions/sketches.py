@@ -96,9 +96,9 @@ def _stats(sketch: DataFrame, tag: str, k: int = K) -> DataFrame:
     )
 
 
-@register(
-    "q160_theta_sketch_setops",
-    oracle=f"""
+# module-level so the staged q170 twin shares it without importing the
+# whole registry graph (review r17)
+_Q160_ORACLE = f"""
     WITH da AS MATERIALIZED (
         SELECT DISTINCT {_theta_hash_sql("CAST(o_custkey AS VARCHAR)")} AS h
         FROM orders
@@ -148,7 +148,12 @@ def _stats(sketch: DataFrame, tag: str, k: int = K) -> DataFrame:
         UNION ALL
         SELECT 'est_a_minus_b', m * {_SCALE} // cutoff FROM md, cut
     )
-    """,
+    """
+
+
+@register(
+    "q160_theta_sketch_setops",
+    oracle=_Q160_ORACLE,
     doc="Theta/KMV sketch set algebra over two order-year cohorts of "
     "customers: per-set distinct-count estimates plus union / "
     "intersection / difference estimates from the merged synopses — "

@@ -579,16 +579,21 @@ def g24_transpose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "g25_host_graph",
-    oracle=f"""
+# module-level so the staged g48 twin shares it without importing the
+# whole registry graph (review r17)
+_G25_ORACLE = f"""
     WITH e AS (SELECT src, unnest(adj) AS dst FROM {_T})
     SELECT CAST(src // 50 AS BIGINT) AS host_src,
            CAST(dst // 50 AS BIGINT) AS host_dst,
            count(*) AS weight
     FROM e
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "g25_host_graph",
+    oracle=_G25_ORACLE,
     doc="Host-graph contraction (the WebGraph-ecosystem quotient-graph "
     "primitive: collapse page nodes into their site/host and keep "
     "weighted inter-host arcs). The fixture carries no URLs, so the "

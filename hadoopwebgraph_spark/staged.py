@@ -27,14 +27,10 @@ def staged_queries() -> dict[
         g47_stream_connected_components,
         g48_stream_host_graph,
     )
-    from .functions.sketches import q170_stream_theta_setops
+    from .functions.sketches import _Q160_ORACLE, q170_stream_theta_setops
     from .functions.suffixes import span_oracle_sql
     from .functions.text import _Q137_ORACLE, q167_stream_inverted_index
-    from .registry import all_queries
-
-    reg = all_queries()
-    q160_oracle = reg["q160_theta_sketch_setops"].oracle
-    g25_oracle = reg["g25_host_graph"].oracle
+    from .queries.graph import _G25_ORACLE
 
     def q166_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -57,12 +53,12 @@ def staged_queries() -> dict[
     return {
         "g48_stream_host_graph": (
             g48_stream_host_graph,
-            g25_oracle,
+            _G25_ORACLE,
             "~15.1s cold / warm in the q170 class at sf0.01 (r17 staged_sim)",
         ),
         "q170_stream_theta_setops": (
             q170_stream_theta_setops,
-            q160_oracle,
+            _Q160_ORACLE,
             "~6.7s warm / 15.6s cold at sf0.01 (r17 staged_sim; 2*K-row "
             "state, the cheapest of the family)",
         ),

@@ -42,51 +42,31 @@ sys.path.insert(0, REPO)
 
 
 def _body(name, spark, sf_dir):
-    """Return the entry's run-once callable — the bench body for the
-    same name."""
+    """Return the entry's run-once callable — THE bench body for the
+    same name, imported from benchlib (review r17: shared, not copied,
+    so the arbitration protocol cannot drift from what it arbitrates)."""
+    from hadoopwebgraph_spark import benchlib
+
     if name == "gB_hyperanf_3hop":
 
         def run():
-            from hadoopwebgraph_spark.queries.graph import edges_df
-            from hadoopwebgraph_spark.queries.graph_algos import (
-                neighborhood_function,
-            )
-
-            nf = neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
-            assert 2 <= len(nf) <= 4 and nf[-1] > nf[0]
+            benchlib.check_nf(benchlib.hyperanf_3hop(spark))
 
         return run
     if name in ("gXL_graph_scan", "gXL_degree_hist"):
-        from pyspark.sql import functions as F
-
         from hadoopwebgraph_spark.bvgraph.benchgen import ensure_xl_fixture
-        from hadoopwebgraph_spark.bvgraph.datasource import read_bvgraph
 
         xl = ensure_xl_fixture(spark)
         if name == "gXL_graph_scan":
 
             def run():
-                r = (
-                    read_bvgraph(spark, xl, num_splits=32)
-                    .select(
-                        F.sum(F.size("adj")).alias("m"),
-                        F.sum(F.col("src") * F.size("adj")).alias("w"),
-                    )
-                    .collect()[0]
-                )
-                assert int(r.m) > 0
+                m, _ = benchlib.xl_scan_agg(spark, xl, 32)
+                assert m > 0
 
         else:
 
             def run():
-                n = (
-                    read_bvgraph(spark, xl, num_splits=32)
-                    .select(F.size("adj").alias("deg"))
-                    .groupBy("deg")
-                    .count()
-                    .count()
-                )
-                assert n > 0
+                assert benchlib.xl_degree_hist_count(spark, xl) > 0
 
         return run
 
@@ -104,12 +84,28 @@ def _body(name, spark, sf_dir):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional: <entry> [sf_dir]; flag: --runs N or --runs=N anywhere
+    # (review r17: the first draft's args.pop() grabbed the LAST
+    # positional for a space-separated --runs, misparsing every
+    # flag-not-last ordering)
+    args: list[str] = []
     runs_n = 3
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs_n = int(a.split("=", 1)[1] if "=" in a else args.pop())
-    if not args:
+            if "=" in a:
+                runs_n = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit("--runs needs a value")
+                runs_n = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
+    if not args or runs_n < 1:
         raise SystemExit(__doc__)
     name = args[0]
     sf_dir = args[1] if len(args) > 1 else os.environ.get(
@@ -120,23 +116,14 @@ def main() -> int:
         os.path.join(REPO, "fixtures", "bvgraph", "bench"),
     )
 
-    from pyspark.sql import functions as F
-
+    from hadoopwebgraph_spark.benchlib import generic_warmup
     from hadoopwebgraph_spark.session import get_spark
 
     spark = get_spark("hwg-profile-one")
     # stdout carries exactly one JSON line; Spark's console progress and
     # log noise go to stderr, so `python scripts/profile_one.py X | tail -1`
     # is always the record
-    # bench.py's generic warm-up: parquet footers + fact-table codegen +
-    # python worker pool
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_linestatus")
-        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
-        .collect()
-    )
+    generic_warmup(spark, sf_dir)  # bench.py's exact warm-up, shared
     body = _body(name, spark, sf_dir)
 
     body()  # untimed warm run: plan-shape codegen is not query time

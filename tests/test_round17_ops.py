@@ -40,7 +40,6 @@ def test_q170_staged_stream_theta_pair(spark, sf_small):
     the folded sketches equal the batch build's for any carve; the
     read-out shares q160's exact expressions)."""
     from hadoopwebgraph_spark.functions.sketches import (
-        q160_theta_sketch_setops,
         q170_stream_theta_setops,
     )
     from hadoopwebgraph_spark.registry import all_queries
