@@ -221,57 +221,12 @@ def main() -> None:
 
     generic_warmup(spark, sf_dir)
     try:
-        from hadoopwebgraph_spark.queries.graph import graph_df
+        # graph decode + embeddings persist + ANN index/probe shape
+        # warming — body and rationale in benchlib.graph_ann_warmup
+        # (shared with scripts/profile_one.py, review r17 pass 2)
+        from hadoopwebgraph_spark.benchlib import graph_ann_warmup
 
-        graph_df(spark).count()
-        # Persist the embeddings scan the whole ANN block shares
-        # (VERDICT r12 #5): every probe, the index builds, and the
-        # mirror fingerprint verify all start from the same
-        # load(sf_dir, "embeddings") plan, and Spark's cache manager
-        # substitutes the cached relation for parquet-rooted plans —
-        # so one persist removes the repeated corpus scans that
-        # amplified driver-host load into per-probe seconds in
-        # BENCH_r12 (q71 2.43s driver vs 0.81s quiet).
-        from hadoopwebgraph_spark.catalog import load as _load
-
-        _load(spark, sf_dir, "embeddings").persist().count()
-        # Build the ANN indexes for the bench SF if absent (train-once /
-        # probe-many lifecycle: index construction is an ETL job, not
-        # query time — q73/q74 measure the probe), then run the probes
-        # once at the smallest SF to warm the 64-wide cosine codegen
-        # shapes (~5s of whole-stage compile per plan shape, JIT warm-up
-        # not query time — same policy as the scan warming above).
-        from hadoopwebgraph_spark.functions.similarity import (
-            build_ivf_index,
-            build_opq_index,
-            build_pq_index,
-            ivf_probe,
-            pq_probe,
-        )
-
-        build_ivf_index(spark, sf_dir)
-        build_pq_index(spark, sf_dir)
-        build_opq_index(spark, sf_dir)
-        ivf_probe(spark, "/root/testdata/sf0.001").count()
-        pq_probe(spark, "/root/testdata/sf0.001").count()
-        pq_probe(
-            spark,
-            "/root/testdata/sf0.001",
-            index_path=build_opq_index(spark, "/root/testdata/sf0.001"),
-        ).count()
-        # warm the brute-force two-phase top-k shape too: its enlarged
-        # plan (broadcast-cross-join + double window) costs ~2s of codegen
-        # compile on first run, which inflated q70 in BENCH_r04 (the r4
-        # verdict's one regression). Warmed, two-phase matches or beats
-        # the old single-window shape at this scale.
-        queries["q70_sim_bruteforce_topk"].fn(
-            spark, "/root/testdata/sf0.001"
-        ).count()
-        # and the minhash signature shape: 8 array_min(transform(...))
-        # columns are a wide codegen unit (~2s compile) since the
-        # row-local rewrite — warmed at the smallest SF, q62 then runs
-        # faster than the old explode+groupBy shape ever did.
-        queries["q62_dedup_minhash"].fn(spark, "/root/testdata/sf0.001").count()
+        graph_ann_warmup(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
 

@@ -25,6 +25,50 @@ def generic_warmup(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
+def graph_ann_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """The bench's graph + ANN steady-state preparation, shared with
+    scripts/profile_one.py (review r17 pass 2: without it the profiler
+    re-scans the embeddings parquet per probe and measures a ~3x-worse
+    protocol than the bench numbers it arbitrates):
+
+    - graph fixture decode (python worker pool for the bvgraph source);
+    - PERSIST the embeddings scan the whole ANN block shares (VERDICT
+      r12 #5 — Spark's cache manager substitutes the cached relation
+      for every parquet-rooted probe/build plan);
+    - build the ANN indexes for the target SF if absent (train-once /
+      probe-many: construction is an ETL job, not query time) and run
+      each probe shape once at the smallest SF to warm the 64-wide
+      cosine codegen (~5s whole-stage compile per plan shape);
+    - warm the q70 two-phase top-k and q62 minhash signature shapes
+      (~2s codegen each; see BENCH_r04's q70 regression).
+
+    Raises on failure — callers decide whether warm-up is best-effort
+    (bench.py wraps it) or fatal."""
+    from .catalog import load
+    from .functions.similarity import (
+        build_ivf_index,
+        build_opq_index,
+        build_pq_index,
+        ivf_probe,
+        pq_probe,
+    )
+    from .queries.graph import graph_df
+    from .registry import all_queries
+
+    graph_df(spark).count()
+    load(spark, sf_dir, "embeddings").persist().count()
+    build_ivf_index(spark, sf_dir)
+    build_pq_index(spark, sf_dir)
+    build_opq_index(spark, sf_dir)
+    small = "/root/testdata/sf0.001"
+    ivf_probe(spark, small).count()
+    pq_probe(spark, small).count()
+    pq_probe(spark, small, index_path=build_opq_index(spark, small)).count()
+    queries = all_queries()
+    queries["q70_sim_bruteforce_topk"].fn(spark, small).count()
+    queries["q62_dedup_minhash"].fn(spark, small).count()
+
+
 def hyperanf_3hop(spark: SparkSession):
     """The gB_hyperanf_3hop body: 3 sketch hops at lg_k=11 on the
     committed bench fixture (see bench.py's entry comment for why it

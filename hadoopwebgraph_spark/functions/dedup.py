@@ -1312,7 +1312,8 @@ def q147_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 # Registered round 17 (staged + dry-run-validated in r16; VERDICT r16
 # item #3): q168 — the MinHash-LSH near-dup operator maintained
-# INCREMENTALLY over a real document stream (the g45 gate shape). q128 already covers streaming
+# INCREMENTALLY over a real document stream (the g45 gate shape).
+# q128 already covers streaming
 # EXACT dedup (content-hash anti-join); this is its near-dup
 # counterpart, the recurring production shape where today's crawl must
 # be deduped against the whole corpus without recomputing a single old

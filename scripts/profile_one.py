@@ -94,7 +94,7 @@ def main() -> int:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--runs"):
+        if a == "--runs" or a.startswith("--runs="):
             if "=" in a:
                 runs_n = int(a.split("=", 1)[1])
             else:
@@ -102,6 +102,8 @@ def main() -> int:
                 if i >= len(argv):
                     raise SystemExit("--runs needs a value")
                 runs_n = int(argv[i])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}\n{__doc__}")
         else:
             args.append(a)
         i += 1
@@ -116,7 +118,7 @@ def main() -> int:
         os.path.join(REPO, "fixtures", "bvgraph", "bench"),
     )
 
-    from hadoopwebgraph_spark.benchlib import generic_warmup
+    from hadoopwebgraph_spark.benchlib import generic_warmup, graph_ann_warmup
     from hadoopwebgraph_spark.session import get_spark
 
     spark = get_spark("hwg-profile-one")
@@ -124,6 +126,15 @@ def main() -> int:
     # log noise go to stderr, so `python scripts/profile_one.py X | tail -1`
     # is always the record
     generic_warmup(spark, sf_dir)  # bench.py's exact warm-up, shared
+    try:
+        # the bench's graph + ANN steady-state prep runs before EVERY
+        # bench measurement, so it runs here too (review r17 pass 2:
+        # without the shared embeddings persist, ANN probes re-scan the
+        # corpus per run and the profiler measures a different protocol
+        # than the bench entry it arbitrates); best-effort like bench.py
+        graph_ann_warmup(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
     body = _body(name, spark, sf_dir)
 
     body()  # untimed warm run: plan-shape codegen is not query time
