@@ -17,15 +17,19 @@ Scale design — executor-parallel write, two jobs:
 1. **Encode** (per partition, ``mapInArrow``): rows stay columnar from
    the scan to the C kernel — each task gathers its range group(s) with
    Arrow ``take``, hands the list column's CSR buffers (flat values +
-   offsets) straight to ``encode_segment_csr``, and spills the raw bits
-   + local bit-offsets to the segment store; only (first_src, nbits,
-   arcs) — a few longs per segment — return to the driver, which
-   prefix-sums nbits into each segment's absolute bit base.
-2. **Re-phase** (per segment): knowing its base phase (base % 8), each
-   task shifts its raw bits with one vectorized NumPy pass into the
-   byte-aligned *interior* of its final byte range and stores it as a
-   part blob, returning just the head/tail partial-byte bits. It also
-   delta-encodes its own slice of the offsets stream (prev = its base).
+   offsets) straight to ``encode_segment_csr``, spills the raw graph
+   bits to the segment store AND delta-encodes its offsets-stream chunk
+   right away (the chunk's codes are pure successive differences —
+   independent of where the segment lands in the final stream — so it
+   needs no base; optimization r17, guide §1.2); only (first_src,
+   nbits, arcs, onbits) — a few longs per segment — return to the
+   driver, which prefix-sums nbits/onbits into each segment's absolute
+   bit base in both streams.
+2. **Re-phase** (per segment): knowing both base phases (base % 8),
+   each task shifts its raw graph bits AND its offsets-chunk bits with
+   one vectorized NumPy pass each into the byte-aligned *interior* of
+   their final byte ranges and stores them as part blobs, returning
+   just the head/tail partial-byte bits of both streams.
 
 The driver then *composes*: per segment it writes ONE boundary byte
 (merging the previous tail with the next head) and splices the interior
@@ -268,7 +272,9 @@ def write_bvgraph(
         src = tbl.column("src").to_numpy()
         pids = tbl.column("pid").to_numpy()
         adj_col = tbl.column("adj").combine_chunks()
-        meta = {k: [] for k in ("pid", "first_src", "nodes", "arcs", "nbits")}
+        meta = {
+            k: [] for k in ("pid", "first_src", "nodes", "arcs", "nbits", "onbits")
+        }
         for pid in np.unique(pids):
             idxs = np.nonzero(pids == pid)[0]
             order = idxs[np.argsort(src[idxs])]
@@ -301,15 +307,25 @@ def write_bvgraph(
                 values, list_offsets, first_src, p
             )
             store.put(f"seg-{int(pid):05d}.raw", bytes(buf[: (nbits + 7) // 8]))
-            store.put(
-                f"seg-{int(pid):05d}.offs",
-                np.asarray(offsets, dtype=np.int64).tobytes(),
-            )
+            # offsets-stream chunk, encoded HERE (not in the re-phase
+            # job): segment-local offsets start at 0 and the chunk's
+            # codes are successive differences, so the bits are
+            # base-independent — bit-identical to the old
+            # prev=seg_base encode, one job earlier. offset_code and
+            # zeta_k come from props_template, never from `nodes`, so
+            # this per-task `p` encodes exactly as the driver's p0.
+            ow = io.BytesIO()
+            oout = _BitStreamOut(ow)
+            _append_deltas(oout, offsets[1:], 0, p)
+            onbits = oout.nbits
+            oout.close()
+            store.put(f"seg-{int(pid):05d}.offs.raw", ow.getvalue())
             meta["pid"].append(int(pid))
             meta["first_src"].append(first_src)
             meta["nodes"].append(len(lens))
             meta["arcs"].append(int(list_offsets[-1]))
             meta["nbits"].append(nbits)
+            meta["onbits"].append(onbits)
         yield pa.RecordBatch.from_pydict(
             meta,
             schema=pa.schema(
@@ -319,6 +335,7 @@ def write_bvgraph(
                     ("nodes", pa.int64()),
                     ("arcs", pa.int64()),
                     ("nbits", pa.int64()),
+                    ("onbits", pa.int64()),
                 ]
             ),
         )
@@ -327,73 +344,62 @@ def write_bvgraph(
     # segment come back to the driver.
     meta_rows = ranged.mapInArrow(
         encode_batches,
-        "pid int, first_src long, nodes long, arcs long, nbits long",
+        "pid int, first_src long, nodes long, arcs long, nbits long, onbits long",
     ).collect()
-    meta = sorted((r.pid, r.first_src, r.nodes, r.arcs, r.nbits) for r in meta_rows)
+    meta = sorted(
+        (r.pid, r.first_src, r.nodes, r.arcs, r.nbits, r.onbits) for r in meta_rows
+    )
 
-    # prefix-sum the bit bases; verify src density/contiguity
+    # prefix-sum the bit bases of BOTH streams (job 1 reports each
+    # chunk's bit length, so the offsets stream no longer needs its own
+    # re-phase job); verify src density/contiguity
+    p0 = BVGraphProperties(nodes=max(n, 1), arcs=0, **props_template)
+    entry0, n0bits = _encode_offsets_entry0(p0)
     expected_next = 0
     bases: dict[int, int] = {}
+    obases: dict[int, int] = {}
     base = 0
-    for idx, first_src, nodes, arcs, nbits in meta:
+    obase = n0bits
+    for idx, first_src, nodes, arcs, nbits, onbits in meta:
         assert first_src == expected_next, (
             f"non-contiguous src ranges: expected {expected_next}, got {first_src}"
         )
         expected_next = first_src + nodes
         bases[idx] = base
         base += nbits
+        obases[idx] = obase
+        obase += onbits
     assert expected_next == n, f"src not dense 0..{n - 1}"
     arcs_total = sum(m[3] for m in meta)
 
-    p0 = BVGraphProperties(nodes=max(n, 1), arcs=0, **props_template)
-
     def rephase_segment(task):
-        import numpy as np
-
-        idx, seg_base, nbits = task
-        # offsets-stream chunk: this segment's absolute offsets
-        # delta-encoded against prev = seg_base (= last offset of the
-        # previous segment); one C-kernel call per segment. Encoded for
-        # EVERY segment (micro ones too) so the offsets compose below
-        # knows every chunk's bit length up front.
-        offsets = np.frombuffer(store.get(f"seg-{idx:05d}.offs"), dtype=np.int64)
-        ow = io.BytesIO()
-        oout = _BitStreamOut(ow)
-        _append_deltas(oout, (offsets[1:] + seg_base).tolist(), seg_base, p0)
-        onbits = oout.nbits
-        oout.close()
-        store.put(f"seg-{idx:05d}.offs.raw", ow.getvalue())
+        idx, seg_base, nbits, ob, onbits = task
         raw = store.get(f"seg-{idx:05d}.raw")
         if nbits < 16:  # degenerate micro-segment: driver appends inline
-            return (idx, 0, raw, nbits, 0, 0, onbits)
-        head, interior, tail, tail_fill = _rephase_interior(raw, nbits, seg_base % 8)
-        store.put(f"seg-{idx:05d}.part", interior)
-        return (idx, head, None, nbits, tail, tail_fill, onbits)
+            g = (idx, 0, raw, nbits, 0, 0)
+        else:
+            head, interior, tail, tail_fill = _rephase_interior(
+                raw, nbits, seg_base % 8
+            )
+            store.put(f"seg-{idx:05d}.part", interior)
+            g = (idx, head, None, nbits, tail, tail_fill)
+        return g, _rephase_offsets_one((idx, ob, onbits), store)
 
-    # Job 2: re-phase + part write, one task per segment.
-    tasks = [(idx, bases[idx], nbits) for idx, _, _, _, nbits in meta]
-    seg_results = sorted(
+    # Job 2: re-phase + part write for BOTH streams, one task per
+    # segment (jobs 2+3 merged — optimization r17, guide §1.2: the
+    # offsets chunk lengths are known from job 1, so the old job 3's
+    # only input, the chunk bit-base prefix sums, is available here).
+    tasks = [
+        (idx, bases[idx], nbits, obases[idx], onbits)
+        for idx, _, _, _, nbits, onbits in meta
+    ]
+    merged = sorted(
         spark.sparkContext.parallelize(tasks, max(len(tasks), 1))
         .map(rephase_segment)
         .collect()
     )
-
-    # Job 3: the offsets stream gets the same executor-side re-phase the
-    # graph stream has — chunk bit-bases are the prefix sums of the
-    # chunk lengths job 2 reported (after the driver-encoded node-0
-    # entry), so each chunk's byte-aligned interior is computed in a
-    # task and the driver only splices boundary bytes.
-    entry0, n0bits = _encode_offsets_entry0(p0)
-    obase = n0bits
-    otasks = []
-    for idx, _h, _ri, _nb, _t, _tf, onbits in seg_results:
-        otasks.append((idx, obase, onbits))
-        obase += onbits
-    oseg_results = sorted(
-        spark.sparkContext.parallelize(otasks, max(len(otasks), 1))
-        .map(lambda t: _rephase_offsets_one(t, store))
-        .collect()
-    )
+    seg_results = [g for g, _o in merged]
+    oseg_results = [o for _g, o in merged]
 
     graph_composer = FileComposer(basename + ".graph", store)
     compose_graph(seg_results, store, graph_composer)
@@ -417,7 +423,10 @@ def compose_graph(seg_results, store: SegmentStore, composer) -> None:
     a FileComposer, and zero part bytes with a MultipartComposer (the
     object-storage compose resolves part keys server-side)."""
     out = _BitStreamOut(composer)
-    for idx, head, raw_inline, nbits, tail, tail_fill, _ in seg_results:
+    for rec in seg_results:
+        # 6-tuple from the merged re-phase job; legacy 7-tuple (trailing
+        # onbits) still accepted for the compose-level tests
+        idx, head, raw_inline, nbits, tail, tail_fill = rec[:6]
         if raw_inline is not None:  # micro-segment fallback
             fill = nbits % 8
             out.append_body(raw_inline[: nbits // 8])
