@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Capture .explain('formatted') for named registered queries (or bench
+specials) into plans/r17/<name>_<tag>.txt — the optimization round's
+plan-evidence artifacts (the judge reads these instead of running Spark).
+
+Usage: python scripts/capture_plans.py <tag> <name> [<name> ...]
+       python scripts/capture_plans.py <tag> --targets   # the r17 target set
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TARGETS = [
+    "q62_dedup_minhash",
+    "g33_random_walks",
+    "g05_two_hop",
+    "g13_reachability_recursive_cte",
+    "g32_neighbor_sample",
+    "q71_sim_ivf_topk",
+    "q73_sim_ivf_kmeans_topk",
+    "q70_sim_bruteforce_topk",
+    "q74_sim_pq_topk",
+    "q76_sim_opq_topk",
+    "q56_shipping_priority",
+    "q57_local_supplier_volume",
+    "q09_self_join",
+    "q92_udtf_tokenize",
+    "q119_substring_dedup",
+    "q80_text_quality",
+]
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    if names == ["--targets"]:
+        names = TARGETS
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault(
+        "SPARK_GRAFT_GRAPH_BASENAME",
+        os.path.join(REPO, "fixtures", "bvgraph", "bench"),
+    )
+    from hadoopwebgraph_spark.registry import all_queries
+    from hadoopwebgraph_spark.session import get_spark
+
+    spark = get_spark("hwg-plan-capture")
+    queries = all_queries()
+    out_dir = os.path.join(REPO, "plans", "r17")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        q = queries.get(name)
+        if q is None:
+            print(f"SKIP unknown {name}", file=sys.stderr)
+            continue
+        df = q.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,12 @@ Protocol (matches the full bench's steady-state measurement):
   so run 1 measures steady state, not plan-shape compile;
 - N timed runs (default 3), 1-min loadavg tagged BEFORE each run —
   a run taken at load > ~5 is self-identifying as contaminated;
-- prints one JSON line: entry, runs, best, loads, sf.
+- hypervisor-steal fraction tagged PER RUN from /proc/stat (r17: the
+  r16 steal bursts never registered in in-VM loadavg — attempts C/D
+  were killed at loadavg 0.05 — so loadavg alone cannot arbitrate;
+  steal_pct is the share of elapsed CPU ticks the hypervisor withheld
+  during THAT run: >~5% means the wall time is not the code's);
+- prints one JSON line: entry, runs, best, loads, steal_pct, sf.
 
 Entries: any registered query name (timed as q.fn(spark, sf).count(),
 exactly the bench loop body) or the special bench bodies
@@ -138,20 +143,44 @@ def main() -> int:
     body = _body(name, spark, sf_dir)
 
     body()  # untimed warm run: plan-shape codegen is not query time
-    timings, loads = [], []
+    timings, loads, steals = [], [], []
     for _ in range(runs_n):
         loads.append(round(os.getloadavg()[0], 1))
+        s0 = _steal_ticks()
         t0 = time.perf_counter()
         body()
-        timings.append(round(time.perf_counter() - t0, 3))
+        dt = time.perf_counter() - t0
+        timings.append(round(dt, 3))
+        steals.append(_steal_pct(s0, dt))
     print(json.dumps({
         "entry": name,
         "best_sec": min(timings),
         "runs_sec": timings,
         "loadavg_before_run": loads,
+        "steal_pct_per_run": steals,
         "sf_dir": sf_dir,
     }))
     return 0
+
+
+def _steal_ticks() -> int | None:
+    """Aggregate steal ticks from /proc/stat (Linux; None elsewhere)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu: user nice system idle iowait irq softirq steal
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_pct(s0: int | None, elapsed_sec: float) -> float | None:
+    """Steal during the run as % of total machine CPU capacity over the
+    elapsed wall time (ticks are USER_HZ=100 per core per second)."""
+    s1 = _steal_ticks()
+    if s0 is None or s1 is None or elapsed_sec <= 0:
+        return None
+    capacity = elapsed_sec * 100.0 * (os.cpu_count() or 1)
+    return round(100.0 * (s1 - s0) / capacity, 1)
 
 
 if __name__ == "__main__":
