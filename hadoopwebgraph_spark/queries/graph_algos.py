@@ -1190,7 +1190,13 @@ def neighborhood_function(
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.hll_union_agg("nsk").alias("sk"))
-            .localCheckpoint()
+            # lazy: the total() sum below is this hop's one action and
+            # materializes the checkpoint in the same job — one barrier
+            # per hop instead of two (safe HERE because every hop acts;
+            # hyperball_harmonic keeps eager checkpoints, its sum runs
+            # only every 2 hops and chaining lazy checkpoints would
+            # re-nest the plans the eager form exists to truncate)
+            .localCheckpoint(eager=False)
         )
         nf.append(total(state))
         # estimates can dip transiently at the sparse-to-dense

@@ -358,6 +358,31 @@ def test_hyperanf_hop_plan_two_sketch_shuffles(spark):
     assert sorted(set(reqs)) <= ["dst", "node", "src"], (reqs, plan)
 
 
+def test_neighborhood_function_one_action_per_hop(spark):
+    """Each HyperANF hop issues ONE action: the per-hop N(t) sum also
+    materializes that hop's lazy localCheckpoint (optimization r17).
+    Pinned as the incremental job cost of two extra hops on a path
+    graph, where each hop runs the same join+groupBy+sum shape: 4 jobs
+    per hop on this fixture (AQE stage materializations + the sum); the
+    eager-checkpoint form costs one MORE job per hop (its separate
+    checkpoint materialization), so a revert reads 5 here."""
+    from hadoopwebgraph_spark.queries.graph_algos import neighborhood_function
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    neighborhood_function(path, max_hops=2)  # warm: plan/codegen jobs out
+    st = spark.sparkContext.statusTracker()
+
+    def jobs_for(max_hops):
+        j0 = max(st.getJobIdsForGroup() or [0])
+        neighborhood_function(path, max_hops=max_hops)
+        return max(st.getJobIdsForGroup() or [0]) - j0
+
+    per_hop = (jobs_for(4) - jobs_for(2)) / 2
+    assert per_hop <= 4, per_hop
+
+
 def test_encoder_rejects_unsorted_or_duplicate_successors():
     """BVGraph adjacency is a strictly-ascending successor set; both
     encoders previously emitted silently-undecodable bits for unsorted
