@@ -202,13 +202,9 @@ def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # graph queries: run against the large committed fixture (100k nodes,
-    # ~739k arcs) rather than the 2k-node correctness fixture
-    os.environ.setdefault(
-        "SPARK_GRAFT_GRAPH_BASENAME",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "bvgraph", "bench"),
-    )
+    from hadoopwebgraph_spark.benchlib import bench_env_defaults
+
+    sf_dir = bench_env_defaults()
     spark = get_spark("hwg-bench")
     queries = all_queries()
 

