@@ -181,6 +181,14 @@ def _time_best_of_2(name, run_once, timings, cold, loads, errors, check=None):
             t0 = time.perf_counter()
             result = run_once()
             dt = time.perf_counter() - t0
+            # stderr diagnostics only (the stdout JSON line is the
+            # contract): wall-clock timestamps let a slow run be
+            # correlated with external logs (GC, /proc/stat steal)
+            print(
+                f"[bench] {name} run{run} {dt:.3f}s "
+                f"ended_at={time.time():.1f}",
+                file=sys.stderr,
+            )
             if check is not None:
                 check(result)
             if run == 0:

@@ -31,6 +31,12 @@ def bench_env_defaults() -> str:
             "bench",
         ),
     )
+    # Measurement sessions pre-commit the driver heap (session.py —
+    # r18: lazy G1 heap expansion was charging multi-second page-commit
+    # costs to whichever query allocated after a heavy bench block,
+    # q62 0.8s -> 5.5s at 0% steal). Default-on for the bench and the
+    # profiler only; short-lived test sessions skip the ~15s pretouch.
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 

@@ -83,7 +83,10 @@ def q91_grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q92_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string")
+    # useArrow: batches cross the JVM<->Python boundary as Arrow instead
+    # of pickled rows (guide §4.3; eval is still per-row — §4.1). Safe
+    # here: return values match the declared types exactly (int, str).
+    @udtf(returnType="pos int, token string", useArrow=True)
     class Tokenize:
         def eval(self, text: str):
             for i, tok in enumerate(text.split(" ")):
@@ -91,10 +94,18 @@ def q92_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("q92_tokenize", Tokenize)
     load(spark, sf_dir, "documents").createOrReplaceTempView("q92_docs")
+    # Both predicates reference only input-side columns, but Catalyst
+    # will not push a filter through a Python UDTF (r17 plan capture:
+    # Filter sat ABOVE BatchEvalPythonUDTF, zero PushedFilters), so an
+    # unfiltered corpus crossed the Python boundary and the filter then
+    # kept 50 docs. Filtering in the subquery is semantics-identical
+    # (LATERAL over a filtered relation) and makes the boundary O(50)
+    # instead of O(corpus) — guide §4.2/§6 scan-side filtering.
     return spark.sql(
         """
         SELECT d.doc_id, t.pos, t.token
-        FROM q92_docs d, LATERAL q92_tokenize(d.text) t
-        WHERE d.doc_id < 50 AND length(d.text) > 0
+        FROM (SELECT doc_id, text FROM q92_docs
+              WHERE doc_id < 50 AND length(text) > 0) d,
+             LATERAL q92_tokenize(d.text) t
         """
     )

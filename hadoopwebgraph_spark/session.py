@@ -12,6 +12,7 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "hadoopwebgraph_spark") -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -25,7 +26,7 @@ def get_spark(app_name: str = "hadoopwebgraph_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         # bucketed-table demos (saveAsTable/bucketBy) write here
         .config(
@@ -40,6 +41,24 @@ def get_spark(app_name: str = "hadoopwebgraph_spark") -> SparkSession:
         # enable src-range partition pruning in the bvgraph Python DataSource
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    # Measurement-session heap hygiene (r18, guide §5): commit + touch
+    # the whole driver heap ONCE at startup instead of expanding it
+    # lazily under query allocation pressure. Measured mechanism: after
+    # an allocation-heavy block (the bench's 48M-arc gXL entries) the G1
+    # heap EXPANDS during later queries and the page-commit cost lands
+    # on their task threads — q62's steady-state degraded 0.8s -> 5.5s
+    # across successive runs with ~1.2M minor faults/run and RSS growing
+    # 5 -> 13 GB, at 0% hypervisor steal; with Xms=Xmx + AlwaysPreTouch
+    # the same sequence is flat at 0.8-1.0s and ~3k faults/run. Opt-in
+    # via env (bench.py / profile_one set it through benchlib) because
+    # the ~15s pretouch of a 24g heap is wasteful for short-lived test
+    # sessions; on a production cluster the equivalent executor-side
+    # setting (Xms=Xmx, AlwaysPreTouch) is standard for dedicated nodes.
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "") == "1":
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # Register the custom BVGraph source on every session so

@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for named registered queries (or bench
-specials) into plans/r17/<name>_<tag>.txt — the optimization round's
-plan-evidence artifacts (the judge reads these instead of running Spark).
+"""Capture .explain('formatted') for named registered queries into
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (default round: r18) —
+the optimization round's plan-evidence artifacts (the judge reads these
+instead of running Spark). Bench specials (gB_/gXL_) are not capturable
+here: their visible plans are LocalTableScan stubs / RDD jobs — profile
+them with scripts/profile_one.py instead.
 
 Usage: python scripts/capture_plans.py <tag> <name> [<name> ...]
        python scripts/capture_plans.py <tag> --targets   # the r17 target set
@@ -51,7 +54,9 @@ def main() -> int:
     sf_dir = bench_env_defaults()  # bench.py's env, shared (review r17)
     spark = get_spark("hwg-plan-capture")
     queries = all_queries()
-    out_dir = os.path.join(REPO, "plans", "r17")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18")
+    )
     os.makedirs(out_dir, exist_ok=True)
     missing = []
     for name in names:
