@@ -424,9 +424,8 @@ def compose_graph(seg_results, store: SegmentStore, composer) -> None:
     object-storage compose resolves part keys server-side)."""
     out = _BitStreamOut(composer)
     for rec in seg_results:
-        # 6-tuple from the merged re-phase job; legacy 7-tuple (trailing
-        # onbits) still accepted for the compose-level tests
-        idx, head, raw_inline, nbits, tail, tail_fill = rec[:6]
+        # 6-tuple from the merged re-phase job (one contract — ADVICE r17)
+        idx, head, raw_inline, nbits, tail, tail_fill = rec
         if raw_inline is not None:  # micro-segment fallback
             fill = nbits % 8
             out.append_body(raw_inline[: nbits // 8])

@@ -29,9 +29,19 @@ from .snapshot_util import infer_watch_schema
 def _spread(docs: DataFrame) -> DataFrame:
     """The synthetic documents table arrives as one parquet file = one
     input partition; the shingle/token explosions below are CPU-bound, so
-    spread rows across the cluster first (at 100 TB the input is already
-    thousands of files and this repartition disappears behind AQE)."""
+    spread rows across the cluster first.
+
+    Keyed off the scan's actual partition count (r18, guide §2.4/§6):
+    an explicit round-robin ``repartition(n)`` is never elided by AQE
+    and additionally pays a local sort of its input (SPARK-23207's
+    sortBeforeRepartition), so at 100 TB — where the scan already yields
+    thousands of partitions — it would re-shuffle the whole corpus text
+    for nothing. The exchange now exists only when the scan is narrower
+    than the cluster (the small-fixture case, where it is what buys
+    shingling parallelism); plan shape at the bench SFs is unchanged."""
     sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return docs
     return docs.repartition(sc.defaultParallelism)
 
 

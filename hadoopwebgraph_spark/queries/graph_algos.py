@@ -1133,6 +1133,7 @@ def neighborhood_function(
     nodes: DataFrame | None = None,
     max_hops: int = 16,
     lg_k: int = 12,
+    _eager_checkpoints: bool = False,
 ) -> list[float]:
     """HyperANF (Boldi-Vigna-Rosa 2011): the neighborhood function
     N(t) = number of node pairs within distance <= t, estimated with the
@@ -1195,8 +1196,12 @@ def neighborhood_function(
             # per hop instead of two (safe HERE because every hop acts;
             # hyperball_harmonic keeps eager checkpoints, its sum runs
             # only every 2 hops and chaining lazy checkpoints would
-            # re-nest the plans the eager form exists to truncate)
-            .localCheckpoint(eager=False)
+            # re-nest the plans the eager form exists to truncate).
+            # _eager_checkpoints exists ONLY for the job-count pin in
+            # tests/test_round7_ops.py, which asserts lazy < eager as a
+            # delta so a Spark upgrade shifting AQE's job schedule
+            # cannot break the pin (ADVICE r17)
+            .localCheckpoint(eager=_eager_checkpoints)
         )
         nf.append(total(state))
         # estimates can dip transiently at the sparse-to-dense

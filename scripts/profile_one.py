@@ -176,7 +176,9 @@ def _cpu_ticks() -> tuple[int, int] | None:
         with open("/proc/stat") as f:
             v = [int(x) for x in f.readline().split()[1:]]
         # cpu: user nice system idle iowait irq softirq steal [guest...]
-        return v[7], sum(v) - v[3]
+        # guest/guest_nice are already included in user/nice (ADVICE
+        # r17) — summing past steal would double-count nested-guest time
+        return v[7], sum(v[:8]) - v[3]
     except (OSError, IndexError, ValueError):
         return None
 

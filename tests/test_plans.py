@@ -333,6 +333,21 @@ def test_q119_gram_count_without_self_join(spark, sf_small):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_spread_keys_off_input_width(spark):
+    """_spread's round-robin exchange exists only when the scan is
+    narrower than the cluster (r18): a single-partition input is spread
+    to defaultParallelism, an already-parallel input passes through
+    untouched — at 100 TB the corpus scan is already thousands of
+    partitions and must not be re-shuffled wholesale."""
+    from hadoopwebgraph_spark.functions.dedup import _spread
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() == n
+    wide = spark.range(1000).repartition(n)
+    assert _spread(wide) is wide
+
+
 def test_q121_priority_sample_topk(spark, sf_small):
     """Priority sampling's top-k is a TakeOrderedAndProject: per-partition
     heaps, k rows per partition to the driver — no global sort."""

@@ -59,7 +59,7 @@ def _build_segments(stores, n_nodes=300, n_segs=3):
     ]
     per = n_nodes // n_segs
     p0 = BVGraphProperties(nodes=n_nodes, arcs=0)
-    seg_results, bases, base = [], {}, 0
+    seg_results, seg_onbits, bases, base = [], [], {}, 0
     for idx in range(n_segs):
         seg_adj = adj[idx * per : (idx + 1) * per]
         ps = BVGraphProperties(nodes=len(seg_adj), arcs=0)
@@ -77,13 +77,14 @@ def _build_segments(stores, n_nodes=300, n_segs=3):
             st.put(f"seg-{idx:05d}.part", interior)
             st.put(f"seg-{idx:05d}.offs", offs.tobytes())
             st.put(f"seg-{idx:05d}.offs.raw", ow.getvalue())
-        seg_results.append((idx, head, None, nbits, tail, tail_fill, onbits))
+        seg_results.append((idx, head, None, nbits, tail, tail_fill))
+        seg_onbits.append(onbits)
         base += nbits
     # job-3 equivalent: re-phase each offsets chunk to its absolute base
     entry0, n0bits = _encode_offsets_entry0(p0)
     obase = n0bits
     oseg_results = []
-    for idx, _h, _ri, _nb, _t, _tf, onbits in seg_results:
+    for (idx, *_), onbits in zip(seg_results, seg_onbits):
         res = None
         for st in stores:  # parts must land in every store under test
             res = _rephase_offsets_one((idx, obase, onbits), st)
@@ -141,7 +142,7 @@ def test_compose_micro_segment_inline(tmp_path):
     onbits = oout.nbits
     oout.close()
     store.put("seg-00000.offs.raw", ow.getvalue())
-    seg_results = [(0, 0, raw, nbits, 0, 0, onbits)]
+    seg_results = [(0, 0, raw, nbits, 0, 0)]
 
     fc = FileComposer(str(tmp_path / "m.graph"), store)
     compose_graph(seg_results, store, fc)
