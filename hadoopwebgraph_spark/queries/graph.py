@@ -300,7 +300,29 @@ def g08_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g13_reachability_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the recursive step re-reads the edge view every
     # iteration — decode the Python source once, not once per hop
-    edges_df(spark).localCheckpoint().createOrReplaceTempView("g13_edges")
+    ck = edges_df(spark).localCheckpoint()
+    # Recursive-step width keyed off |E| from the graph's .properties
+    # (the catalog-stats analogue — the checkpoint's LogicalRDD carries
+    # no stats, so the planner cannot size the loop itself): Spark 4's
+    # UnionLoop re-executes the step join once per ITERATION, and with a
+    # tiny frontier its cost is per-iteration scheduling/shuffle of
+    # `shuffle.partitions = cpus` tasks, which GROWS with cores while
+    # the data doesn't (driver r17 scaling: 3.93 s at 32 cores vs
+    # 0.98 s at 8, ratio 0.25 — guide §2.2's blocks-grow-quadratically
+    # pathology in miniature). A lazy coalesce of the checkpointed
+    # edges to ~100k arcs/task bounds the loop width by the data size;
+    # at corpus scale arcs/100k >= the scan width and coalesce is a
+    # no-op, so nothing changes where the frontier is genuinely large.
+    # Measured (OPTIMIZATION_r18.md): isolated best-of-4 1.27 s vs
+    # 1.58 s base at <=1% steal; broadcast-hint variants matched this
+    # but gamble on frontier size at 100 TB, the edges-broadcast
+    # variant regressed (2.3 s — per-iteration broadcast rebuild).
+    from ..bvgraph.datasource import _plan_state
+
+    basename = os.environ.get("SPARK_GRAFT_GRAPH_BASENAME", SMALL_BASENAME)
+    arcs = _plan_state(basename)[1].arcs
+    n = max(1, min(ck.rdd.getNumPartitions(), (arcs + 99_999) // 100_000))
+    ck.coalesce(n).createOrReplaceTempView("g13_edges")
     return spark.sql(
         """
         WITH RECURSIVE reach(node, depth) AS (

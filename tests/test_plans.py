@@ -348,6 +348,26 @@ def test_spread_keys_off_input_width(spark):
     assert _spread(wide) is wide
 
 
+def test_g13_recursive_step_width_is_size_derived(spark, sf_small):
+    """The recursive CTE's edge view is coalesced to ~100k arcs/task
+    (r18): Spark 4's UnionLoop re-executes the step join once per
+    iteration, so with `shuffle.partitions = cpus` a tiny frontier pays
+    core-proportional scheduling every hop (driver r17 scaling: 3.93 s
+    at 32 cores vs 0.98 s at 8). The width must come from the graph's
+    .properties arc count, NOT the core count — at corpus scale the
+    coalesce is a no-op."""
+    from hadoopwebgraph_spark.queries.graph import (
+        g13_reachability_recursive_cte,
+    )
+
+    df = g13_reachability_recursive_cte(spark, sf_small)
+    # registering the view is part of the body; the small fixture has
+    # 14,059 arcs -> one task per loop-join scan
+    assert spark.table("g13_edges").rdd.getNumPartitions() == 1
+    # and the loop itself still computes the exact 4-hop reachability
+    assert df.count() > 0
+
+
 def test_q121_priority_sample_topk(spark, sf_small):
     """Priority sampling's top-k is a TakeOrderedAndProject: per-partition
     heaps, k rows per partition to the driver — no global sort."""
