@@ -100,11 +100,23 @@ def graph_ann_warmup(spark: SparkSession, sf_dir: str) -> None:
 def hyperanf_3hop(spark: SparkSession):
     """The gB_hyperanf_3hop body: 3 sketch hops at lg_k=11 on the
     committed bench fixture (see bench.py's entry comment for why it
-    runs after the query loop there)."""
-    from .queries.graph import edges_df
+    runs after the query loop there).
+
+    The node set comes from the graph SOURCE (one row per node by the
+    BVGraph format's construction) instead of letting
+    neighborhood_function derive it as union(src, dst).distinct() —
+    a guide §2.4 removed shuffle (distinct over 1.48M edge endpoints
+    per run; at corpus scale a full extra pass over the edge list).
+    N(t) is bit-identical either way (r18, measured: same node rows ->
+    same single-item seed sketches; isolated A/B best-of-3 4.72 s vs
+    5.70 s at <=1.4% busy steal, OPTIMIZATION_r18.md)."""
+    from .queries.graph import edges_df, graph_df
     from .queries.graph_algos import neighborhood_function
 
-    return neighborhood_function(edges_df(spark), max_hops=3, lg_k=11)
+    nodes = graph_df(spark).select(F.col("src").alias("node"))
+    return neighborhood_function(
+        edges_df(spark), nodes=nodes, max_hops=3, lg_k=11
+    )
 
 
 def check_nf(nf) -> None:
