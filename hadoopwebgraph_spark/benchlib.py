@@ -102,21 +102,37 @@ def hyperanf_3hop(spark: SparkSession):
     committed bench fixture (see bench.py's entry comment for why it
     runs after the query loop there).
 
-    The node set comes from the graph SOURCE (one row per node by the
-    BVGraph format's construction) instead of letting
-    neighborhood_function derive it as union(src, dst).distinct() —
-    a guide §2.4 removed shuffle (distinct over 1.48M edge endpoints
-    per run; at corpus scale a full extra pass over the edge list).
-    N(t) is bit-identical either way (r18, measured: same node rows ->
-    same single-item seed sketches; isolated A/B best-of-3 4.72 s vs
-    5.70 s at <=1.4% busy steal, OPTIMIZATION_r18.md)."""
-    from .queries.graph import edges_df, graph_df
+    The node set is ``range(nodes)`` from the graph's .properties —
+    BVGraph node ids are consecutive 0..n-1 by format definition, so
+    deriving the seed set needs NO scan at all, where the default path
+    (neighborhood_function's union(src, dst).distinct()) pays a full
+    shuffle of 1.48M edge endpoints plus re-decodes per run (guide
+    §2.4: a distinct on data that is already unique; §5: metadata over
+    data movement). An intermediate variant that scanned the source for
+    its src column was faster isolated but regressed in-bench (the
+    second Python-source scan per run interacts with late-bench session
+    state — measured 9.7-70.9 s vs baseline 5.5; OPTIMIZATION_r18.md).
+    N(t) is bit-identical across all three forms (same node rows ->
+    same single-item seed sketches; isolated A/B best-of-3 3.63 s vs
+    5.50 s base at <=0.7% busy steal)."""
+    from .queries.graph import edges_df
     from .queries.graph_algos import neighborhood_function
 
-    nodes = graph_df(spark).select(F.col("src").alias("node"))
+    n_nodes = _graph_nodes_from_properties()
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
     return neighborhood_function(
         edges_df(spark), nodes=nodes, max_hops=3, lg_k=11
     )
+
+
+def _graph_nodes_from_properties() -> int:
+    """Node count of the active graph fixture from its .properties
+    metadata (the catalog-stats analogue; no Spark job)."""
+    from .bvgraph.datasource import _plan_state
+    from .queries.graph import SMALL_BASENAME
+
+    basename = os.environ.get("SPARK_GRAFT_GRAPH_BASENAME", SMALL_BASENAME)
+    return _plan_state(basename)[1].nodes
 
 
 def check_nf(nf) -> None:
